@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline operators (dedup, similarity
+search, text analysis); ``oracle_sql()`` gives the DuckDB-equivalent ANSI
+SQL for each (pre-registered views: region nation customer supplier part
+orders lineitem events documents embeddings). Engine-level crawl queries
+whose semantics are iterative (wave loop) either pin their deterministic
+golden result as a VALUES oracle or omit the oracle (rows-only check).
+
+Parity rules used throughout (so value-hashes match bit-for-bit):
+* all hashes are md5-derived 60-bit ints (`functions/texthash.py`) —
+  identical in Spark and DuckDB;
+* money sums go through DECIMAL(18,4) so addition order can't wobble the
+  doubles; averages/cosines are rounded at fixed precision;
+* every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround
+from scalpel_spark.operators import dedup, sessions, similarity, textops
+
+SF_DEFAULT = '/root/testdata/sf0.001'
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+
+
+def _docs_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_planted_duplicates(_t(spark, sf_dir, 'documents'))
+
+
+DOCS_PLUS_SQL = (
+    "docs_plus AS ("
+    " SELECT doc_id, text, lang, source, n_chars FROM documents"
+    " UNION ALL"
+    " SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars"
+    " FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 20))"
+)
+
+H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _shingle_sql(n: int = 4) -> str:
+    """CTEs: toks (doc_id, l), sh (doc_id, sset = distinct n-gram shingles)."""
+    parts = ' || \' \' || '.join(f'l[i+{k}]' if k else 'l[i]' for k in range(n))
+    return (
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs_plus), "
+        f"sh AS (SELECT doc_id, CASE WHEN len(l) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(l) - {n - 2}), i -> {parts})) "
+        "ELSE CAST([] AS VARCHAR[]) END AS sset FROM toks)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. relational operator analogues (SURVEY.md §2.4/2.5/2.6/2.7/2.8) on TPC-H
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 aggregation surface: TPC-H Q1 pricing summary."""
+    li = _t(spark, sf_dir, 'lineitem').filter(F.col('l_shipdate') <= F.lit('1998-09-02'))
+    dec = lambda c: F.col(c).cast('decimal(18,4)')  # noqa: E731
+    return (
+        li.groupBy('l_returnflag', 'l_linestatus')
+        .agg(
+            F.sum(dec('l_quantity')).cast('double').alias('sum_qty'),
+            F.sum(dec('l_extendedprice')).cast('double').alias('sum_base_price'),
+            F.sum(dec('l_extendedprice') * (F.lit(1).cast('decimal(18,4)') - dec('l_discount')))
+            .cast('double').alias('sum_disc_price'),
+            pround(F.avg('l_quantity'), 4).alias('avg_qty'),
+            F.count('*').alias('count_order'),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       floor((AVG(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_frontier_dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/J1 seen-set anti-join analogue: customers with no orders."""
+    cust = _t(spark, sf_dir, 'customer')
+    orders = _t(spark, sf_dir, 'orders')
+    never = cust.join(orders, cust['c_custkey'] == orders['o_custkey'], 'left_anti')
+    return never.groupBy('c_nationkey').agg(
+        F.count('*').alias('n_customers'),
+        F.min('c_custkey').alias('min_custkey'),
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_nationkey, COUNT(*) AS n_customers, MIN(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_robots_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast-dim join analogue: revenue per nation via supplier."""
+    li = _t(spark, sf_dir, 'lineitem')
+    sup = _t(spark, sf_dir, 'supplier')
+    nat = _t(spark, sf_dir, 'nation')
+    dec = lambda c: F.col(c).cast('decimal(18,4)')  # noqa: E731
+    return (
+        li.join(F.broadcast(sup), li['l_suppkey'] == sup['s_suppkey'])
+        .join(F.broadcast(nat), sup['s_nationkey'] == nat['n_nationkey'])
+        .groupBy('n_name')
+        .agg(
+            F.sum(dec('l_extendedprice') * (F.lit(1).cast('decimal(18,4)') - dec('l_discount')))
+            .cast('double').alias('revenue'),
+            F.count('*').alias('n_lineitems'),
+        )
+    )
+
+
+ORACLE_BROADCAST = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_fetch_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 big equi-join analogue: orders ⋈ lineitem per priority."""
+    orders = _t(spark, sf_dir, 'orders')
+    li = _t(spark, sf_dir, 'lineitem')
+    dec = lambda c: F.col(c).cast('decimal(18,4)')  # noqa: E731
+    return (
+        orders.join(li, orders['o_orderkey'] == li['l_orderkey'])
+        .groupBy('o_orderpriority')
+        .agg(
+            F.countDistinct('o_orderkey').alias('n_orders'),
+            F.sum(dec('l_extendedprice')).cast('double').alias('gross'),
+        )
+    )
+
+
+ORACLE_SORTMERGE = """
+SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_politeness_dispatch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-host dispatch-slot window analogue: first 3 events per user."""
+    ev = _t(spark, sf_dir, 'events')
+    w = Window.partitionBy('user_id').orderBy('ts', 'event_id')
+    return (
+        ev.withColumn('slot', F.row_number().over(w))
+        .filter(F.col('slot') <= 3)
+        .groupBy('event_type')
+        .agg(F.count('*').alias('n_dispatched'), F.countDistinct('user_id').alias('n_users'))
+    )
+
+
+ORACLE_DISPATCH = """
+SELECT event_type, COUNT(*) AS n_dispatched, COUNT(DISTINCT user_id) AS n_users
+FROM (SELECT event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS slot
+      FROM events)
+WHERE slot <= 3 GROUP BY event_type
+"""
+
+
+def q_discovery_order_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 posexplode document-order analogue: tokens at positions 1..5."""
+    docs = _t(spark, sf_dir, 'documents')
+    ex = docs.select(F.posexplode(F.split('text', ' ')).alias('pos0', 'token'))
+    return (
+        ex.select((F.col('pos0') + 1).alias('pos'), 'token')
+        .filter(F.col('pos') <= 5)
+        .groupBy('token')
+        .agg(F.count('*').alias('n_occurrences'), F.min('pos').alias('first_pos'))
+    )
+
+
+ORACLE_POSEXPLODE = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+     ex AS (SELECT unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM t)
+SELECT token, COUNT(*) AS n_occurrences, MIN(pos) AS first_pos
+FROM ex WHERE pos <= 5 GROUP BY token
+"""
+
+
+def q_seen_union_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 status-union analogue: union of two event subsets, counted."""
+    ev = _t(spark, sf_dir, 'events')
+    high = ev.filter(F.col('value') >= 50).select('event_type').withColumn('bucket', F.lit('high'))
+    early = ev.filter(F.col('ts') < F.lit('2024-01-10')).select('event_type').withColumn('bucket', F.lit('early'))
+    return high.unionByName(early).groupBy('bucket', 'event_type').agg(F.count('*').alias('n'))
+
+
+ORACLE_UNION = """
+SELECT bucket, event_type, COUNT(*) AS n FROM (
+  SELECT event_type, 'high' AS bucket FROM events WHERE value >= 50
+  UNION ALL
+  SELECT event_type, 'early' AS bucket FROM events WHERE ts < TIMESTAMP '2024-01-10'
+) GROUP BY bucket, event_type
+"""
+
+
+def q_crawl_statistics_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 statistics surface on documents."""
+    docs = _t(spark, sf_dir, 'documents')
+    return docs.groupBy('lang').agg(
+        F.count('*').alias('n_docs'),
+        pround(F.avg('n_chars'), 4).alias('avg_chars'),
+        F.countDistinct('source').alias('n_sources'),
+    )
+
+
+ORACLE_STATS = """
+SELECT lang, COUNT(*) AS n_docs, floor((AVG(n_chars)) * 10000 + 0.5) / 10000 AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 top-k: 3 priciest orders per priority class."""
+    orders = _t(spark, sf_dir, 'orders')
+    w = Window.partitionBy('o_orderpriority').orderBy(F.col('o_totalprice').desc(), F.col('o_orderkey'))
+    return (
+        orders.withColumn('rnk', F.row_number().over(w))
+        .filter(F.col('rnk') <= 3)
+        .select('o_orderpriority', F.col('rnk').cast('long').alias('rnk'), 'o_orderkey', 'o_totalprice')
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_host_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 host extraction: synthesize URLs from orders, extract host."""
+    orders = _t(spark, sf_dir, 'orders')
+    url = F.concat(
+        F.lit('http://h'), F.pmod(F.col('o_custkey'), F.lit(50)).cast('string'),
+        F.lit('.example.com/o/'), F.col('o_orderkey').cast('string'),
+    )
+    host = F.regexp_extract(url, r'^http://([^/]+)/', 1)
+    return orders.select(host.alias('host')).groupBy('host').agg(F.count('*').alias('n_urls'))
+
+
+ORACLE_HOST = """
+SELECT regexp_extract('http://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/o/' || CAST(o_orderkey AS VARCHAR),
+                      '^http://([^/]+)/', 1) AS host,
+       COUNT(*) AS n_urls
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. URL algebra golden (P3/P4 — reference core/response.py:103-116)
+# ---------------------------------------------------------------------------
+
+URL_GOLDEN = [
+    ('http://quotes.com', 'page2.html', 'http://quotes.com/page2.html'),
+    ('file:///website/page1.html', 'page2.html', 'file:/website/page2.html'),
+    ('http://example.com/a/b.html', '#frag', 'http://example.com/a/b.html'),
+    ('http://example.com/a/b/c.html', '../d.html', 'http://example.com/a/d.html'),
+    ('http://example.com/a/b.html', '/root.html', 'http://example.com/root.html'),
+    ('http://example.com/a/b.html', 'https://other.com/x', 'https://other.com/x'),
+    ('http://example.com/a/b.html', 'https://other.com/x#keep', 'https://other.com/x'),
+    ('http://example.com/a/b.html', '//cdn.com/y.js', 'http://cdn.com/y.js'),
+    ('http://example.com/a/', 'b/c.html?q=1', 'http://example.com/a/b/c.html?q=1'),
+    ('http://example.com', './x.html', 'http://example.com/x.html'),
+]
+
+
+def q_url_canonicalize_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 absolutization via the vectorized pandas UDF, against the pinned
+    reference goldens (file:/// collapse, fragment asymmetry)."""
+    from scalpel_spark.functions.urls import absolutize_udf
+
+    df = spark.createDataFrame([(b, l) for b, l, _ in URL_GOLDEN], 'base string, link string')
+    return df.select('base', 'link', absolutize_udf(F.col('base'), F.col('link')).alias('absolute'))
+
+
+ORACLE_URL = 'SELECT * FROM (VALUES\n' + ',\n'.join(
+    "  ('{}', '{}', '{}')".format(b, l, e) for b, l, e in URL_GOLDEN
+) + '\n) AS t(base, link, absolute)'
+
+
+# ---------------------------------------------------------------------------
+# 3. deduplication (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs_plus(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {DOCS_PLUS_SQL}
+SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {H60.format(x='lower(text)')} AS fingerprint FROM docs_plus)
+GROUP BY fingerprint HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs_plus(spark, sf_dir), n=4, threshold=0.5)
+
+
+ORACLE_JACCARD = f"""
+WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
+ex AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         floor((CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+               / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) * 10000 + 0.5) / 10000 AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs_plus(spark, sf_dir), k=16, bands=4, n=4, min_matches=8)
+
+
+ORACLE_MINHASH = f"""
+WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
+ex AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
+hashed AS (SELECT doc_id, i, {H60.format(x="CAST(i AS VARCHAR) || ':' || s")} AS h
+           FROM ex CROSS JOIN range(16) t(i)),
+mh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, band,
+                  array_to_string(sig[band*4+1 : band*4+4], ',') AS bucket
+           FROM sig CROSS JOIN range(4) t(band)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, matches FROM (
+  SELECT doc_a, doc_b,
+         len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS matches
+  FROM cand)
+WHERE matches >= 8
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(_docs_plus(spark, sf_dir))
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ', '.join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    fp = ' + '.join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH {DOCS_PLUS_SQL},
+ex AS (SELECT doc_id, {H60.format(x='tok')} AS h
+       FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM docs_plus)),
+sums AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_duplicates(_t(spark, sf_dir, 'embeddings'), threshold=0.9)
+
+
+ORACLE_EMB_DUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_t(spark, sf_dir, 'embeddings'), n_queries=10, k=5)
+
+
+ORACLE_SIM_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucket_topk(_t(spark, sf_dir, 'embeddings'), n_queries=10, k=3)
+
+
+ORACLE_SIM_LSH = f"""
+WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+planes AS (SELECT p, d,
+                  CAST(({H60.format(x="CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)")}) & 1 AS BIGINT) * 2 - 1 AS sgn
+           FROM range(8) t(p) CROSS JOIN range(64) t2(d)),
+dots AS (SELECT vec_id, p, SUM(qv[CAST(d AS INTEGER) + 1] * sgn) AS dot
+         FROM q CROSS JOIN planes GROUP BY vec_id, p),
+buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id),
+v AS (SELECT q.vec_id, q.e, b.bucket FROM q JOIN buckets b ON q.vec_id = b.vec_id),
+scored AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  floor((list_cosine_similarity(a.e, c.e)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+           WHERE a.vec_id < 10)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = textops.language_id(_t(spark, sf_dir, 'documents'))
+    return pred.groupBy('lang', 'pred_lang').agg(F.count('*').alias('n'))
+
+
+def _count_tok_sql(tok: str) -> str:
+    needle = f' {tok} '
+    return (
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{needle}', ' ')))"
+        f" / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: ' + '.join(_count_tok_sql(m) for m in marks)
+        for lang, marks in textops.LANG_MARKERS.items()
+        if marks
+    }
+    ordered = sorted(score)
+    best = 'GREATEST(' + ', '.join(f's_{lang}' for lang in ordered) + ')'
+    pred = "'und'"
+    for lang in reversed(ordered):
+        pred = f"CASE WHEN s_{lang} = best THEN '{lang}' ELSE {pred} END"
+    sel = ', '.join(f'{expr} AS s_{lang}' for lang, expr in score.items())
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {sel} FROM documents),
+best AS (SELECT doc_id, lang, {best} AS best, * FROM scored),
+pred AS (SELECT doc_id, lang, CASE WHEN best > 0 THEN {pred} ELSE 'und' END AS pred_lang FROM best)
+SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+"""
+
+
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_scores(_t(spark, sf_dir, 'documents'))
+
+
+def _quality_oracle() -> str:
+    stop = ' + '.join(_count_tok_sql(s) for s in textops.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mean_len,
+         CAST({stop} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS dr
+  FROM documents)
+SELECT doc_id, n_tokens,
+       floor((mean_len) * 10000 + 0.5) / 10000 AS mean_token_len,
+       floor((stop_ratio) * 10000 + 0.5) / 10000 AS stopword_ratio,
+       floor((dr) * 10000 + 0.5) / 10000 AS distinct_ratio,
+       floor((0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.3 * dr
+             + 0.2 * LEAST(stop_ratio * 5.0, 1.0) + 0.1 * LEAST(mean_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
+FROM f
+"""
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_counts(_t(spark, sf_dir, 'documents'))
+
+
+ORACLE_TOKEN_COUNTS = """
+WITH per_doc AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS ns
+  FROM documents)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(ns) AS BIGINT) AS total_subwords, floor((AVG(nt)) * 10000 + 0.5) / 10000 AS avg_tokens
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.document_fingerprints(_t(spark, sf_dir, 'documents'))
+
+
+ORACLE_FINGERPRINTS = f"""
+WITH ex AS (
+  SELECT doc_id, pos, {H60.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)))
+SELECT doc_id,
+       CAST(SUM(pos * (h % {MERSENNE31})) % {MERSENNE31} AS BIGINT) AS fp_weighted,
+       CAST(bit_xor(h) AS BIGINT) AS fp_xor
+FROM ex GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. sessionization (streaming-semantics batch twin, SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessions.session_stats(_t(spark, sf_dir, 'events'), gap_s=1800)
+
+
+ORACLE_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked),
+per_sess AS (SELECT user_id, session_id, COUNT(*) AS n_events FROM sess GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_sessions, CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       floor((AVG(n_events)) * 10000 + 0.5) / 10000 AS avg_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. crawl engine end-to-end (iterative — golden VALUES oracle / rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_golden_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference integration crawl (3-page quotes site) through the full
+    wave engine; deterministic golden result pinned as a VALUES oracle
+    (tests/any_io/test_static_spider.py:383-401)."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    engine = CrawlEngine(
+        spark, golden_site(spark, 'http'),
+        config=CrawlConfig(link_rule='second_contains_page'),
+    )
+    result = engine.run(['http://quotes.com'])
+    return result.seen.select(
+        'url', 'status',
+        F.col('wave').cast('long').alias('wave'),
+        F.col('priority').cast('long').alias('priority'),
+    )
+
+
+ORACLE_CRAWL_GOLDEN = """
+SELECT * FROM (VALUES
+  ('http://quotes.com', 'reachable', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+  ('http://quotes.com/page2.html', 'reachable', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+  ('http://quotes.com/page3.html', 'reachable', CAST(2 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(url, status, wave, priority)
+"""
+
+
+def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 300-page crawl with robots + politeness budget + hot-host
+    salting; deterministic per-wave dispatch statistics. Iterative wave
+    loop — not SQL-expressible, driver records the rows-only check."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_pages=300, n_hosts=12, seed=42, hot_hosts=2)
+    robots = synthetic_robots(spark, n_hosts=12)
+    engine = CrawlEngine(
+        spark, corpus, robots=robots,
+        config=CrawlConfig(
+            follow_robots_txt=True,
+            max_dispatch_per_host_per_wave=8,
+            hot_host_threshold=16,
+            max_waves=6,
+        ),
+    )
+    seeds = [f'http://h{h}.example.com/p{h}.html' for h in range(12)]
+    result = engine.run(seeds)
+    return (
+        result.seen.groupBy('wave', 'status')
+        .agg(F.count('*').alias('n_urls'), F.min('priority').alias('min_priority'))
+        .select(F.col('wave').cast('long').alias('wave'), 'status', 'n_urls', 'min_priority')
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
+    return q_dedup_minhash_lsh(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        'tpch_pricing_summary': q_tpch_pricing_summary,
+        'frontier_dedup_anti_join': q_frontier_dedup_anti_join,
+        'robots_broadcast_join': q_robots_broadcast_join,
+        'fetch_sortmerge_join': q_fetch_sortmerge_join,
+        'politeness_dispatch_window': q_politeness_dispatch_window,
+        'discovery_order_posexplode': q_discovery_order_posexplode,
+        'seen_union_statistics': q_seen_union_statistics,
+        'crawl_statistics_agg': q_crawl_statistics_agg,
+        'topk_per_group': q_topk_per_group,
+        'host_extraction': q_host_extraction,
+        'url_canonicalize_golden': q_url_canonicalize_golden,
+        'dedup_exact': q_dedup_exact,
+        'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
+        'dedup_minhash_lsh': q_dedup_minhash_lsh,
+        'dedup_simhash': q_dedup_simhash,
+        'dedup_embedding_cosine': q_dedup_embedding_cosine,
+        'similarity_topk_bruteforce': q_similarity_topk_bruteforce,
+        'similarity_lsh_ann': q_similarity_lsh_ann,
+        'text_langid': q_text_langid,
+        'text_quality_scores': q_text_quality_scores,
+        'text_token_counts': q_text_token_counts,
+        'text_fingerprints': q_text_fingerprints,
+        'events_sessionize': q_events_sessionize,
+        'crawl_golden_http': q_crawl_golden_http,
+        'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        'tpch_pricing_summary': ORACLE_TPCH_Q1,
+        'frontier_dedup_anti_join': ORACLE_ANTI_JOIN,
+        'robots_broadcast_join': ORACLE_BROADCAST,
+        'fetch_sortmerge_join': ORACLE_SORTMERGE,
+        'politeness_dispatch_window': ORACLE_DISPATCH,
+        'discovery_order_posexplode': ORACLE_POSEXPLODE,
+        'seen_union_statistics': ORACLE_UNION,
+        'crawl_statistics_agg': ORACLE_STATS,
+        'topk_per_group': ORACLE_TOPK,
+        'host_extraction': ORACLE_HOST,
+        'url_canonicalize_golden': ORACLE_URL,
+        'dedup_exact': ORACLE_DEDUP_EXACT,
+        'dedup_ngram_jaccard': ORACLE_JACCARD,
+        'dedup_minhash_lsh': ORACLE_MINHASH,
+        'dedup_simhash': _simhash_oracle(),
+        'dedup_embedding_cosine': ORACLE_EMB_DUP,
+        'similarity_topk_bruteforce': ORACLE_SIM_TOPK,
+        'similarity_lsh_ann': ORACLE_SIM_LSH,
+        'text_langid': _langid_oracle(),
+        'text_quality_scores': _quality_oracle(),
+        'text_token_counts': ORACLE_TOKEN_COUNTS,
+        'text_fingerprints': ORACLE_FINGERPRINTS,
+        'events_sessionize': ORACLE_SESSIONS,
+        'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
+        # crawl_synthetic_politeness: iterative wave loop — rows-only check
+    }

@@ -1,0 +1,259 @@
+"""Benchmark harness (driver contract + BASELINE.md measurement protocol).
+
+Default mode prints ONE JSON line::
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": 0.1,
+     "frontier": {"urls_per_sec": ..., "n_candidates": ..., ...}}
+
+The headline north-rule metric is **frontier URLs scheduled+deduped per
+second**: a deterministic synthetic candidate frontier (seed=42) is pushed
+through the engine's schedule+dedup pipeline — canonical URL → host +
+xxhash64 → within-batch dedup (min-priority groupBy) → bloom-prefiltered
+exact anti-join against a pre-seeded seen set → per-host politeness-slot
+window — and timed over warm runs (median).
+
+``--scaling`` runs the same pipeline at two parallelism levels
+(local[8] vs local[32] — the sandbox proxy for N vs 4N executors, per
+BASELINE.md) in separate JVMs and writes BENCH/BASELINE.md with
+urls_per_sec_N, urls_per_sec_4N and scaling_efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get('SPARK_GRAFT_SF_DIR', '/root/testdata/sf0.1')
+CPUS = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+
+# benchmark queries: the heavy/representative subset of __spark_entry__
+BENCH_QUERIES = [
+    'tpch_pricing_summary',
+    'fetch_sortmerge_join',
+    'frontier_dedup_anti_join',
+    'politeness_dispatch_window',
+    'dedup_minhash_lsh',
+    'dedup_simhash',
+    'similarity_topk_bruteforce',
+    'text_fingerprints',
+    'events_sessionize',
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip('/'))
+    try:
+        return float(base.replace('sf', ''))
+    except ValueError:
+        return -1.0
+
+
+def make_spark(master: str, shuffle_partitions: int):
+    from scalpel_spark.session import get_spark
+
+    return get_spark(app_name='scalpel-spark-bench', master=master,
+                     shuffle_partitions=shuffle_partitions)
+
+
+# ---------------------------------------------------------------------------
+# frontier schedule+dedup pipeline (the north-rule metric)
+# ---------------------------------------------------------------------------
+
+
+def frontier_pipeline_time(spark, n_candidates: int, n_seen: int, n_hosts: int,
+                           budget: int, seed: int = 42) -> float:
+    """One timed pass of schedule+dedup. Candidates contain ~20% in-batch
+    duplicates and ~50% already-seen URLs — both realistic frontier traffic
+    and both must be deduped."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.functions.urls import host_col, url_hash_col
+    from scalpel_spark.operators.seen import anti_join_seen
+
+    uniq = int(n_candidates * 0.8)
+
+    def url_of(idcol):
+        page = F.pmod(F.xxhash64(idcol, F.lit(seed)), F.lit(uniq * 2))
+        host = F.pmod(F.xxhash64(page, F.lit(seed + 1)), F.lit(n_hosts))
+        return page, F.concat(
+            F.lit('http://h'), host.cast('string'), F.lit('.example.com/p'),
+            page.cast('string'), F.lit('.html'),
+        )
+
+    cand = spark.range(0, n_candidates)
+    page, url = url_of(F.pmod(F.col('id'), F.lit(uniq)))
+    cand = cand.select(url.alias('url'), F.col('id').alias('priority'))
+
+    seen_page = F.pmod(F.xxhash64(F.col('id'), F.lit(seed)), F.lit(uniq * 2))
+    seen_host = F.pmod(F.xxhash64(seen_page, F.lit(seed + 1)), F.lit(n_hosts))
+    seen = spark.range(0, n_seen).select(
+        F.concat(F.lit('http://h'), seen_host.cast('string'), F.lit('.example.com/p'),
+                 seen_page.cast('string'), F.lit('.html')).alias('url')
+    ).select('url', url_hash_col(F.col('url')).alias('url_hash'))
+    seen = seen.persist()
+    seen_count = seen.count()  # materialize outside the timed region
+
+    t0 = time.time()
+    enriched = cand.select(
+        'url', 'priority',
+        url_hash_col(F.col('url')).alias('url_hash'),
+        host_col(F.col('url')).alias('host'),
+    )
+    batch_deduped = enriched.groupBy('url').agg(
+        F.min('priority').alias('priority'),
+        F.first('url_hash').alias('url_hash'),
+        F.first('host').alias('host'),
+    )
+    new = anti_join_seen(batch_deduped, seen, 'url_hash', seen_count)
+    w = Window.partitionBy('host').orderBy('priority')
+    scheduled = new.withColumn('slot', F.row_number().over(w)).filter(F.col('slot') <= budget)
+    scheduled.count()
+    elapsed = time.time() - t0
+    seen.unpersist()
+    return elapsed
+
+
+def run_frontier_bench(spark, n_candidates: int, n_seen: int, n_hosts: int = 1000,
+                       budget: int = 10_000, reps: int = 3) -> dict:
+    frontier_pipeline_time(spark, n_candidates, n_seen, n_hosts, budget)  # warmup
+    times = [frontier_pipeline_time(spark, n_candidates, n_seen, n_hosts, budget)
+             for _ in range(reps)]
+    med = statistics.median(times)
+    return {
+        'n_candidates': n_candidates,
+        'n_seen': n_seen,
+        'n_hosts': n_hosts,
+        'reps': reps,
+        'times_sec': [round(t, 3) for t in times],
+        'median_sec': round(med, 3),
+        'urls_per_sec': round(n_candidates / med, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# modes
+# ---------------------------------------------------------------------------
+
+
+def main_default() -> None:
+    import __spark_entry__ as entry
+
+    spark = make_spark(f'local[{CPUS}]', CPUS)
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    scale = max(_sf_of(SF_DIR), 0.001)
+    frontier = run_frontier_bench(
+        spark, n_candidates=int(20_000_000 * scale), n_seen=int(10_000_000 * scale)
+    )
+    total = round(sum(timings.values()) + frontier['median_sec'], 3)
+    print(json.dumps({
+        'metric': 'headline_suite_plus_frontier_schedule_dedup',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': _sf_of(SF_DIR),
+        'frontier': frontier,
+    }))
+    spark.stop()
+
+
+def main_frontier_only(master: str, shuffle: int, n_candidates: int, n_seen: int,
+                       json_out: str) -> None:
+    spark = make_spark(master, shuffle)
+    res = run_frontier_bench(spark, n_candidates, n_seen)
+    res['master'] = master
+    with open(json_out, 'w') as f:
+        json.dump(res, f)
+    spark.stop()
+
+
+def main_scaling(n_candidates: int, n_seen: int) -> None:
+    """local[8] vs local[32] on identical input → scaling efficiency."""
+    os.makedirs('BENCH', exist_ok=True)
+    results = {}
+    for label, cores, shuffle in (('N', 8, 32), ('4N', 32, 128)):
+        out = f'/tmp/frontier_bench_{cores}.json'
+        subprocess.run(
+            [sys.executable, __file__, '--frontier-only', '--master', f'local[{cores}]',
+             '--shuffle-partitions', str(shuffle), '--n-candidates', str(n_candidates),
+             '--n-seen', str(n_seen), '--json-out', out],
+            check=True,
+        )
+        with open(out) as f:
+            results[label] = json.load(f)
+        print(f'local[{cores}]: {results[label]["urls_per_sec"]} urls/sec '
+              f'(median {results[label]["median_sec"]}s over {results[label]["reps"]})')
+
+    eff = results['4N']['urls_per_sec'] / (4 * results['N']['urls_per_sec'])
+    report = {
+        'urls_per_sec_N': results['N']['urls_per_sec'],
+        'urls_per_sec_4N': results['4N']['urls_per_sec'],
+        'scaling_efficiency': round(eff, 3),
+        'config_N': results['N'],
+        'config_4N': results['4N'],
+    }
+    print(json.dumps(report))
+    with open('BENCH/scaling.json', 'w') as f:
+        json.dump(report, f, indent=2)
+    _write_bench_md(report)
+
+
+def _write_bench_md(r: dict) -> None:
+    n, q = r['config_N'], r['config_4N']
+    md = f"""# BENCH — frontier schedule+dedup throughput & N→4N scaling
+
+Measurement per BASELINE.md protocol: the same deterministic (seed=42)
+synthetic frontier job — canonicalized URL generation → xxhash64 + host →
+within-batch dedup groupBy → bloom-prefiltered exact anti-join against a
+pre-seeded seen set → per-host politeness-slot window — run at two local
+parallelism levels (sandbox proxy for N vs 4N executors), median of
+{n['reps']} warm runs after 1 warmup, JVM startup excluded.
+
+| config | candidates | seen | median sec | URLs/sec |
+|---|---|---|---|---|
+| local[8] (N) | {n['n_candidates']:,} | {n['n_seen']:,} | {n['median_sec']} | {n['urls_per_sec']:,} |
+| local[32] (4N) | {q['n_candidates']:,} | {q['n_seen']:,} | {q['median_sec']} | {q['urls_per_sec']:,} |
+
+**scaling_efficiency = urls_per_sec_4N / (4 x urls_per_sec_N) =
+{r['scaling_efficiency']}** (target >= 0.8 per BASELINE.json north_rule).
+
+Run times (sec): N={n['times_sec']}, 4N={q['times_sec']}.
+
+Reproduce: `python bench.py --scaling`.
+"""
+    with open('BENCH/BASELINE.md', 'w') as f:
+        f.write(md)
+    print('wrote BENCH/BASELINE.md')
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--scaling', action='store_true')
+    ap.add_argument('--frontier-only', action='store_true')
+    ap.add_argument('--master', default=f'local[{CPUS}]')
+    ap.add_argument('--shuffle-partitions', type=int, default=CPUS)
+    ap.add_argument('--n-candidates', type=int, default=2_000_000)
+    ap.add_argument('--n-seen', type=int, default=1_000_000)
+    ap.add_argument('--json-out', default='/tmp/frontier_bench.json')
+    args = ap.parse_args()
+    if args.frontier_only:
+        main_frontier_only(args.master, args.shuffle_partitions, args.n_candidates,
+                           args.n_seen, args.json_out)
+    elif args.scaling:
+        main_scaling(args.n_candidates, args.n_seen)
+    else:
+        main_default()

@@ -1,0 +1,86 @@
+"""Deterministic, engine-portable text hashing for the dedup/similarity
+operators.
+
+Design constraint: the driver's correctness gate compares every Spark query
+against a DuckDB oracle by value-hash, so all hash arithmetic must be
+reproducible bit-for-bit in ANSI SQL on both engines. We therefore derive
+hashes from ``md5`` (present and identical in Spark and DuckDB) and keep
+everything in 60-bit integer space (15 hex chars < 2^60 fits a signed
+BIGINT in both engines, no overflow/wrap divergence).
+
+At 100 TB these expressions are pure JVM column algebra (whole-stage
+codegen) — no Python on the hot path. ``xxhash64`` would be faster
+JVM-side, but it has no DuckDB twin; production deployments can swap
+``HASH60`` for ``F.xxhash64`` behind the same helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE61 = (1 << 61) - 1
+# fingerprint modulus small enough that pos * (h % MERSENNE31) never
+# overflows int64 even summed over thousands of tokens (engine-portable:
+# DuckDB would promote to int128 on overflow, Spark would wrap — avoid both)
+MERSENNE31 = (1 << 31) - 1
+
+
+def pround(col: Column, digits: int) -> Column:
+    """Portable fixed-precision rounding: floor(x*10^d + 0.5)/10^d.
+
+    Spark's ``round`` re-parses the double's shortest decimal repr
+    (HALF_UP on the string) while DuckDB rounds the raw binary value —
+    they disagree whenever the shortest repr shows a trailing 5 the binary
+    sits just below. floor on the raw double is identical in both engines.
+    DuckDB twin: ``floor(x * 10^d + 0.5) / 10^d``.
+    """
+    scale = 10 ** digits
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+def pround_sql(expr: str, digits: int) -> str:
+    scale = 10 ** digits
+    return f'floor(({expr}) * {scale} + 0.5) / {scale}'
+
+
+def hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative BIGINT (< 2^60).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast('long')
+
+
+def hash60_sql(expr: str) -> str:
+    """The DuckDB-side rendering of :func:`hash60` for oracle SQL."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB twin: ``string_split(x, ' ')``."""
+    return F.split(text, ' ')
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles in document order (1-based element_at, like DuckDB
+    list indexing). Empty array when the doc has fewer than ``n`` tokens.
+
+    DuckDB twin::
+
+        list_transform(range(1, greatest(len(l) - {n-2}, 1)),
+                       i -> l[i] || ' ' || l[i+1] || ... )
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(' ', *[F.element_at(toks, i + k) for k in range(n)])
+    )).otherwise(F.array().cast('array<string>'))
+
+
+def shingles_sql(list_expr: str, n: int = 3) -> str:
+    parts = ' || \' \' || '.join(f'{list_expr}[i+{k}]' if k else f'{list_expr}[i]' for k in range(n))
+    return (
+        f"CASE WHEN len({list_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({list_expr}) - {n - 2}), i -> {parts}) "
+        f"ELSE [] END"
+    )

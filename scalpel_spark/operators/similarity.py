@@ -1,0 +1,111 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, as a 100 TB pipeline needs both:
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set, score every corpus vector, window-rank per query. One shuffle (the
+  rank); scoring is JVM ``zip_with``/``aggregate`` column algebra over
+  ``array<double>`` — no Python.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH (signs
+  derived deterministically from md5 so the DuckDB oracle can recompute
+  them), bucket join, exact re-rank inside buckets. Bucketing is computed
+  on *quantized integer* dot products so the bucket assignment is
+  bit-identical across engines (no float-sum-order ambiguity).
+
+Tie-breaking is always (rounded cosine DESC, vec_id ASC) — total order,
+engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scalpel_spark.functions.texthash import hash60, pround
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vec_ids
+    (self excluded). Returns (query_id, neighbor_id, rank, cosine)."""
+    v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e'))
+    q = v.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('query_id'), F.col('e').alias('eq')
+    )
+    scored = (
+        F.broadcast(q).crossJoin(v.select(F.col('vec_id').alias('neighbor_id'), F.col('e').alias('en')))
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+        .select(
+            'query_id', 'neighbor_id',
+            pround(_dot('eq', 'en') / (_norm('eq') * _norm('en')), 6).alias('cosine'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'cosine')
+    )
+
+
+def _plane_sign(p: Column | int, d: Column | int) -> Column:
+    """Deterministic ±1 hyperplane weight for (plane p, dimension d):
+    parity of hash60('p-d'). DuckDB twin uses the same md5 arithmetic."""
+    key = F.concat_ws('-', F.lit(p) if isinstance(p, int) else p, F.lit(d) if isinstance(d, int) else d)
+    return (hash60(key).bitwiseAND(F.lit(1)) * 2 - 1).cast('long')
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000) -> DataFrame:
+    """(vec_id, bucket): bucket bit p = 1 iff sum_d q(v[d]) * sign(p,d) > 0,
+    where q(x) = floor(x*quant + 0.5) — integer, so the sign test is exact
+    and engine-portable. Shuffle-free (per-row array algebra)."""
+    v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e'))
+    qv = F.transform('e', lambda x: F.floor(x * quant + 0.5).cast('long'))
+    v = v.select('vec_id', qv.alias('q'))
+
+    def plane_dot(p: int) -> Column:
+        idx = F.sequence(F.lit(1), F.size('q'))
+        return F.aggregate(
+            idx, F.lit(0).cast('long'),
+            lambda acc, i: acc + F.element_at(F.col('q'), i) * _plane_sign(p, i - 1),
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return v.select('vec_id', bucket.cast('long').alias('bucket'))
+
+
+def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+                    n_planes: int = 8, quant: int = 1000) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket, exact cosine re-rank within.
+    Returns (query_id, neighbor_id, rank, cosine). Recall < 1 by design —
+    the point is the bucket join replaces the full cross product."""
+    buckets = lsh_buckets(emb, n_planes, quant)
+    v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(buckets, 'vec_id')
+    q = v.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('query_id'), F.col('e').alias('eq'), 'bucket'
+    )
+    c = v.select(F.col('vec_id').alias('neighbor_id'), F.col('e').alias('en'), 'bucket')
+    scored = (
+        q.join(c, 'bucket')
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+        .select(
+            'query_id', 'neighbor_id',
+            pround(_dot('eq', 'en') / (_norm('eq') * _norm('en')), 6).alias('cosine'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'cosine')
+    )

@@ -1,0 +1,144 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure JVM column algebra (whole-stage codegen; no Python UDFs), with
+DuckDB-oracle-portable arithmetic: integer hashes from
+``functions/texthash.py``, float outputs rounded at fixed precision.
+
+At 100 TB these are embarrassingly parallel map-side transforms — zero
+shuffles except the final (tiny) per-language aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround, tokens
+
+# stopword marker sets for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    'en': ('the', 'a', 'of'),
+    'es': ('el', 'la', 'de'),
+    'fr': ('le', 'la', 'de'),
+    'de': ('der', 'die', 'das'),
+    'zh': (),  # no-space CJK text would be detected by char-class ratio
+}
+STOPWORDS = ('the', 'a', 'of', 'and', 'to', 'in')
+
+
+def _count_token(text: Column, tok: str) -> Column:
+    """Occurrences of ``tok`` as a whole whitespace token. Portable trick:
+    pad with spaces, count via length difference under replace."""
+    padded = F.concat(F.lit(' '), text, F.lit(' '))
+    needle = f' {tok} '
+    # replace with a single space so back-to-back occurrences still count
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(' '))))
+        / (len(needle) - 1)
+    ).cast('long')
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language heuristic: score each candidate language by
+    its marker-token count; predict the best-scoring one (ties broken by
+    language code order), 'und' when no marker hits.
+
+    Returns (doc_id, lang, pred_lang).
+    """
+    scores = {
+        lang: sum_cols([_count_token(F.col('text'), m) for m in marks])
+        for lang, marks in LANG_MARKERS.items()
+        if marks
+    }
+    ordered = sorted(scores)  # deterministic tie-break: alphabetical
+    best_score = F.greatest(*[scores[lang] for lang in ordered])
+    pred = F.lit('und')
+    for lang in reversed(ordered):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit('und'))
+    return docs.select('doc_id', 'lang', pred.alias('pred_lang'))
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score (rounded, double):
+
+    * n_tokens — whitespace token count
+    * mean_token_len — avg token length
+    * stopword_ratio — stopword tokens / tokens
+    * distinct_ratio — distinct tokens / tokens (repetition penalty)
+    * score = 0.4*min(n_tokens/100,1) + 0.3*distinct_ratio
+              + 0.2*min(stopword_ratio*5,1) + 0.1*min(mean_token_len/8,1)
+    """
+    toks = tokens(F.col('text'))
+    n = F.size(toks).cast('double')
+    mean_len = (F.length('text') - (F.size(toks) - 1)).cast('double') / n
+    stop = sum_cols([_count_token(F.col('text'), s) for s in STOPWORDS]).cast('double')
+    distinct_ratio = F.size(F.array_distinct(toks)).cast('double') / n
+    stop_ratio = stop / n
+    score = (
+        F.lit(0.4) * F.least(n / 100.0, F.lit(1.0))
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + F.lit(0.1) * F.least(mean_len / 8.0, F.lit(1.0))
+    )
+    return docs.select(
+        'doc_id',
+        F.size(toks).cast('long').alias('n_tokens'),
+        pround(mean_len, 4).alias('mean_token_len'),
+        pround(stop_ratio, 4).alias('stopword_ratio'),
+        pround(distinct_ratio, 4).alias('distinct_ratio'),
+        pround(score, 4).alias('score'),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics: whitespace tokens and a BPE-ish
+    subword proxy (4-char pieces, ceil(len/4) per token) — the unit budget
+    a training pipeline actually meters.
+
+    Returns (lang, n_docs, total_tokens, total_subwords, avg_tokens).
+    """
+    toks = tokens(F.col('text'))
+    subwords = F.aggregate(
+        toks, F.lit(0).cast('long'),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast('long'),
+    )
+    per_doc = docs.select('lang', F.size(toks).cast('long').alias('nt'), subwords.alias('ns'))
+    return per_doc.groupBy('lang').agg(
+        F.count('*').alias('n_docs'),
+        F.sum('nt').alias('total_tokens'),
+        F.sum('ns').alias('total_subwords'),
+        pround(F.avg('nt'), 4).alias('avg_tokens'),
+    )
+
+
+def document_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted token-hash
+    sum mod 2^31-1 (token hashes reduced mod 2^31-1 first so products stay
+    far below int64 overflow in any engine), plus an order-insensitive XOR
+    fold. Shuffle-free (array aggregate per row); reproducible in ANSI SQL.
+
+    Returns (doc_id, fp_weighted, fp_xor).
+    """
+    toks = tokens(F.col('text'))
+    idx = F.sequence(F.lit(1), F.size(toks))
+    weighted = F.aggregate(
+        idx, F.lit(0).cast('long'),
+        lambda acc, i: F.pmod(
+            acc + i.cast('long') * F.pmod(hash60(F.element_at(toks, i)), F.lit(MERSENNE31)),
+            F.lit(MERSENNE31),
+        ),
+    )
+    xored = F.aggregate(
+        toks, F.lit(0).cast('long'),
+        lambda acc, t: acc.bitwiseXOR(hash60(t)),
+    )
+    return docs.select('doc_id', weighted.alias('fp_weighted'), xored.alias('fp_xor'))
