@@ -464,11 +464,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _count_tok_sql(tok: str) -> str:
-    needle = f' {tok} '
-    return (
-        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{needle}', ' ')))"
-        f" / {len(needle) - 1} AS BIGINT)"
-    )
+    return f"CAST(len(list_filter(string_split(text, ' '), t -> t = '{tok}')) AS BIGINT)"
 
 
 def _langid_oracle() -> str:

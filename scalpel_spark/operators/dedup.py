@@ -185,8 +185,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHAS
         'doc_id', 'simhash',
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias('band'),
     ).withColumn(
+        # python F.shiftright needs a literal count; SQL shiftright takes a column
         'bucket',
-        F.shiftright(F.col('simhash'), F.col('band') * width).bitwiseAND(F.lit((1 << width) - 1)),
+        F.expr(f'shiftright(simhash, band * {width}) & {(1 << width) - 1}'),
     )
     a = banded.select('band', 'bucket', F.col('doc_id').alias('doc_a'), F.col('simhash').alias('fp_a'))
     b = banded.select('band', 'bucket', F.col('doc_id').alias('doc_b'), F.col('simhash').alias('fp_b'))

@@ -1,0 +1,175 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media content is carried as opaque ``binary`` payloads with typed metadata
+— the input_hint's interleaved-span model (``kind='media'`` spans hold a
+``media_ref``) resolved against a media-store table::
+
+    media(media_ref STRING, kind STRING, payload BINARY,
+          width INT, height INT, sample_rate INT, duration_ms INT)
+
+Decode / feature-extract run as Arrow-batched ``mapInPandas`` stages —
+the one place Python is allowed, because codecs are Python/C libraries,
+and even then batch-at-a-time over Arrow, never per-row driver loops.
+The actual codec libraries (PIL/librosa/av) are NOT available in this
+container, so ``decode_fn`` defaults to a deterministic fake (documented,
+seed-stable) and a real deployment injects its own; the Spark-side
+contract — schema, batch iteration, partition-by-media_ref locality —
+is real and tested either way.
+
+Scale notes: payloads dominate bytes at 100 TB, so the media table is
+partitioned by ``media_ref`` hash bucket and the feature extraction is a
+pure map stage (no shuffle); only the tiny feature vectors ever move.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField('media_ref', T.StringType()),
+        T.StructField('kind', T.StringType()),  # image | audio | video
+        T.StructField('payload', T.BinaryType()),
+        T.StructField('width', T.IntegerType()),
+        T.StructField('height', T.IntegerType()),
+        T.StructField('sample_rate', T.IntegerType()),
+        T.StructField('duration_ms', T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField('media_ref', T.StringType()),
+        T.StructField('kind', T.StringType()),
+        T.StructField('n_bytes', T.LongType()),
+        T.StructField('feature', T.ArrayType(T.FloatType())),
+        T.StructField('decode_ok', T.BooleanType()),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media-store rows (payload = seed-stable pseudo-bytes
+    derived from xxhash64 — pure column algebra, scales to any n)."""
+    df = spark.range(0, n)
+    h = F.xxhash64('id', F.lit(seed))
+    kind = F.element_at(
+        F.array(F.lit('image'), F.lit('audio'), F.lit('video')),
+        (F.pmod(h, F.lit(3)) + 1).cast('int'),
+    )
+    # payload: 64 deterministic bytes from repeated hashing (unhex of md5 x2)
+    payload = F.to_binary(
+        F.concat(F.md5(F.concat(F.lit('a'), F.col('id'))), F.md5(F.concat(F.lit('b'), F.col('id')))),
+        F.lit('hex'),
+    )
+    return df.select(
+        F.concat(F.lit('img://h'), F.pmod(h, F.lit(50)).cast('string'), F.lit('/'), F.col('id')).alias('media_ref'),
+        kind.alias('kind'),
+        payload.alias('payload'),
+        F.when(kind == 'image', (F.pmod(h, F.lit(1024)) + 32).cast('int')).alias('width'),
+        F.when(kind == 'image', (F.pmod(F.xxhash64('id', F.lit(seed + 1)), F.lit(768)) + 32).cast('int')).alias('height'),
+        F.when(kind == 'audio', F.lit(16000)).cast('int').alias('sample_rate'),
+        F.when(kind != 'image', (F.pmod(h, F.lit(60000)) + 1000).cast('int')).alias('duration_ms'),
+    )
+
+
+def fake_decode(payload: np.ndarray, kind: str) -> np.ndarray:
+    """Deterministic stand-in for a real codec: 8-dim feature = byte-window
+    means, scaled to [0, 1). A real deployment swaps this for PIL/librosa
+    decode + model features; the contract is (bytes, kind) -> float32[D]."""
+    buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    if len(buf) == 0:
+        return np.zeros(8, dtype=np.float32)
+    chunks = np.array_split(buf, 8)
+    return np.array([c.mean() / 255.0 for c in chunks], dtype=np.float32)
+
+
+def real_decode_stub(payload: np.ndarray, kind: str) -> np.ndarray:
+    """The production decode path. Image/audio codec libraries are not
+    installed in this environment."""
+    raise NotImplementedError(
+        'media codecs (PIL/librosa/av) unavailable in this container; '
+        'inject a decode_fn or use fake_decode for plumbing tests'
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn: Optional[Callable[[bytes, str], np.ndarray]] = None,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over the media table.
+
+    Each partition streams pandas batches; ``decode_fn(payload_bytes, kind)
+    -> np.float32[D]`` runs vectorized per batch. Decode failures set
+    ``decode_ok=False`` with an empty feature (quarantine-not-crash, the
+    only sane policy at 10^10 rows).
+    """
+    fn = decode_fn or fake_decode
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for payload, kind in zip(pdf['payload'], pdf['kind']):
+                try:
+                    feats.append(fn(payload, kind).tolist())
+                    oks.append(True)
+                except Exception:
+                    feats.append([])
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    'media_ref': pdf['media_ref'],
+                    'kind': pdf['kind'],
+                    'n_bytes': pdf['payload'].map(len).astype('int64'),
+                    'feature': feats,
+                    'decode_ok': oks,
+                }
+            )
+
+    return media.select('media_ref', 'kind', 'payload').mapInPandas(per_batch, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Pure-column resize planning (target dims preserving aspect ratio) —
+    the metadata half of an image-resize stage; the pixel half is the
+    decode_fn's job. Demonstrates that geometry logic stays JVM-side."""
+    scale = F.when(
+        F.greatest('width', 'height') > max_side,
+        F.lit(max_side) / F.greatest('width', 'height').cast('double'),
+    ).otherwise(F.lit(1.0))
+    return media.filter(F.col('kind') == 'image').select(
+        'media_ref', 'width', 'height',
+        F.ceil(F.col('width') * scale).cast('int').alias('target_width'),
+        F.ceil(F.col('height') * scale).cast('int').alias('target_height'),
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one row per sampled timestamp
+    (posexplode of a sequence — order-preserving, shuffle-free)."""
+    n_frames = (F.col('duration_ms') / every_ms).cast('int') + 1
+    return media.filter(F.col('kind') == 'video').select(
+        'media_ref',
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias('frame_idx', '_i'),
+    ).select('media_ref', 'frame_idx', (F.col('frame_idx') * every_ms).alias('ts_ms'))
+
+
+def join_spans_to_media(docs: DataFrame, media: DataFrame) -> DataFrame:
+    """Resolve kind='media' spans of the interleaved documents table against
+    the media store: explode media spans → join on media_ref. The span
+    side keeps (doc_id, offset) so span order is reconstructible —
+    the per-row span-sequence invariant survives the round trip."""
+    spans = docs.select(
+        'doc_id',
+        F.posexplode(F.filter('spans', lambda s: s['kind'] == F.lit('media'))).alias('pos', 'span'),
+    ).select('doc_id', 'pos', F.col('span.media_ref').alias('media_ref'), F.col('span.offset').alias('offset'))
+    return spans.join(media, 'media_ref', 'left')

@@ -69,7 +69,10 @@ class Bloom:
 
 def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int = 12, num_hashes: int = 4) -> Bloom:
     """Build per-partition bitmaps in mapInPandas (numpy over Arrow), then
-    OR-merge on the driver — SURVEY.md §4.2's bloom construction."""
+    OR-merge them *executor-side* with a depth-2 treeReduce — the driver
+    receives exactly one bitmap. A collect-and-merge-on-driver variant is
+    O(partitions × bitmap) serial driver work, which caps scaling (Amdahl)
+    once partitions track core count — SURVEY.md §4.2."""
     num_bits = _next_pow2(max(expected, 1) * bits_per_key)
     schema = T.StructType([T.StructField('bitmap', T.BinaryType())])
 
@@ -85,10 +88,15 @@ def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int =
         if seen_any:
             yield pd.DataFrame({'bitmap': [bitmap.tobytes()]})
 
-    merged = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, num_hashes)
-    for row in df.select(hash_col).mapInPandas(per_partition, schema).collect():
-        merged.merge(Bloom(np.frombuffer(row['bitmap'], dtype=np.uint8).copy(), num_bits, num_hashes))
-    return merged
+    def or_bytes(a: bytes, b: bytes) -> bytes:
+        return np.bitwise_or(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    parts = df.select(hash_col).mapInPandas(per_partition, schema).rdd.map(lambda r: r['bitmap'])
+    merged_bytes = parts.treeAggregate(bytes(num_bits >> 3), or_bytes, or_bytes, depth=2)
+    merged = np.frombuffer(merged_bytes, dtype=np.uint8).copy()
+    return Bloom(merged, num_bits, num_hashes)
 
 
 def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_hash',

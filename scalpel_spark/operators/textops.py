@@ -28,15 +28,9 @@ STOPWORDS = ('the', 'a', 'of', 'and', 'to', 'in')
 
 
 def _count_token(text: Column, tok: str) -> Column:
-    """Occurrences of ``tok`` as a whole whitespace token. Portable trick:
-    pad with spaces, count via length difference under replace."""
-    padded = F.concat(F.lit(' '), text, F.lit(' '))
-    needle = f' {tok} '
-    # replace with a single space so back-to-back occurrences still count
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(' '))))
-        / (len(needle) - 1)
-    ).cast('long')
+    """Exact occurrences of ``tok`` as a whitespace token.
+    DuckDB twin: ``len(list_filter(string_split(text, ' '), t -> t = 'tok'))``."""
+    return F.size(F.filter(tokens(text), lambda t: t == F.lit(tok))).cast('long')
 
 
 def language_id(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,172 @@
+"""Unit tests for the training-data analytics operators (dedup, similarity,
+text analysis, sessionization) over tiny deterministic frames."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_spark.operators import dedup, sessions, similarity, textops
+
+DOCS = [
+    # doc 0/1 exact duplicates; doc 2 near-dup of 0 (one token changed);
+    # doc 3 unrelated
+    (0, 'alpha beta gamma delta epsilon zeta eta theta', 'en', 'src0', 46),
+    (1, 'alpha beta gamma delta epsilon zeta eta theta', 'en', 'src1', 46),
+    (2, 'alpha beta gamma delta epsilon zeta eta iota', 'en', 'src2', 45),
+    (3, 'one two three four five six seven eight nine ten', 'fr', 'src3', 49),
+]
+DOC_SCHEMA = 'doc_id long, text string, lang string, source string, n_chars long'
+
+
+@pytest.fixture(scope='module')
+def docs(spark):
+    return spark.createDataFrame(DOCS, DOC_SCHEMA)
+
+
+def test_exact_duplicates(docs):
+    rows = dedup.exact_duplicates(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]['n_copies'] == 2
+    assert rows[0]['canonical_doc_id'] == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    rows = {(r['doc_a'], r['doc_b']): r['jaccard']
+            for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert (0, 2) in rows and 0.3 <= rows[(0, 2)] < 1.0
+    assert all(3 not in pair for pair in rows)
+
+
+def test_minhash_lsh_finds_exact_dup(docs):
+    rows = {(r['doc_a'], r['doc_b']): r['matches']
+            for r in dedup.minhash_lsh_pairs(docs, n=3, min_matches=8).collect()}
+    assert rows[(0, 1)] == 16
+
+
+def test_simhash_fingerprints(docs):
+    fps = {r['doc_id']: r['simhash'] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fps[0] == fps[1]  # identical token sets
+    assert fps[0] != fps[3]
+    assert all(0 <= v < 2**32 for v in fps.values())
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r['doc_a'], r['doc_b']): r['hamming']
+             for r in dedup.simhash_near_pairs(docs, max_hamming=31).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_planted_duplicates_roundtrip(docs):
+    plus = dedup.with_planted_duplicates(docs, n=2, id_offset=100)
+    assert plus.count() == 6
+    groups = dedup.exact_duplicates(plus).collect()
+    # (0,1,100,101) share one text → one group of 4; nothing else repeats
+    by_copies = sorted(g['n_copies'] for g in groups)
+    assert by_copies == [4]
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.0, 0.0, 0.0], 0),   # identical to 0
+    (2, [0.9, 0.1, 0.0, 0.0], 0),   # near 0
+    (3, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal
+    (4, [0.0, -1.0, 0.0, 0.0], 1),  # opposite of 3
+]
+EMB_SCHEMA = 'vec_id long, embedding array<float>, label int'
+
+
+@pytest.fixture(scope='module')
+def emb(spark):
+    return spark.createDataFrame(EMB, EMB_SCHEMA)
+
+
+def test_embedding_duplicates(emb):
+    rows = {(r['vec_a'], r['vec_b']): r['cosine']
+            for r in dedup.embedding_duplicates(emb, threshold=0.95).collect()}
+    assert rows[(0, 1)] == 1.0
+    assert (3, 4) not in rows  # cosine -1, same label but far
+
+
+def test_cosine_topk(emb):
+    rows = similarity.cosine_topk(emb, n_queries=1, k=2).collect()
+    got = [(r['rank'], r['neighbor_id']) for r in sorted(rows, key=lambda r: r['rank'])]
+    assert got[0] == (1, 1)  # identical vector ranks first
+    assert got[1] == (2, 2)  # near vector second
+
+
+def test_lsh_buckets_group_identical_vectors(emb):
+    b = {r['vec_id']: r['bucket'] for r in similarity.lsh_buckets(emb, n_planes=6).collect()}
+    assert b[0] == b[1]
+    assert b[3] != b[4]  # opposite vectors flip every plane sign
+
+
+def test_lsh_bucket_topk_finds_identical(emb):
+    rows = similarity.lsh_bucket_topk(emb, n_queries=1, k=2, n_planes=6).collect()
+    by_rank = sorted(rows, key=lambda r: r['rank'])
+    assert by_rank[0]['neighbor_id'] == 1 and by_rank[0]['cosine'] == 1.0
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(0, 'the cat sat on the mat', 'en'), (1, 'el gato de la casa', 'es'),
+         (2, 'xylophone quartz', 'zh')],
+        'doc_id long, text string, lang string',
+    )
+    pred = {r['doc_id']: r['pred_lang'] for r in textops.language_id(df).collect()}
+    assert pred[0] == 'en'
+    assert pred[1] == 'es'
+    assert pred[2] == 'und'
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(0, 'the the the the', 'en')], 'doc_id long, text string, lang string')
+    r = textops.quality_scores(df).collect()[0]
+    assert r['n_tokens'] == 4
+    assert r['mean_token_len'] == 3.0
+    assert r['stopword_ratio'] == 1.0
+    assert r['distinct_ratio'] == 0.25
+    # 0.4*0.04 + 0.3*0.25 + 0.2*1.0 + 0.1*0.375 = 0.3285
+    assert r['score'] == 0.3285
+
+
+def test_token_counts(docs):
+    rows = {r['lang']: r for r in textops.token_counts(docs).collect()}
+    assert rows['en']['n_docs'] == 3
+    assert rows['fr']['total_tokens'] == 10
+    # subwords for doc 3: ceil(len/4) for one/two/six/ten=1, three/four/five
+    # /nine=2, seven/eight=2 → 4*1+4*2+2*2 = 16
+    assert rows['fr']['total_subwords'] == 16
+
+
+def test_document_fingerprints_order_sensitivity(spark):
+    df = spark.createDataFrame(
+        [(0, 'alpha beta gamma'), (1, 'gamma beta alpha'), (2, 'alpha beta gamma')],
+        'doc_id long, text string',
+    )
+    fps = {r['doc_id']: (r['fp_weighted'], r['fp_xor'])
+           for r in textops.document_fingerprints(df).collect()}
+    assert fps[0] == fps[2]
+    assert fps[0][0] != fps[1][0]  # weighted fingerprint is order-sensitive
+    assert fps[0][1] == fps[1][1]  # xor fold is order-insensitive
+
+
+def test_sessionize(spark):
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    rows = [
+        (1, 100, base), (2, 100, base + pd.Timedelta(minutes=10)),          # session 0
+        (3, 100, base + pd.Timedelta(minutes=50)),                          # gap 40m → session 1
+        (4, 200, base),                                                     # other user
+    ]
+    ev = spark.createDataFrame(rows, 'event_id long, user_id long, ts timestamp')
+    stats = {r['user_id']: r for r in sessions.session_stats(ev, gap_s=1800).collect()}
+    assert stats[100]['n_sessions'] == 2
+    assert stats[100]['max_session_events'] == 2
+    assert stats[200]['n_sessions'] == 1
+
+    sess = sessions.sessionize(ev, gap_s=1800).collect()
+    assert {(r['user_id'], r['session_id']): r['n_events'] for r in sess} == {
+        (100, 0): 2, (100, 1): 1, (200, 0): 1,
+    }

@@ -1,0 +1,108 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, decode quarantine,
+span-order preservation (BASELINE.json per-row invariant)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_spark.operators import multimodal as mm
+from scalpel_spark.sources.corpus import golden_site, synthetic_corpus
+
+
+@pytest.fixture(scope='module')
+def media(spark):
+    return mm.synthetic_media(spark, 30).persist()
+
+
+def test_synthetic_media_deterministic(spark, media):
+    again = mm.synthetic_media(spark, 30)
+    assert media.exceptAll(again).isEmpty() and again.exceptAll(media).isEmpty()
+    kinds = {r['kind'] for r in media.select('kind').distinct().collect()}
+    assert kinds <= {'image', 'audio', 'video'}
+    assert media.filter(F.length('payload') != 32).count() == 0
+
+
+def test_extract_features_fake_decode(media):
+    feats = mm.extract_media_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r['decode_ok']
+        assert len(r['feature']) == 8
+        assert r['n_bytes'] == 32
+        assert all(0.0 <= v < 1.0 for v in r['feature'])
+
+
+def test_extract_features_quarantines_failures(media):
+    def flaky(payload: bytes, kind: str) -> np.ndarray:
+        if kind == 'video':
+            raise ValueError('no codec')
+        return mm.fake_decode(payload, kind)
+
+    feats = mm.extract_media_features(media, decode_fn=flaky).collect()
+    bad = [r for r in feats if not r['decode_ok']]
+    assert all(r['kind'] == 'video' for r in bad)
+    assert all(r['feature'] == [] for r in bad)
+    assert len(bad) == sum(1 for r in feats if r['kind'] == 'video')
+
+
+def test_real_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm.real_decode_stub(b'\x00' * 8, 'image')
+
+
+def test_resize_plan_aspect_ratio(media):
+    plans = mm.resize_plan(media, max_side=256).collect()
+    for r in plans:
+        assert max(r['target_width'], r['target_height']) <= 256
+        if max(r['width'], r['height']) <= 256:
+            assert (r['target_width'], r['target_height']) == (r['width'], r['height'])
+        else:  # ceil keeps proportions within 1px
+            ratio = r['width'] / r['height']
+            t_ratio = r['target_width'] / r['target_height']
+            assert abs(ratio - t_ratio) / ratio < 0.15
+
+
+def test_frame_sample_plan(media):
+    plans = mm.frame_sample_plan(media, every_ms=1000)
+    joined = plans.groupBy('media_ref').agg(
+        F.count('*').alias('n'), F.max('ts_ms').alias('last_ts')
+    ).join(media.filter("kind = 'video'"), 'media_ref')
+    for r in joined.collect():
+        assert r['n'] == r['duration_ms'] // 1000 + 1
+        assert r['last_ts'] <= r['duration_ms']
+
+
+def test_join_spans_to_media_preserves_order(spark):
+    corpus = synthetic_corpus(spark, n_pages=60, n_hosts=5, seed=42)
+    docs = corpus.select('doc_id', 'spans')
+    media_refs = (
+        docs.select(F.explode(F.filter('spans', lambda s: s['kind'] == F.lit('media'))).alias('s'))
+        .select(F.col('s.media_ref').alias('media_ref'))
+        .distinct()
+    )
+    media = media_refs.withColumn('kind', F.lit('image')).withColumn(
+        'payload', F.to_binary(F.md5('media_ref'), F.lit('hex'))
+    )
+    joined = mm.join_spans_to_media(docs, media)
+    n_spans = docs.select(
+        F.explode(F.filter('spans', lambda s: s['kind'] == F.lit('media')))
+    ).count()
+    assert joined.count() == n_spans  # left join loses no spans
+    assert joined.filter(F.col('payload').isNull()).count() == 0
+    # offsets preserved verbatim: join back on (doc_id, media_ref) and compare
+    orig = docs.select(
+        'doc_id',
+        F.explode(F.filter('spans', lambda s: s['kind'] == F.lit('media'))).alias('s'),
+    ).select('doc_id', F.col('s.media_ref').alias('media_ref'), F.col('s.offset').alias('orig_offset'))
+    mismatch = joined.join(orig, ['doc_id', 'media_ref']).filter(
+        F.col('offset') != F.col('orig_offset')
+    )
+    assert mismatch.count() == 0
+
+
+def test_golden_site_has_no_media(spark):
+    docs = golden_site(spark, 'http').select('doc_id', 'spans')
+    media = mm.synthetic_media(spark, 5)
+    assert mm.join_spans_to_media(docs, media).count() == 0

@@ -1,0 +1,99 @@
+"""Structured Streaming operators: file source → availableNow trigger →
+memory sink, fully offline."""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_spark.streaming.frontier_stream import (
+    FETCH_EVENT_SCHEMA,
+    session_windows,
+    stateful_politeness,
+    windowed_host_throughput,
+)
+
+
+def _write_events(spark, tmpdir: str, rows):
+    rows = [(u, h, ts.to_pydatetime(), p) for u, h, ts, p in rows]
+    df = spark.createDataFrame(rows, FETCH_EVENT_SCHEMA)
+    df.coalesce(1).write.mode('append').parquet(tmpdir)
+
+
+def _run_stream(spark, out_df, name: str):
+    q = (
+        out_df.writeStream.format('memory')
+        .queryName(name)
+        .outputMode('append')
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f'select * from {name}')
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    rows = []
+    for i in range(12):
+        host = f'h{i % 2}.example.com'
+        rows.append((f'http://{host}/p{i}.html', host, base + pd.Timedelta(seconds=i), i))
+    # watermark flush sentinel: append-mode windowed aggs only emit once the
+    # watermark passes the window end, so a single availableNow batch needs
+    # one event far in the future to close the real windows
+    rows.append(('http://flush/p.html', 'flush', base + pd.Timedelta(hours=1), 999))
+    d = str(tmp_path / 'events')
+    _write_events(spark, d, rows)
+    return d
+
+
+def test_stateful_politeness_budget(spark, events_dir):
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(events_dir)
+    name = 'admit_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, stateful_politeness(stream, budget_per_batch=4), name)
+    rows = [r for r in out.collect() if r['host'] != 'flush']
+    assert len(rows) == 12
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r['host'], []).append(r)
+    for host, hr in per_host.items():
+        admitted = [r for r in hr if r['admitted']]
+        assert len(admitted) == 4  # budget enforced per batch
+        # admission is by priority order
+        max_admitted = max(r['priority'] for r in admitted)
+        min_rejected = min(r['priority'] for r in hr if not r['admitted'])
+        assert max_admitted < min_rejected
+        assert all(r['dispatched_total'] == 4 for r in hr)
+
+
+def test_windowed_host_throughput(spark, events_dir):
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(events_dir)
+    name = 'win_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, windowed_host_throughput(stream, '10 seconds', '1 minute'), name)
+    rows = [r for r in out.collect() if r['host'] != 'flush']
+    # 12 events over 12s, 2 hosts → windows [0,10) and [10,20) per host
+    got = {(str(r['window_start']), r['host']): r['n_fetches'] for r in rows}
+    assert sum(got.values()) == 12
+    assert len({k[0] for k in got}) == 2
+
+
+def test_session_windows(spark, tmp_path):
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    rows = [
+        ('u1', 'h0', base, 0),
+        ('u2', 'h0', base + pd.Timedelta(minutes=5), 1),
+        ('u3', 'h0', base + pd.Timedelta(hours=2), 2),  # new session after gap
+        ('flush', 'flush', base + pd.Timedelta(days=1), 3),  # watermark flush
+    ]
+    d = str(tmp_path / 'sess')
+    _write_events(spark, d, rows)
+    stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(d)
+    name = 'sess_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, session_windows(stream, gap='30 minutes', watermark='10 hours'), name)
+    rows = sorted((r for r in out.collect() if r['host'] != 'flush'),
+                  key=lambda r: r['session_start'])
+    assert [r['n_events'] for r in rows] == [2, 1]

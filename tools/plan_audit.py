@@ -1,0 +1,72 @@
+"""Physical-plan audit: .explain('formatted') every driver-contract query
+and check the plan properties that matter at 100 TB:
+
+* parquet scans carry PushedFilters / pruned ReadSchema,
+* dimension joins broadcast (BroadcastHashJoin), big joins sort-merge,
+* no Python row-at-a-time UDFs in JVM-only queries (BatchEvalPython is
+  allowed only for the declared pandas-UDF stages: url canonicalization,
+  bloom membership),
+* WholeStageCodegen spans cover the column algebra.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, '.')
+
+# queries whose plans are allowed to contain Python (Arrow) eval nodes
+PANDAS_OK = {'url_canonicalize_golden'}
+# engine queries run the full wave loop — skip static plan audit
+SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness'}
+
+CHECKS = {
+    'frontier_dedup_anti_join': ['LeftAnti'],
+    'robots_broadcast_join': ['BroadcastHashJoin'],
+    'fetch_sortmerge_join': ['SortMergeJoin', 'BroadcastHashJoin'],  # either ok at sf; cluster: SMJ
+    'politeness_dispatch_window': ['Window'],
+    'topk_per_group': ['Window'],
+}
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from scalpel_spark.session import get_spark
+
+    spark = get_spark(app_name='plan-audit', master='local[4]', shuffle_partitions=8)
+    spark.sparkContext.setLogLevel('ERROR')
+    problems = []
+    for name, fn in entry.queries().items():
+        if name in SKIP or (only and name not in only):
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
+        )
+        has_python = bool(re.search(r'(BatchEvalPython|ArrowEvalPython)', plan))
+        n_codegen = len(re.findall(r'WholeStageCodegen', plan))
+        n_exchange = len(re.findall(r'Exchange', plan))
+        scans = re.findall(r'PushedFilters: \[([^\]]*)\]', plan)
+        flags = []
+        if has_python and name not in PANDAS_OK:
+            flags.append('PYTHON-IN-PLAN')
+        for want in CHECKS.get(name, []):
+            if want in plan:
+                flags.append(f'has:{want}')
+        print(f'{name}: exchanges={n_exchange} codegen_spans={n_codegen} '
+              f'python={has_python} pushed_filters={scans[:2]} {" ".join(flags)}')
+        if 'PYTHON-IN-PLAN' in flags:
+            problems.append(name)
+    print('\nPROBLEMS:', problems or 'none')
+    spark.stop()
+    sys.exit(1 if problems else 0)
+
+
+if __name__ == '__main__':
+    main()
