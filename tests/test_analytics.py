@@ -136,9 +136,9 @@ def test_token_counts(docs):
     rows = {r['lang']: r for r in textops.token_counts(docs).collect()}
     assert rows['en']['n_docs'] == 3
     assert rows['fr']['total_tokens'] == 10
-    # subwords for doc 3: ceil(len/4) for one/two/six/ten=1, three/four/five
-    # /nine=2, seven/eight=2 → 4*1+4*2+2*2 = 16
-    assert rows['fr']['total_subwords'] == 16
+    # subwords for doc 3 = sum(ceil(len/4)): one,two,four,five,six,nine,ten=1
+    # each; three,seven,eight=2 each → 7 + 6 = 13
+    assert rows['fr']['total_subwords'] == 13
 
 
 def test_document_fingerprints_order_sensitivity(spark):
@@ -156,9 +156,10 @@ def test_document_fingerprints_order_sensitivity(spark):
 def test_sessionize(spark):
     base = pd.Timestamp('2024-01-01 00:00:00')
     rows = [
-        (1, 100, base), (2, 100, base + pd.Timedelta(minutes=10)),          # session 0
-        (3, 100, base + pd.Timedelta(minutes=50)),                          # gap 40m → session 1
-        (4, 200, base),                                                     # other user
+        (1, 100, base.to_pydatetime()),
+        (2, 100, (base + pd.Timedelta(minutes=10)).to_pydatetime()),  # session 0
+        (3, 100, (base + pd.Timedelta(minutes=50)).to_pydatetime()),  # gap 40m → session 1
+        (4, 200, base.to_pydatetime()),                               # other user
     ]
     ev = spark.createDataFrame(rows, 'event_id long, user_id long, ts timestamp')
     stats = {r['user_id']: r for r in sessions.session_stats(ev, gap_s=1800).collect()}

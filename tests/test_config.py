@@ -40,7 +40,7 @@ def test_load_from_yaml(tmp_path):
 
 def test_load_from_toml(tmp_path):
     p = tmp_path / 'c.toml'
-    p.write_text('[scalpel]\nmin_request_delay = 1\nfetch_timeout = 9.5\n')
+    p.write_text('[scalpel]\nmin_request_delay = 1\nmax_request_delay = 2\nfetch_timeout = 9.5\n')
     cfg = load_from_toml(str(p))
     assert cfg.min_request_delay == 1
     assert cfg.fetch_timeout == 9.5
