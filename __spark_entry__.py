@@ -605,22 +605,22 @@ SELECT * FROM (VALUES
 
 
 def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthetic 300-page crawl with robots + politeness budget + hot-host
+    """Synthetic 200-page crawl with robots + politeness budget + hot-host
     salting; deterministic per-wave dispatch statistics. Iterative wave
     loop — not SQL-expressible, driver records the rows-only check."""
     from scalpel_spark.config import CrawlConfig
     from scalpel_spark.plans.engine import CrawlEngine
     from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
 
-    corpus = synthetic_corpus(spark, n_pages=300, n_hosts=12, seed=42, hot_hosts=2)
+    corpus = synthetic_corpus(spark, n_pages=200, n_hosts=12, seed=42, hot_hosts=2)
     robots = synthetic_robots(spark, n_hosts=12)
     engine = CrawlEngine(
         spark, corpus, robots=robots,
         config=CrawlConfig(
             follow_robots_txt=True,
-            max_dispatch_per_host_per_wave=8,
+            max_dispatch_per_host_per_wave=10,
             hot_host_threshold=16,
-            max_waves=6,
+            max_waves=4,
         ),
     )
     seeds = [f'http://h{h}.example.com/p{h}.html' for h in range(12)]

@@ -101,17 +101,15 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     cannot collide meaningfully)."""
     sh = _shingled(docs, n).filter(F.size('shingle_set') > 0)
     ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
-    hashes = ex.select(
+    # all k hash families as k columns of the SAME exploded rows → one
+    # groupBy with k MIN aggregates (map-side partial), instead of a k-way
+    # explode that multiplies the shuffle k times
+    hashed = ex.select(
         'doc_id',
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias('i'),
-        F.col('s'),
-    ).select('doc_id', 'i', hash60(F.concat_ws(':', F.col('i'), F.col('s'))).alias('h'))
-    per_hash = hashes.groupBy('doc_id', 'i').agg(F.min('h').alias('mh'))
-    return (
-        per_hash.groupBy('doc_id')
-        .agg(F.array_sort(F.collect_list(F.struct('i', 'mh'))).alias('pairs'))
-        .select('doc_id', F.transform('pairs', lambda p: p['mh']).alias('sig'))
+        *[hash60(F.concat_ws(':', F.lit(i), F.col('s'))).alias(f'h{i}') for i in range(k)],
     )
+    agg = hashed.groupBy('doc_id').agg(*[F.min(f'h{i}').alias(f'm{i}') for i in range(k)])
+    return agg.select('doc_id', F.array(*[F.col(f'm{i}') for i in range(k)]).alias('sig'))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
