@@ -280,6 +280,32 @@ FROM orders GROUP BY 1
 """
 
 
+def q_skew_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.2 hot-key salting: two-phase salted aggregation must equal the
+    direct GROUP BY (the oracle computes it unsalted) — the semantic
+    guarantee behind the engine's hot-host salting. Phase 1 pre-aggregates
+    per (key, salt) so no single reducer sees a whole hot key; phase 2
+    merges the partials."""
+    li = _t(spark, sf_dir, 'lineitem')
+    dec = lambda c: F.col(c).cast('decimal(18,4)')  # noqa: E731
+    salted = li.withColumn('salt', F.pmod(F.xxhash64('l_orderkey'), F.lit(8)))
+    partial = salted.groupBy('l_suppkey', 'salt').agg(
+        F.sum(dec('l_quantity')).alias('pq'),
+        F.count('*').alias('pc'),
+    )
+    return partial.groupBy('l_suppkey').agg(
+        F.sum('pq').cast('double').alias('total_qty'),
+        F.sum('pc').alias('n_items'),
+    )
+
+
+ORACLE_SALTED = """
+SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. URL algebra golden (P3/P4 — reference core/response.py:103-116)
 # ---------------------------------------------------------------------------
@@ -654,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_statistics_agg': q_crawl_statistics_agg,
         'topk_per_group': q_topk_per_group,
         'host_extraction': q_host_extraction,
+        'skew_salted_aggregation': q_skew_salted_aggregation,
         'url_canonicalize_golden': q_url_canonicalize_golden,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
@@ -684,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_statistics_agg': ORACLE_STATS,
         'topk_per_group': ORACLE_TOPK,
         'host_extraction': ORACLE_HOST,
+        'skew_salted_aggregation': ORACLE_SALTED,
         'url_canonicalize_golden': ORACLE_URL,
         'dedup_exact': ORACLE_DEDUP_EXACT,
         'dedup_ngram_jaccard': ORACLE_JACCARD,
