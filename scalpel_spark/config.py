@@ -35,6 +35,10 @@ class CrawlConfig:
     max_waves: int = 1000
     checkpoint_dir: Optional[str] = None  # SnapshotStore root; None → temp dir
     item_processors: tuple = ()  # Callable[[DataFrame], DataFrame] transforms, applied in order
+    # fetch-stage decorators (core/config.py:248-250): each receives the
+    # fetch function (DataFrame -> DataFrame) and returns a wrapped one;
+    # applied in order, so the LAST registered runs outermost
+    response_middlewares: tuple = ()
     seed: int = 42
 
     def __post_init__(self):

@@ -179,6 +179,9 @@ class CrawlEngine:
     # -- public API ---------------------------------------------------------
 
     def run(self, seeds: Sequence[str]) -> CrawlResult:
+        """Small driver-side seed list (the reference API shape,
+        ``Spider.urls``). For frontier-scale seed sets use
+        :meth:`run_frontier`."""
         started = time.time()
         for url in seeds:
             err = urlkit.validate_url(url)
@@ -197,6 +200,43 @@ class CrawlEngine:
             'priority',
         )
         return self._loop(frontier, wave=0, next_priority=len(seeds), started=started)
+
+    def run_frontier(self, seeds_df: DataFrame, on_invalid: str = 'error') -> CrawlResult:
+        """Distributed seed ingestion for 10^10-URL frontiers: ``seeds_df``
+        is ``(url STRING, priority LONG)`` (priority = seed order; any
+        dense or sparse total order works). Validation runs in the
+        vectorized ``validate_url_udf`` on executors — the driver never
+        materializes the seed set.
+
+        ``on_invalid``: ``'error'`` fail-fast with the reference's message
+        (first invalid row by priority — matching ``core/spider.py:15-53``
+        semantics without collecting the full set); ``'skip'`` quarantine
+        invalid rows (the only sane policy when seeds arrive from a
+        previous crawl's outlinks at scale).
+        """
+        from scalpel_spark.functions.urls import validate_url_udf
+
+        if on_invalid not in ('error', 'skip'):
+            raise ValueError(f'unknown on_invalid: {on_invalid}')
+        started = time.time()
+        checked = seeds_df.select('url', 'priority', validate_url_udf(F.col('url')).alias('_err'))
+        if on_invalid == 'error':
+            bad = checked.filter(F.col('_err').isNotNull()).orderBy('priority').limit(1).collect()
+            if bad:
+                raise ValueError(bad[0]['_err'])
+            valid = checked.drop('_err')
+        else:
+            valid = checked.filter(F.col('_err').isNull()).drop('_err')
+        frontier = valid.select(
+            'url',
+            url_hash_col(F.col('url')).alias('url_hash'),
+            host_col(F.col('url')).alias('host'),
+            scheme_col(F.col('url')).alias('scheme'),
+            F.lit(0).alias('wave'),
+            F.col('priority').cast('long').alias('priority'),
+        )
+        max_p = frontier.agg(F.max('priority')).collect()[0][0]
+        return self._loop(frontier, wave=0, next_priority=(max_p or 0) + 1, started=started)
 
     def resume(self) -> CrawlResult:
         """Deterministic resume from the latest committed snapshot (T4)."""
@@ -312,14 +352,23 @@ class CrawlEngine:
             )
             allowed = allowed.filter(F.col('_slot') < budget).drop('_slot')
 
-        # 5. fetch = join corpus (S2/J3); status routing (F4)
-        corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms')
-        fetched = allowed.join(corpus, allowed['url'] == corpus['doc_id'], 'left')
-        found = F.col('doc_id').isNotNull()
-        ok = F.when(F.col('scheme') == 'file', found & F.coalesce(F.col('readable'), F.lit(False))).otherwise(
-            found & (F.col('http_status') < 400)
-        )
-        fetched = fetched.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
+        # 5. fetch = join corpus (S2/J3); status routing (F4). Response
+        # middlewares wrap the fetch *stage* exactly like the reference's
+        # decorator composition around the fetch callable
+        # (any_io/static_spider.py:62-68): last registered runs outermost.
+        def base_fetch(allowed_df: DataFrame) -> DataFrame:
+            corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms')
+            out = allowed_df.join(corpus, allowed_df['url'] == corpus['doc_id'], 'left')
+            found = F.col('doc_id').isNotNull()
+            ok = F.when(
+                F.col('scheme') == 'file', found & F.coalesce(F.col('readable'), F.lit(False))
+            ).otherwise(found & (F.col('http_status') < 400))
+            return out.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
+
+        fetch_fn = base_fetch
+        for middleware in cfg.response_middlewares:
+            fetch_fn = middleware(fetch_fn)
+        fetched = fetch_fn(allowed)
 
         seen_delta = fetched.select('url', 'url_hash', 'status', 'wave', 'priority')
         if excluded is not None:
