@@ -252,23 +252,30 @@ class CrawlEngine:
 
     def _loop(self, frontier: DataFrame, wave: int, next_priority: int, started: float) -> CrawlResult:
         cfg = self.config
+        # counted ONCE per run (covers resume); thereafter maintained as a
+        # running upper bound (+= newly scheduled per wave) — re-counting
+        # the union of all seen deltas every wave would be O(waves^2) scan
+        # work at scale, and the count only drives bloom sizing
+        seen_count = self._state('seen_delta', SEEN_SCHEMA).count()
         while wave < cfg.max_waves:
             frontier = frontier.persist()
             n_frontier = frontier.count()
             if n_frontier == 0:
                 frontier.unpersist()
                 break
-            frontier, next_priority = self._run_wave(frontier, wave, next_priority, n_frontier)
+            frontier, next_priority, seen_count = self._run_wave(
+                frontier, wave, next_priority, n_frontier, seen_count
+            )
             wave += 1
         return CrawlResult(self.spark, self.store, total_time=time.time() - started)
 
-    def _run_wave(self, frontier: DataFrame, wave: int, next_priority: int, n_frontier: int):
+    def _run_wave(self, frontier: DataFrame, wave: int, next_priority: int, n_frontier: int,
+                  seen_count: int):
         cfg = self.config
         metrics_rows: list[tuple] = []
         t_wave = time.time()
 
         seen_state = self._state('seen_delta', SEEN_SCHEMA)
-        seen_count = seen_state.count()
 
         # 1. within-wave dedup: first enqueue wins (min priority) — FIFO parity
         cand = frontier.groupBy('url').agg(
@@ -288,7 +295,7 @@ class CrawlEngine:
             frontier.unpersist()
             new.unpersist()
             self._commit_wave({'frontier': self._empty(FRONTIER_SCHEMA)}, wave, next_priority, metrics_rows)
-            return self._empty(FRONTIER_SCHEMA), next_priority
+            return self._empty(FRONTIER_SCHEMA), next_priority, seen_count
 
         # per-partition lineage for the scheduled set
         for r in new.groupBy(F.spark_partition_id().alias('pid')).count().collect():
@@ -429,7 +436,7 @@ class CrawlEngine:
         self.spark.catalog.clearCache()
 
         committed_frontier = self.spark.read.parquet(snap['tables']['frontier'])
-        return committed_frontier, next_priority
+        return committed_frontier, next_priority, seen_count + n_new
 
     def _commit_wave(self, tables: dict, wave: int, next_priority: int, metrics_rows: list) -> dict:
         tables = dict(tables)
