@@ -87,3 +87,16 @@ def test_response_middleware_composition(spark):
     assert stats.request_counter == 2  # page3 never parsed
     # composition order: outer wraps middle wraps inner → outer called first
     assert calls[:2] == ['outer', 'inner']
+
+
+def test_crawl_is_deterministic_across_runs(spark):
+    """Two independent runs with the same seed list, corpus, and politeness
+    budget produce the identical dispatch sequence — the determinism the
+    north rule requires of the (wave, priority) order."""
+    corpus = synthetic_corpus(spark, n_pages=80, n_hosts=5, seed=42, hot_hosts=1)
+    seeds = sorted(r['doc_id'] for r in corpus.limit(3).collect())
+    cfg = CrawlConfig(max_dispatch_per_host_per_wave=6, hot_host_threshold=8)
+    a = CrawlEngine(spark, corpus, config=cfg).run(seeds)
+    b = CrawlEngine(spark, corpus, config=cfg).run(seeds)
+    assert a.fetch_sequence() == b.fetch_sequence()
+    assert a.dispatch_rows() == b.dispatch_rows()
