@@ -306,6 +306,44 @@ FROM lineitem GROUP BY l_suppkey
 """
 
 
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + date predicates + top-10 by revenue —
+    the filter-pushdown / join-order / top-k composite."""
+    cust = _t(spark, sf_dir, 'customer').filter(F.col('c_mktsegment') == 'BUILDING')
+    orders = _t(spark, sf_dir, 'orders').filter(F.col('o_orderdate') < F.lit('1995-03-15'))
+    li = _t(spark, sf_dir, 'lineitem').filter(F.col('l_shipdate') > F.lit('1995-03-15'))
+    dec = lambda c: F.col(c).cast('decimal(18,4)')  # noqa: E731
+    joined = (
+        cust.join(orders, cust['c_custkey'] == orders['o_custkey'])
+        .join(li, orders['o_orderkey'] == li['l_orderkey'])
+        .groupBy('l_orderkey', 'o_orderdate')
+        .agg(F.sum(dec('l_extendedprice') * (F.lit(1).cast('decimal(18,4)') - dec('l_discount')))
+             .cast('double').alias('revenue'))
+    )
+    w = Window.orderBy(F.col('revenue').desc(), F.col('l_orderkey'))
+    return (
+        joined.withColumn('rnk', F.row_number().over(w))
+        .filter(F.col('rnk') <= 10)
+        .select('l_orderkey', F.date_format('o_orderdate', 'yyyy-MM-dd').alias('o_orderdate'),
+                'revenue', F.col('rnk').cast('long').alias('rnk'))
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, revenue, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT l_orderkey, o_orderdate, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk
+  FROM (
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate))
+WHERE rnk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # 2. URL algebra golden (P3/P4 — reference core/response.py:103-116)
 # ---------------------------------------------------------------------------
@@ -681,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'topk_per_group': q_topk_per_group,
         'host_extraction': q_host_extraction,
         'skew_salted_aggregation': q_skew_salted_aggregation,
+        'tpch_shipping_priority': q_tpch_shipping_priority,
         'url_canonicalize_golden': q_url_canonicalize_golden,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
@@ -712,6 +751,7 @@ def oracle_sql() -> dict[str, str]:
         'topk_per_group': ORACLE_TOPK,
         'host_extraction': ORACLE_HOST,
         'skew_salted_aggregation': ORACLE_SALTED,
+        'tpch_shipping_priority': ORACLE_TPCH_Q3,
         'url_canonicalize_golden': ORACLE_URL,
         'dedup_exact': ORACLE_DEDUP_EXACT,
         'dedup_ngram_jaccard': ORACLE_JACCARD,
