@@ -1,0 +1,98 @@
+"""spark-submit entry point for the crawl engine (north-rule deployment
+shape: ``spark-submit --py-files scalpel_spark.zip tools/submit_crawl.py``).
+
+Runs a deterministic synthetic crawl and prints one JSON line with crawl
+statistics and throughput. Package the library first::
+
+    python tools/package.py          # writes dist/scalpel_spark.zip
+    spark-submit --master local[8] --py-files dist/scalpel_spark.zip \
+        tools/submit_crawl.py --n-pages 20000 --n-hosts 200 --budget 2000
+
+On a real cluster the same command line targets YARN/K8s masters; the
+engine itself has no local-mode assumptions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n-pages', type=int, default=50_000)
+    ap.add_argument('--seeds-per-host', type=int, default=10)
+    ap.add_argument('--links-per-page', type=int, default=8)
+    ap.add_argument('--n-hosts', type=int, default=200)
+    ap.add_argument('--hot-hosts', type=int, default=4)
+    ap.add_argument('--budget', type=int, default=2_000)
+    ap.add_argument('--max-waves', type=int, default=5)
+    ap.add_argument('--seed', type=int, default=42)
+    ap.add_argument('--checkpoint-dir', default=None)
+    args = ap.parse_args()
+
+    # spark-submit provides the session; build via getOrCreate so the
+    # submitted conf (master, executors) wins over library defaults
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel('WARN')
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(
+        spark, n_pages=args.n_pages, n_hosts=args.n_hosts,
+        seed=args.seed, hot_hosts=args.hot_hosts,
+        links_per_page=args.links_per_page,
+    )
+    robots = synthetic_robots(spark, n_hosts=args.n_hosts)
+    cfg = CrawlConfig(
+        follow_robots_txt=True,
+        max_dispatch_per_host_per_wave=args.budget,
+        hot_host_threshold=max(args.budget // 2, 16),
+        max_waves=args.max_waves,
+    )
+    store = SnapshotStore(args.checkpoint_dir or tempfile.mkdtemp(prefix='crawl-submit-'))
+    # seeds must exist in the synthetic web; one per host so politeness and
+    # robots branches all engage (some hosts deny — that is the point)
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy('host').orderBy('doc_id')
+    seeds = [
+        r['doc_id'] for r in corpus
+        .withColumn('host', F.lower(F.parse_url('doc_id', F.lit('HOST'))))
+        .withColumn('rn', F.row_number().over(w))
+        .filter(F.col('rn') <= args.seeds_per_host)
+        .orderBy('host', 'doc_id').collect()
+    ]
+
+    t0 = time.time()
+    result = CrawlEngine(spark, corpus, robots, cfg, store).run(seeds)
+    wall = time.time() - t0
+    stats = result.statistics()
+    n_seen = result.seen.count()
+    print(json.dumps({
+        'n_pages': args.n_pages,
+        'n_hosts': args.n_hosts,
+        'waves': int(result.metrics.agg({'wave': 'max'}).collect()[0][0]) + 1,
+        'reachable': len(stats.reachable_urls),
+        'unreachable': len(stats.unreachable_urls),
+        'robots_excluded': len(stats.robots_excluded_urls),
+        'seen_total': n_seen,
+        'avg_fetch_ms': round(stats.average_fetch_time, 3),
+        'wall_sec': round(wall, 2),
+        'urls_per_sec': round(n_seen / wall, 1),
+        'checkpoint_dir': store.root,
+    }))
+    spark.stop()
+
+
+if __name__ == '__main__':
+    main()
