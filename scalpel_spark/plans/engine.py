@@ -363,8 +363,15 @@ class CrawlEngine:
         # middlewares wrap the fetch *stage* exactly like the reference's
         # decorator composition around the fetch callable
         # (any_io/static_spider.py:62-68): last registered runs outermost.
+        # S5 selenium parity: a 'render' column ('static'|'dom') on the
+        # corpus flows through fetch into the emitted docs — the rendering
+        # mode changes nothing about frontier/dedup/robots semantics
+        # (any_io/selenium_spider.py subclasses share the whole loop)
+        render_cols = ['render'] if 'render' in self.corpus.columns else []
+
         def base_fetch(allowed_df: DataFrame) -> DataFrame:
-            corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms')
+            corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms',
+                                        *render_cols)
             out = allowed_df.join(corpus, allowed_df['url'] == corpus['doc_id'], 'left')
             found = F.col('doc_id').isNotNull()
             ok = F.when(
@@ -381,7 +388,8 @@ class CrawlEngine:
         if excluded is not None:
             seen_delta = seen_delta.unionByName(excluded)
 
-        docs = fetched.filter(F.col('status') == 'reachable').select('url', 'priority', 'spans', 'fetch_ms')
+        docs = fetched.filter(F.col('status') == 'reachable').select(
+            'url', 'priority', 'spans', 'fetch_ms', *render_cols)
 
         # 6. items (F5/S6): span pairs + processor chain
         items = extract_items(docs).withColumn('wave', F.lit(wave))
@@ -389,7 +397,8 @@ class CrawlEngine:
             items = processor(items)
 
         docs_delta = docs.select(
-            F.col('url').alias('doc_id'), 'spans', F.lit(wave).alias('wave'), 'priority', 'fetch_ms'
+            F.col('url').alias('doc_id'), 'spans', F.lit(wave).alias('wave'), 'priority', 'fetch_ms',
+            *render_cols,
         )
 
         # 7. follow (F2/J4/P3/W2): raw-link anti-join → absolutize → priorities

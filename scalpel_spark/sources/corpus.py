@@ -338,3 +338,13 @@ def synthetic_robots_rows(n_hosts: int, seed: int = 42) -> list[dict]:
 
 def synthetic_robots(spark: SparkSession, n_hosts: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(synthetic_robots_rows(n_hosts, seed), ROBOTS_SCHEMA)
+
+
+def with_render_modes(corpus_df: DataFrame, dom_mod: int = 3, seed: int = 42) -> DataFrame:
+    """S5 selenium parity: tag every ``dom_mod``-th page (hash-selected,
+    deterministic) as browser-rendered (``render='dom'``), the rest as
+    ``'static'``. The span contract is identical for both modes — the
+    selenium spider differs only in *how* the DOM was produced
+    (``any_io/selenium_spider.py:17-18`` subclasses the static loop)."""
+    is_dom = F.pmod(F.xxhash64('doc_id', F.lit(seed)), F.lit(dom_mod)) == 0
+    return corpus_df.withColumn('render', F.when(is_dom, 'dom').otherwise('static'))

@@ -100,3 +100,20 @@ def test_crawl_is_deterministic_across_runs(spark):
     b = CrawlEngine(spark, corpus, config=cfg).run(seeds)
     assert a.fetch_sequence() == b.fetch_sequence()
     assert a.dispatch_rows() == b.dispatch_rows()
+
+
+def test_render_mode_passthrough(spark):
+    """S5: a render-mode column on the corpus leaves crawl semantics
+    untouched and is preserved on emitted documents."""
+    from scalpel_spark.sources.corpus import with_render_modes
+
+    plain = synthetic_corpus(spark, n_pages=60, n_hosts=4, seed=42)
+    rendered = with_render_modes(plain)
+    seeds = sorted(r['doc_id'] for r in plain.limit(3).collect())
+    a = CrawlEngine(spark, plain, config=CrawlConfig()).run(seeds)
+    b = CrawlEngine(spark, rendered, config=CrawlConfig()).run(seeds)
+    assert a.fetch_sequence() == b.fetch_sequence()
+    docs = b.docs
+    assert 'render' in docs.columns
+    modes = {r['render'] for r in docs.select('render').distinct().collect()}
+    assert modes <= {'static', 'dom'} and 'static' in modes
