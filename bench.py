@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     'similarity_topk_bruteforce',
     'text_fingerprints',
     'events_sessionize',
+    'tpch_shipping_priority',
+    'skew_salted_aggregation',
+    'similarity_lsh_ann',
 ]
 
 
