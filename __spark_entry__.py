@@ -517,6 +517,56 @@ WHERE rank <= 3
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(_docs_plus(spark, sf_dir), n=4, threshold=0.9)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
+ex AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
+cand AS (SELECT DISTINCT a.doc_id AS doc_contained, b.doc_id AS doc_container
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id)
+SELECT doc_contained, doc_container, containment FROM (
+  SELECT doc_contained, doc_container,
+         floor((CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(sa.sset)) * 10000 + 0.5) / 10000 AS containment
+  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_contained
+            JOIN sh sb ON sb.doc_id = cand.doc_container)
+WHERE containment >= 0.9
+"""
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_t(spark, sf_dir, 'embeddings'), n_queries=10, k=3)
+
+
+ORACLE_SIM_IVF = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+dims AS (SELECT vec_id, label, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q),
+cent AS (SELECT label, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c FROM dims GROUP BY 1, 2),
+cv AS (SELECT label AS cell, list(c ORDER BY d) AS cvec FROM cent GROUP BY label),
+scored AS (SELECT q.vec_id, cv.cell,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                                          i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS d2
+           FROM q CROSS JOIN cv),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+             FROM scored) WHERE rn = 1),
+v AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
+pairs AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 floor(list_cosine_similarity(a.e, c.e) * 1000000 + 0.5) / 1000000 AS cosine
+          FROM v a JOIN v c ON a.cell = c.cell AND a.vec_id != c.vec_id
+          WHERE a.vec_id < 10)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. text analysis
 # ---------------------------------------------------------------------------
@@ -728,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_embedding_cosine': q_dedup_embedding_cosine,
         'similarity_topk_bruteforce': q_similarity_topk_bruteforce,
         'similarity_lsh_ann': q_similarity_lsh_ann,
+        'similarity_ivf': q_similarity_ivf,
+        'dedup_containment': q_dedup_containment,
         'text_langid': q_text_langid,
         'text_quality_scores': q_text_quality_scores,
         'text_token_counts': q_text_token_counts,
@@ -760,6 +812,8 @@ def oracle_sql() -> dict[str, str]:
         'dedup_embedding_cosine': ORACLE_EMB_DUP,
         'similarity_topk_bruteforce': ORACLE_SIM_TOPK,
         'similarity_lsh_ann': ORACLE_SIM_LSH,
+        'similarity_ivf': ORACLE_SIM_IVF,
+        'dedup_containment': ORACLE_CONTAINMENT,
         'text_langid': _langid_oracle(),
         'text_quality_scores': _quality_oracle(),
         'text_token_counts': ORACLE_TOKEN_COUNTS,

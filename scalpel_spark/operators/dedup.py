@@ -216,3 +216,31 @@ def embedding_duplicates(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
         .select('vec_a', 'vec_b', pround(dot / (na * nb), 6).alias('cosine'))
         .filter(F.col('cosine') >= threshold)
     )
+
+
+def containment_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.9) -> DataFrame:
+    """Asymmetric near-dup detection: containment(a ⊂ b) = |A∩B| / |A|
+    over n-gram shingle sets — catches a short document wholly embedded in
+    a longer one, where symmetric Jaccard stays low. Same shared-shingle
+    blocking as :func:`ngram_jaccard_pairs`; emits ordered (contained,
+    container) pairs. Returns (doc_contained, doc_container, containment).
+    """
+    sh = _shingled(docs, n).filter(F.size('shingle_set') > 0)
+    ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
+    a, b = ex.alias('a'), ex.alias('b')
+    cand = (
+        a.join(b, (F.col('a.s') == F.col('b.s')) & (F.col('a.doc_id') != F.col('b.doc_id')))
+        .select(F.col('a.doc_id').alias('doc_contained'), F.col('b.doc_id').alias('doc_container'))
+        .distinct()
+    )
+    sa = sh.select(F.col('doc_id').alias('doc_contained'), F.col('shingle_set').alias('set_a'))
+    sb = sh.select(F.col('doc_id').alias('doc_container'), F.col('shingle_set').alias('set_b'))
+    inter = F.size(F.array_intersect('set_a', 'set_b'))
+    return (
+        cand.join(sa, 'doc_contained').join(sb, 'doc_container')
+        .select(
+            'doc_contained', 'doc_container',
+            pround(inter.cast('double') / F.size('set_a'), 4).alias('containment'),
+        )
+        .filter(F.col('containment') >= threshold)
+    )

@@ -109,3 +109,70 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
         .filter(F.col('rank') <= k)
         .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'cosine')
     )
+
+
+def ivf_assignments(emb: DataFrame, quant: int = 1000) -> DataFrame:
+    """IVF coarse quantizer: centroids = per-label mean vectors, every
+    vector assigned to its nearest centroid by squared L2 — the cell it
+    would be searched in. All arithmetic on floor(x*quant+0.5) integers so
+    assignment is bit-exact across engines (ties break on smaller label).
+
+    Returns (vec_id, label, cell). Training-free here because the corpus
+    carries labels; on unlabeled data the same code runs on k-means
+    centroids computed elsewhere.
+    """
+    v = emb.select(
+        'vec_id', 'label',
+        F.transform(F.col('embedding').cast('array<double>'),
+                    lambda x: F.floor(x * quant + 0.5).cast('long')).alias('q'),
+    )
+    dims = v.select('vec_id', 'label', F.posexplode('q').alias('d', 'x'))
+    cent = dims.groupBy('label', 'd').agg(
+        F.floor(F.avg('x') + 0.5).cast('long').alias('c')
+    )
+    cent_vec = (
+        cent.groupBy('label')
+        .agg(F.array_sort(F.collect_list(F.struct('d', 'c'))).alias('pairs'))
+        .select(F.col('label').alias('cell'), F.transform('pairs', lambda p: p['c']).alias('cv'))
+    )
+    dist = F.aggregate(
+        F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast('long'), lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(cent_vec)).select('vec_id', 'label', 'cell', dist.alias('d2'))
+    w = Window.partitionBy('vec_id').orderBy('d2', 'cell')
+    return (
+        scored.withColumn('rn', F.row_number().over(w))
+        .filter(F.col('rn') == 1)
+        .select('vec_id', 'label', F.col('cell').cast('long').alias('cell'))
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000) -> DataFrame:
+    """IVF search: exact cosine top-k restricted to the query's assigned
+    cell (coarse quantizer from :func:`ivf_assignments`). Returns
+    (query_id, neighbor_id, rank, cosine). The scale path: the cell join
+    replaces the full cross product, like :func:`lsh_bucket_topk` but with
+    learned (centroid) cells instead of random hyperplanes."""
+    assign = ivf_assignments(emb, quant)
+    v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(
+        assign.select('vec_id', 'cell'), 'vec_id'
+    )
+    q = v.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('query_id'), F.col('e').alias('eq'), 'cell'
+    )
+    c = v.select(F.col('vec_id').alias('neighbor_id'), F.col('e').alias('en'), 'cell')
+    scored = (
+        q.join(c, 'cell')
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+        .select(
+            'query_id', 'neighbor_id',
+            pround(_dot('eq', 'en') / (_norm('eq') * _norm('en')), 6).alias('cosine'),
+        )
+    )
+    w = Window.partitionBy('query_id').orderBy(F.col('cosine').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'cosine')
+    )

@@ -171,3 +171,29 @@ def test_sessionize(spark):
     assert {(r['user_id'], r['session_id']): r['n_events'] for r in sess} == {
         (100, 0): 2, (100, 1): 1, (200, 0): 1,
     }
+
+
+def test_containment_pairs(spark):
+    df = spark.createDataFrame(
+        [(0, 'a b c d e', 'en', 's', 9),                      # short doc
+         (1, 'a b c d e f g h i j k l', 'en', 's', 23),       # contains doc 0
+         (2, 'z y x w v u t s r q', 'en', 's', 19)],          # unrelated
+        DOC_SCHEMA,
+    )
+    rows = {(r['doc_contained'], r['doc_container']): r['containment']
+            for r in dedup.containment_pairs(df, n=3, threshold=0.9).collect()}
+    assert rows[(0, 1)] == 1.0      # all of doc 0's shingles appear in doc 1
+    assert (1, 0) not in rows       # asymmetric: doc 1 is not contained in doc 0
+    assert all(2 not in p for p in rows)
+
+
+def test_ivf_assignments_and_topk(emb):
+    assign = {r['vec_id']: r['cell'] for r in similarity.ivf_assignments(emb).collect()}
+    # label-0 vectors cluster near (1,0,0,0); 3 and 4 are opposite so the
+    # label-1 centroid is ~origin — all that matters is determinism + a
+    # valid cell per vector
+    assert set(assign) == {0, 1, 2, 3, 4}
+    assert assign[0] == assign[1]  # identical vectors share a cell
+    rows = similarity.ivf_topk(emb, n_queries=1, k=2).collect()
+    by_rank = sorted(rows, key=lambda r: r['rank'])
+    assert by_rank[0]['neighbor_id'] == 1 and by_rank[0]['cosine'] == 1.0
