@@ -399,7 +399,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JACCARD = f"""
 WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
-ex AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+ex0 AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+ex AS (SELECT * FROM ex0
+       WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100)),
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
@@ -500,7 +502,8 @@ WITH q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
            FROM embeddings),
 planes AS (SELECT p, d,
                   CAST(({H60.format(x="CAST(p AS VARCHAR) || '-' || CAST(d AS VARCHAR)")}) & 1 AS BIGINT) * 2 - 1 AS sgn
-           FROM range(8) t(p) CROSS JOIN range(64) t2(d)),
+           FROM (SELECT p, unnest(range((SELECT MAX(len(qv)) FROM q))) AS d
+                 FROM range(8) t(p))),
 dots AS (SELECT vec_id, p, SUM(qv[CAST(d AS INTEGER) + 1] * sgn) AS dot
          FROM q CROSS JOIN planes GROUP BY vec_id, p),
 buckets AS (SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
@@ -523,7 +526,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CONTAINMENT = f"""
 WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
-ex AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
+ex0 AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
+ex AS (SELECT * FROM ex0
+       WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_contained, b.doc_id AS doc_container
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id)
 SELECT doc_contained, doc_container, containment FROM (
@@ -718,6 +723,87 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_golden_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production statistics path (`CrawlResult.statistics_agg`): pure
+    aggregates, no driver-side URL sets — the scale-safe twin of the
+    reference's `SpiderStatistics` (core/spider.py:63-86). Deterministic
+    golden crawl → VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    engine = CrawlEngine(
+        spark, golden_site(spark, 'http'),
+        config=CrawlConfig(link_rule='second_contains_page'),
+    )
+    return engine.run(['http://quotes.com']).statistics_agg()
+
+
+ORACLE_CRAWL_STATS = """
+SELECT * FROM (VALUES
+  ('reachable', CAST(3 AS BIGINT), CAST(6.0 AS DOUBLE), CAST(2.0 AS DOUBLE))
+) AS t(status, n_urls, total_fetch_ms, avg_fetch_ms)
+"""
+
+
+def q_crawl_manyhosts_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale proof for the distributed host_state path (round-1 verdict #1):
+    a 2-wave crawl over 10^4 distinct hosts with robots enforcement. The
+    per-host robots decisions stay a distributed DataFrame end-to-end (no
+    driver collect in plans/engine.py); seeds arrive via the distributed
+    `run_frontier` ingestion. Deterministic → per-(wave,status) aggregate
+    pinned as a VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    n_hosts = 12_000
+    corpus = synthetic_corpus(spark, n_pages=12_000, n_hosts=n_hosts, seed=7,
+                              links_per_page=2).persist()
+    robots = synthetic_robots(spark, n_hosts=n_hosts)
+    engine = CrawlEngine(
+        spark, corpus, robots=robots,
+        config=CrawlConfig(
+            follow_robots_txt=True,
+            max_dispatch_per_host_per_wave=4,
+            max_waves=2,
+        ),
+    )
+    # one seed per host (guarantees 12k distinct hosts in host_state in
+    # wave 0 — many resolve to unreachable, which is the point: robots is
+    # evaluated per HOST, fetch success is irrelevant) plus a corpus
+    # sample so waves 1+ have real follows
+    per_host = spark.range(0, n_hosts).select(
+        F.concat(F.lit('http://h'), F.col('id').cast('string'),
+                 F.lit('.example.com/p'), F.col('id').cast('string'),
+                 F.lit('.html')).alias('url'),
+        F.col('id').alias('priority'),
+    )
+    sample = corpus.filter(F.pmod(F.xxhash64('doc_id', F.lit(99)), F.lit(4)) == 0).select(
+        F.col('doc_id').alias('url'),
+        (F.lit(100_000) + F.pmod(F.xxhash64('doc_id'), F.lit(1_000_000))).alias('priority'),
+    )
+    result = engine.run_frontier(per_host.unionByName(sample))
+    return (
+        result.seen.groupBy('wave', 'status')
+        .agg(F.count('*').alias('n_urls'), F.min('priority').alias('min_priority'))
+        .select(F.col('wave').cast('long').alias('wave'), 'status', 'n_urls', 'min_priority')
+    )
+
+
+# pinned from the deterministic run (seed=7 corpus, seed=42 robots policy table)
+ORACLE_CRAWL_MANYHOSTS = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'reachable', CAST(2179 AS BIGINT), CAST(100541 AS BIGINT)),
+  (CAST(0 AS BIGINT), 'robots_excluded', CAST(3726 AS BIGINT), CAST(0 AS BIGINT)),
+  (CAST(0 AS BIGINT), 'unreachable', CAST(9094 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'reachable', CAST(1477 AS BIGINT), CAST(1037573 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'robots_excluded', CAST(524 AS BIGINT), CAST(1099997 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'unreachable', CAST(68 AS BIGINT), CAST(1100004 AS BIGINT))
+) AS t(wave, status, n_urls, min_priority)
+"""
+
+
 def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic 200-page crawl with robots + politeness budget + hot-host
     salting; deterministic per-wave dispatch statistics. Iterative wave
@@ -786,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_fingerprints': q_text_fingerprints,
         'events_sessionize': q_events_sessionize,
         'crawl_golden_http': q_crawl_golden_http,
+        'crawl_golden_statistics': q_crawl_golden_statistics,
+        'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
     }
 
@@ -820,5 +908,7 @@ def oracle_sql() -> dict[str, str]:
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'events_sessionize': ORACLE_SESSIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
+        'crawl_golden_statistics': ORACLE_CRAWL_STATS,
+        'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }

@@ -52,6 +52,28 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_only_queries() -> dict:
+    """Bench-only variants not in the oracle contract: the production
+    xxhash64 hash path (identical operator shapes to the md5-portable
+    defaults — this quantifies the md5 oracle-portability tax; see
+    functions/texthash.py docstring)."""
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.operators import dedup
+
+    def _docs_plus(spark, sf_dir):
+        import __spark_entry__ as entry
+
+        return entry._docs_plus(spark, sf_dir)
+
+    return {
+        'dedup_minhash_lsh_xxh64': lambda spark, sf: dedup.minhash_lsh_pairs(
+            _docs_plus(spark, sf), k=16, bands=4, n=4, min_matches=8, hash_fn=F.xxhash64),
+        'dedup_simhash_xxh64': lambda spark, sf: dedup.simhash_fingerprints(
+            _docs_plus(spark, sf), hash_fn=F.xxhash64),
+    }
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip('/'))
     try:
@@ -159,9 +181,10 @@ def main_default() -> None:
     import __spark_entry__ as entry
 
     spark = make_spark(f'local[{CPUS}]', CPUS)
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(_bench_only_queries())
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + list(_bench_only_queries()):
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)

@@ -26,12 +26,31 @@ class CrawlConfig:
     fetch_timeout: float = 5.0
     user_agent: str = DEFAULT_USER_AGENT
     follow_robots_txt: bool = False
+    # which reference backend's politeness-delay semantics to reproduce
+    # (SURVEY §3.2): 'anyio' (canonical) honors robots crawl-delay /
+    # request-rate for allowed hosts (any_io/static_spider.py:171-175);
+    # 'green' always paces with the config request_delay — robots delay is
+    # NOT honored (explicit TODO, green/static_spider.py:192-199).
+    # Robots allow/deny exclusion (incl. the -1 sentinel) is identical in
+    # both modes; only the recorded per-host delay differs.
+    politeness_mode: str = 'anyio'
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded
     hot_host_threshold: Optional[int] = None  # rows per host that triggers salting
     num_salts: int = 8
     bloom_threshold: int = 4096  # seen rows below which the bloom prefilter is skipped
+    # seen-set prefilter structure: 'bloom' (default — rebuilt per wave
+    # from the seen table, no deletes) or 'cuckoo' (persistent sidecar,
+    # updated incrementally per wave, delete-capable → enables forget()/
+    # recrawl windows without rescanning seen; falls back to the exact
+    # anti-join if it ever saturates, preserving exactness)
+    seen_filter: str = 'bloom'
+    cuckoo_buckets: int = 1 << 16  # × 4 slots ≈ 250k keys at ~95% load
+    # host_state rows up to which the robots join gets a broadcast hint;
+    # beyond it (10^7-10^8 hosts at web scale) the join is left to AQE,
+    # which picks a shuffle join on `host` — a broadcast would not fit
+    broadcast_host_limit: int = 1_000_000
     max_waves: int = 1000
     checkpoint_dir: Optional[str] = None  # SnapshotStore root; None → temp dir
     item_processors: tuple = ()  # Callable[[DataFrame], DataFrame] transforms, applied in order
@@ -39,6 +58,14 @@ class CrawlConfig:
     # fetch function (DataFrame -> DataFrame) and returns a wrapped one;
     # applied in order, so the LAST registered runs outermost
     response_middlewares: tuple = ()
+    # reference `ignore_errors` semantics at stage level
+    # (tests/any_io/test_static_spider.py:194-220): False (default) — a
+    # failing item-processor/middleware kills the wave, like the reference
+    # parse-callback exception propagating; True — the failing stage's
+    # input rows are quarantined to `items_quarantine_delta` (with the
+    # error) and the crawl continues. At 10^10 rows quarantine-and-continue
+    # is the only sane policy for data-dependent stage failures.
+    ignore_errors: bool = False
     seed: int = 42
 
     def __post_init__(self):
@@ -48,6 +75,10 @@ class CrawlConfig:
             raise ValueError('max_request_delay must be >= min_request_delay')  # core/config.py:29-33
         if self.link_rule not in ('all', 'second_contains_page'):
             raise ValueError(f'unknown link_rule: {self.link_rule}')
+        if self.politeness_mode not in ('anyio', 'green'):
+            raise ValueError(f'unknown politeness_mode: {self.politeness_mode}')
+        if self.seen_filter not in ('bloom', 'cuckoo'):
+            raise ValueError(f'unknown seen_filter: {self.seen_filter}')
 
     @property
     def request_delay(self) -> float:
@@ -61,12 +92,42 @@ class CrawlConfig:
 
 _BOOL_TRUE = {'1', 'true', 'yes', 'y', 'on'}
 _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_per_wave',
-               'hot_host_threshold', 'num_salts', 'bloom_threshold', 'max_waves', 'seed'}
+               'hot_host_threshold', 'num_salts', 'bloom_threshold', 'max_waves', 'seed',
+               'broadcast_host_limit', 'cuckoo_buckets'}
 _FLOAT_FIELDS = {'fetch_timeout'}
-_BOOL_FIELDS = {'follow_robots_txt'}
+_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors'}
+_CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
+
+
+def resolve_callable(path):
+    """Dotted-path → callable converter, the reference's callable-loading
+    semantics (``core/config.py:81-130``: processors/middlewares arrive
+    from YAML/TOML/env as import strings). Accepts ``pkg.mod:attr`` or
+    ``pkg.mod.attr``; already-callable values pass through."""
+    if callable(path):
+        return path
+    if not isinstance(path, str):
+        raise TypeError(f'expected dotted path or callable, got {type(path).__name__}')
+    import importlib
+
+    if ':' in path:
+        mod_name, attr = path.split(':', 1)
+    else:
+        mod_name, _, attr = path.rpartition('.')
+    if not mod_name or not attr:
+        raise ValueError(f'not a dotted callable path: {path!r}')
+    fn = getattr(importlib.import_module(mod_name), attr)
+    if not callable(fn):
+        raise TypeError(f'{path!r} resolved to a non-callable {type(fn).__name__}')
+    return fn
 
 
 def _coerce(name: str, value):
+    if name in _CALLABLE_SEQ_FIELDS and value is not None:
+        # YAML/TOML deliver a list; env delivers a comma-separated string
+        if isinstance(value, str):
+            value = [v.strip() for v in value.split(',') if v.strip()]
+        return tuple(resolve_callable(v) for v in value)
     if value is None or not isinstance(value, str):
         return value
     if name in _BOOL_FIELDS:

@@ -17,9 +17,10 @@ Scale notes (100 TB, 1000 executors):
   keys are 4-minhash concatenations (collisions ≈ true near-dups). Candidate
   verification is a signature compare, not a document compare, so no wide
   rows travel through the join.
-* ``ngram_jaccard_pairs``: exact Jaccard on shingle *sets*, blocked by
-  shared-shingle so the self-join never goes quadratic; intended for
-  verification / small-blocking use, with MinHash-LSH as the scale path.
+* ``ngram_jaccard_pairs`` / ``containment_pairs``: exact scores on shingle
+  *sets*, blocked by shared-shingle with a document-frequency cap
+  (``df_cap``) so one ubiquitous boilerplate shingle cannot make the
+  self-join quadratic; MinHash-LSH remains the cheapest scale path.
 * ``simhash_fingerprints``: 32-bit SimHash via per-bit majority vote,
   computed with generated per-bit SUM expressions in ONE aggregation pass
   (no bit-explosion shuffle).
@@ -69,12 +70,30 @@ def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select('doc_id', F.array_distinct(word_shingles(toks, n)).alias('shingle_set'))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def _drop_heavy_shingles(ex: DataFrame, df_cap: int) -> DataFrame:
+    """Heavy-shingle filter: drop shingles whose document frequency exceeds
+    ``df_cap`` before any shared-shingle self-join. Without it one
+    ubiquitous boilerplate shingle shared by 10^6 docs yields ~10^12
+    candidate pairs — the classic quadratic blowup. Heavy shingles are few
+    (they are, by definition, the most common ones), so the blocklist
+    broadcast-anti-joins; the Jaccard/containment *scores* still use the
+    full shingle sets, only candidate *blocking* loses the heavy keys."""
+    heavy = ex.groupBy('s').agg(F.count('*').alias('df')).filter(F.col('df') > df_cap).select('s')
+    return ex.join(F.broadcast(heavy), 's', 'left_anti')
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        df_cap: int = 100) -> DataFrame:
     """Exact n-gram (word shingle) Jaccard near-dup pairs, blocked by shared
-    shingle. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    shingle with a document-frequency cap (see :func:`_drop_heavy_shingles`
+    — candidate count stays bounded even under ubiquitous boilerplate).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Note: a pair whose
+    ONLY shared shingles are heavy is not a near-dup candidate — at
+    jaccard >= 0.5 such a pair would need its whole overlap to be
+    boilerplate, which is exactly the pair a dedup pipeline should skip.
     """
     sh = _shingled(docs, n)
-    ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
+    ex = _drop_heavy_shingles(sh.select('doc_id', F.explode('shingle_set').alias('s')), df_cap)
     a, b = ex.alias('a'), ex.alias('b')
     cand = (
         a.join(b, (F.col('a.s') == F.col('b.s')) & (F.col('a.doc_id') < F.col('b.doc_id')))
@@ -95,10 +114,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> 
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3, hash_fn=hash60) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT> length k): sig[i] = min over shingles of
-    hash60(i || ':' || shingle). Docs with no shingles are dropped (they
-    cannot collide meaningfully)."""
+    hash_fn(i || ':' || shingle). Docs with no shingles are dropped (they
+    cannot collide meaningfully).
+
+    ``hash_fn`` defaults to the md5-derived :func:`hash60` so the DuckDB
+    oracle can replay it bit-for-bit; production deployments pass
+    ``F.xxhash64`` (identical operator shape, ~an order of magnitude less
+    hashing cost — quantified in bench.py's ``dedup_minhash_lsh_xxh64``).
+    """
     sh = _shingled(docs, n).filter(F.size('shingle_set') > 0)
     ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
     # all k hash families as k columns of the SAME exploded rows → one
@@ -106,23 +131,24 @@ def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3) -> DataFrame:
     # explode that multiplies the shuffle k times
     hashed = ex.select(
         'doc_id',
-        *[hash60(F.concat_ws(':', F.lit(i), F.col('s'))).alias(f'h{i}') for i in range(k)],
+        *[hash_fn(F.concat_ws(':', F.lit(i), F.col('s'))).alias(f'h{i}') for i in range(k)],
     )
     agg = hashed.groupBy('doc_id').agg(*[F.min(f'h{i}').alias(f'm{i}') for i in range(k)])
     return agg.select('doc_id', F.array(*[F.col(f'm{i}') for i in range(k)]).alias('sig'))
 
 
 def minhash_lsh_pairs(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
-                      min_matches: int = 8) -> DataFrame:
+                      min_matches: int = 8, hash_fn=hash60) -> DataFrame:
     """MinHash + LSH banding near-dup candidates.
 
     sig (length k) is cut into ``bands`` bands of k/bands rows; docs sharing
     any band bucket become candidates; candidates are scored by the number
     of equal minhashes (integer — exact across engines). Returns
     (doc_a, doc_b, matches) with matches >= min_matches, doc_a < doc_b.
+    ``hash_fn``: see :func:`minhash_signatures`.
     """
     rows = k // bands
-    sig = minhash_signatures(docs, k, n)
+    sig = minhash_signatures(docs, k, n, hash_fn)
     banded = sig.select(
         'doc_id', 'sig',
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias('band'),
@@ -150,17 +176,19 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     )
 
 
-def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS, hash_fn=hash60) -> DataFrame:
     """32-bit SimHash per doc over distinct whitespace tokens.
 
     bit j of the fingerprint is 1 iff sum over tokens of
-    (2*((hash60(tok) >> j) & 1) - 1) > 0. One explode + one groupBy with
+    (2*((hash_fn(tok) >> j) & 1) - 1) > 0. One explode + one groupBy with
     ``bits`` generated SUM expressions — a single shuffle, no bit blow-up.
+    ``hash_fn``: see :func:`minhash_signatures` (md5-portable default,
+    ``F.xxhash64`` in production).
     """
     ex = docs.select(
         'doc_id',
         F.explode(F.array_distinct(tokens(F.col('text')))).alias('tok'),
-    ).select('doc_id', hash60(F.col('tok')).alias('h'))
+    ).select('doc_id', hash_fn(F.col('tok')).alias('h'))
     sums = [
         F.sum(F.shiftright(F.col('h'), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f'b{j}')
         for j in range(bits)
@@ -199,10 +227,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHAS
 
 
 def embedding_duplicates(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by ``label`` (IVF-style
-    coarse cell). Quantized int dot products keep the blocking exact across
-    engines; the reported cosine is double-precision, rounded.
-    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+    """Embedding-cosine near-dup pairs, blocked by the ``label`` column
+    (an IVF-style coarse cell that arrives with the data — no quantization
+    happens here; the integer-quantized assignment lives in
+    ``similarity.lsh_buckets`` / ``similarity.ivf_assignments``). The
+    cosine is double-precision, rounded at fixed precision for engine
+    portability. Returns (vec_a, vec_b, cosine) with vec_a < vec_b,
+    cosine >= threshold.
     """
     v = emb.select('vec_id', 'label', F.col('embedding').cast('array<double>').alias('e'))
     a = v.select(F.col('vec_id').alias('vec_a'), 'label', F.col('e').alias('ea'))
@@ -218,15 +249,18 @@ def embedding_duplicates(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
     )
 
 
-def containment_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.9) -> DataFrame:
+def containment_pairs(docs: DataFrame, n: int = 4, threshold: float = 0.9,
+                      df_cap: int = 100) -> DataFrame:
     """Asymmetric near-dup detection: containment(a ⊂ b) = |A∩B| / |A|
     over n-gram shingle sets — catches a short document wholly embedded in
-    a longer one, where symmetric Jaccard stays low. Same shared-shingle
-    blocking as :func:`ngram_jaccard_pairs`; emits ordered (contained,
-    container) pairs. Returns (doc_contained, doc_container, containment).
+    a longer one, where symmetric Jaccard stays low. Same df-capped
+    shared-shingle blocking as :func:`ngram_jaccard_pairs` (see
+    :func:`_drop_heavy_shingles` — bounded candidates under boilerplate);
+    emits ordered (contained, container) pairs.
+    Returns (doc_contained, doc_container, containment).
     """
     sh = _shingled(docs, n).filter(F.size('shingle_set') > 0)
-    ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
+    ex = _drop_heavy_shingles(sh.select('doc_id', F.explode('shingle_set').alias('s')), df_cap)
     a, b = ex.alias('a'), ex.alias('b')
     cand = (
         a.join(b, (F.col('a.s') == F.col('b.s')) & (F.col('a.doc_id') != F.col('b.doc_id')))

@@ -37,8 +37,16 @@ HOST_STATE_SCHEMA = T.StructType(
 )
 
 
-def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str, default_delay: float):
-    """Pure per-host kernel — also the spec used by the simulator."""
+def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str,
+                   default_delay: float, mode: str = 'anyio'):
+    """Pure per-host kernel — also the spec used by the simulator.
+
+    ``mode='green'`` reproduces the gevent backend's pacing: the config
+    delay is ALWAYS used for allowed hosts — robots crawl-delay /
+    request-rate are not honored (green/static_spider.py:192-199 TODO;
+    documented at docs/static-spider.md "Good to know"). Exclusion
+    (deny-all, -1 sentinel) is identical in both modes.
+    """
     if fetch_status is None or fetch_status == -1 or fetch_status in (401, 403):
         return True, -1.0
     if fetch_status >= 400:
@@ -47,6 +55,8 @@ def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str,
     parser.parse((rules or '').splitlines())
     if not parser.can_fetch(user_agent, decision_url):
         return True, -1.0
+    if mode == 'green':
+        return False, float(default_delay)
     crawl_delay = parser.crawl_delay('*')
     if crawl_delay is not None:
         return False, float(crawl_delay)
@@ -61,6 +71,7 @@ def evaluate_new_hosts(
     robots_df: DataFrame,  # (host, fetch_status, rules) — small, broadcastable
     user_agent: str,
     default_delay: float,
+    mode: str = 'anyio',
 ) -> DataFrame:
     """Returns (host, excluded, delay) for hosts not yet in the state table."""
     joined = new_host_first_urls.join(F.broadcast(robots_df), 'host', 'left').select(
@@ -72,7 +83,7 @@ def evaluate_new_hosts(
             out = {'host': [], 'excluded': [], 'delay': []}
             for host, url, status, rules in zip(pdf['host'], pdf['decision_url'], pdf['fetch_status'], pdf['rules']):
                 status = None if pd.isna(status) else int(status)
-                excluded, delay = _evaluate_host(status, rules, url, user_agent, default_delay)
+                excluded, delay = _evaluate_host(status, rules, url, user_agent, default_delay, mode)
                 out['host'].append(host)
                 out['excluded'].append(excluded)
                 out['delay'].append(delay)

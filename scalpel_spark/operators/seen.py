@@ -135,11 +135,52 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_
     return definite_new.unionByName(maybe.join(seen.select(*keys), keys, 'left_anti'))
 
 
+def anti_join_seen_cuckoo(candidates: DataFrame, seen: DataFrame, cuckoo: 'CuckooFilter',
+                          hash_col: str = 'url_hash',
+                          exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
+    """candidates ⟕ seen LEFT ANTI, prefiltered by a persistent cuckoo
+    filter — the delete-capable alternative to the per-run bloom.
+
+    Unlike :func:`anti_join_seen`'s bloom (rebuilt from a full scan of the
+    seen table), the cuckoo is maintained *incrementally*: the engine
+    inserts each wave's newly-scheduled hashes and ``forget()`` deletes
+    recrawled ones, so no wave rescans the seen table to build its
+    prefilter. Rows whose hash is definitely absent skip the join; "maybe"
+    rows are confirmed by the exact anti-join, so set semantics stay exact
+    under fingerprint collisions.
+
+    MUST NOT be used after the filter has dropped an insert (saturation):
+    a dropped key is a false NEGATIVE and would re-schedule a seen URL —
+    the engine tracks this and falls back to :func:`anti_join_seen`.
+    """
+    keys = list(exact_cols)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast((cuckoo.table, cuckoo.num_buckets))
+
+    @F.pandas_udf('boolean')
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        table, num_buckets = bc.value
+        cf = CuckooFilter.from_table(table, num_buckets)
+        return pd.Series(cf.contains(h.to_numpy(dtype=np.int64)))
+
+    flagged = candidates.withColumn('_maybe', maybe_seen(F.col(hash_col)))
+    definite_new = flagged.filter(~F.col('_maybe')).drop('_maybe')
+    maybe = flagged.filter(F.col('_maybe')).drop('_maybe')
+    return definite_new.unionByName(maybe.join(seen.select(*keys), keys, 'left_anti'))
+
+
 class CuckooFilter:
     """Bucketed cuckoo filter (2 candidate buckets × 4 slots, 16-bit
-    fingerprints) — the delete-capable fallback named in the north star for
-    when the seen set must *forget* (e.g. recrawl windows), which a bloom
-    cannot. numpy-vectorized inserts/probes; used off the hot path.
+    fingerprints) — the delete-capable structure named in the north star
+    for when the seen set must *forget* (recrawl windows), which a bloom
+    cannot. numpy-vectorized inserts/probes.
+
+    Scale note (10^10 URLs): one table is ~2 bytes/key → 20 GB; like the
+    bloom's shard-by-hash-range plan (module docstring), a cluster
+    deployment shards the table by hash range into independently
+    updatable/broadcastable segments. In-sandbox a single table sized for
+    the test scales; the engine's per-wave updates are vectorized numpy
+    over the wave's (wave-bounded, 8-byte) hash array.
     """
 
     SLOTS = 4
@@ -150,6 +191,15 @@ class CuckooFilter:
         # store fingerprints, 0 = empty
         self.table = np.zeros((self.num_buckets, self.SLOTS), dtype=np.uint16)
         self._rng = np.random.default_rng(42)
+
+    @classmethod
+    def from_table(cls, table: np.ndarray, num_buckets: int) -> 'CuckooFilter':
+        """Rehydrate from a persisted/broadcast table (probe-side use)."""
+        cf = cls.__new__(cls)
+        cf.num_buckets = num_buckets
+        cf.table = table
+        cf._rng = np.random.default_rng(42)
+        return cf
 
     def _fingerprint(self, h: np.ndarray) -> np.ndarray:
         fp = ((h.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)

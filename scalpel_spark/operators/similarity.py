@@ -18,10 +18,12 @@ engine-stable.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from scalpel_spark.functions.texthash import hash60, pround
+from scalpel_spark.functions.texthash import pround
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -55,31 +57,43 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def _plane_sign(p: Column | int, d: Column | int) -> Column:
+def _plane_sign_py(p: int, d: int) -> int:
     """Deterministic ±1 hyperplane weight for (plane p, dimension d):
-    parity of hash60('p-d'). DuckDB twin uses the same md5 arithmetic."""
-    key = F.concat_ws('-', F.lit(p) if isinstance(p, int) else p, F.lit(d) if isinstance(d, int) else d)
-    return (hash60(key).bitwiseAND(F.lit(1)) * 2 - 1).cast('long')
+    parity of hash60('p-d'). This is the exact Python twin of
+    ``functions.texthash.hash60`` (first 15 md5 hex chars as an int) — the
+    DuckDB oracle recomputes the same parity in SQL."""
+    h = int(hashlib.md5(f'{p}-{d}'.encode()).hexdigest()[:15], 16)
+    return (h & 1) * 2 - 1
 
 
-def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000) -> DataFrame:
+def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000,
+                dim: int | None = None) -> DataFrame:
     """(vec_id, bucket): bucket bit p = 1 iff sum_d q(v[d]) * sign(p,d) > 0,
     where q(x) = floor(x*quant + 0.5) — integer, so the sign test is exact
-    and engine-portable. Shuffle-free (per-row array algebra)."""
+    and engine-portable. Shuffle-free (per-row array algebra).
+
+    The ±1 plane matrix is a CONSTANT, so it is precomputed driver-side
+    (``n_planes × dim`` ints, same md5 parity as always) and injected as
+    array literals: scoring is one ``zip_with``/``aggregate`` per plane
+    instead of an md5 call per (plane × dim) per row — ~n_planes×dim fewer
+    hash evaluations per vector, identical buckets (round-1 perf fix).
+    ``dim`` defaults to the corpus-wide max array length (one scalar
+    aggregate — metadata-scale, not a data collect).
+    """
+    if dim is None:
+        dim = emb.select(F.max(F.size('embedding')).alias('d')).first()['d']
     v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e'))
     qv = F.transform('e', lambda x: F.floor(x * quant + 0.5).cast('long'))
     v = v.select('vec_id', qv.alias('q'))
 
-    def plane_dot(p: int) -> Column:
-        idx = F.sequence(F.lit(1), F.size('q'))
-        return F.aggregate(
-            idx, F.lit(0).cast('long'),
-            lambda acc, i: acc + F.element_at(F.col('q'), i) * _plane_sign(p, i - 1),
-        )
-
     bucket = None
     for p in range(n_planes):
-        bit = F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        signs = F.array(*[F.lit(_plane_sign_py(p, d)).cast('long') for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with('q', signs, lambda x, s: x * s),
+            F.lit(0).cast('long'), lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return v.select('vec_id', bucket.cast('long').alias('bucket'))
 

@@ -20,10 +20,13 @@ algebra or Arrow-vectorized pandas UDFs — no per-row Python.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 from dataclasses import dataclass
 from typing import Optional, Sequence
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,11 +34,12 @@ from pyspark.sql import types as T
 
 from scalpel_spark.config import CrawlConfig
 from scalpel_spark.functions import urlkit
+from scalpel_spark.functions.texthash import pround
 from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, url_hash_col
 from scalpel_spark.operators.ordering import dense_sequence
 from scalpel_spark.operators.parse import extract_items, extract_outlinks
 from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
-from scalpel_spark.operators.seen import anti_join_seen
+from scalpel_spark.operators.seen import CuckooFilter, anti_join_seen, anti_join_seen_cuckoo
 from scalpel_spark.operators.skew import detect_hot_keys
 from scalpel_spark.plans.storage import SnapshotStore
 
@@ -83,7 +87,7 @@ class CrawlResult:
         self.total_time = total_time
 
     def _delta(self, name: str) -> Optional[DataFrame]:
-        paths = [s['tables'][name] for s in self.store.snapshots() if name in s['tables']]
+        paths = self.store.state_paths(name)
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
@@ -99,6 +103,13 @@ class CrawlResult:
     @property
     def items(self) -> DataFrame:
         return self._delta('items_delta')
+
+    @property
+    def items_quarantine(self) -> Optional[DataFrame]:
+        """Raw items of waves whose processor chain failed under
+        ``ignore_errors=True`` (with the error string) — None if no wave
+        quarantined."""
+        return self._delta('items_quarantine_delta')
 
     @property
     def docs(self) -> DataFrame:
@@ -126,6 +137,31 @@ class CrawlResult:
             {'url': r['url'], 'wave': r['wave'], 'status': r['status']}
             for r in rows
         ]
+
+    def statistics_agg(self) -> DataFrame:
+        """Production statistics: pure aggregates, no driver-side URL sets.
+
+        One row per seen status: (status, n_urls, total_fetch_ms,
+        avg_fetch_ms) — fetch columns are non-null only for 'reachable'
+        (the reference only times successful fetches,
+        core/spider.py:137-144). This is the path real runs use
+        (tools/submit_crawl.py); the set-returning :meth:`statistics`
+        below is the reference-API parity surface and collects every URL
+        to the driver — test-scale only.
+        """
+        counts = self.seen.groupBy('status').agg(F.count('*').alias('n_urls'))
+        docs = self.docs
+        if docs is None:
+            fetch = self.spark.createDataFrame(
+                [], 'status string, total_fetch_ms double, avg_fetch_ms double')
+        else:
+            fetch = docs.agg(
+                F.lit('reachable').alias('status'),
+                F.sum('fetch_ms').cast('double').alias('total_fetch_ms'),
+                pround(F.avg('fetch_ms'), 4).alias('avg_fetch_ms'),
+            )
+        return counts.join(fetch, 'status', 'left').select(
+            'status', 'n_urls', 'total_fetch_ms', 'avg_fetch_ms')
 
     def statistics(self) -> CrawlStatistics:
         by_status: dict[str, set] = {'reachable': set(), 'unreachable': set(), 'robots_excluded': set()}
@@ -164,6 +200,10 @@ class CrawlEngine:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
         self.store = store or SnapshotStore(tempfile.mkdtemp(prefix='scalpel-spark-'))
+        self._cuckoo = None
+        self._cuckoo_saturated = False
+        if self.config.seen_filter == 'cuckoo':
+            self._cuckoo = self._load_cuckoo()
 
     # -- state helpers ------------------------------------------------------
 
@@ -171,10 +211,79 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema)
 
     def _state(self, name: str, schema) -> DataFrame:
-        paths = [s['tables'][name] for s in self.store.snapshots() if name in s['tables']]
+        paths = self.store.state_paths(name)
         if not paths:
             return self._empty(schema)
         return self.spark.read.parquet(*paths)
+
+    # -- cuckoo sidecar (seen_filter='cuckoo') -------------------------------
+
+    @property
+    def _cuckoo_path(self) -> str:
+        return os.path.join(self.store.root, 'cuckoo_sidecar.npz')
+
+    def _load_cuckoo(self) -> 'CuckooFilter':
+        """Load the persistent seen-prefilter sidecar; when absent but seen
+        state exists (e.g. a store written under seen_filter='bloom'),
+        rebuild it from the seen hashes once."""
+        if os.path.exists(self._cuckoo_path):
+            data = np.load(self._cuckoo_path)
+            self._cuckoo_saturated = bool(data['saturated'])
+            return CuckooFilter.from_table(data['table'], int(data['num_buckets']))
+        cf = CuckooFilter(self.config.cuckoo_buckets)
+        self._cuckoo_saturated = False
+        seen = self._state('seen_delta', SEEN_SCHEMA)
+        hashes = np.array([r['url_hash'] for r in seen.select('url_hash').collect()],
+                          dtype=np.int64)
+        if len(hashes) and cf.insert(hashes) > 0:
+            self._cuckoo_saturated = True
+        return cf
+
+    def _save_cuckoo(self) -> None:
+        tmp = self._cuckoo_path + '.tmp.npz'
+        np.savez(tmp, table=self._cuckoo.table,
+                 num_buckets=np.int64(self._cuckoo.num_buckets),
+                 saturated=np.bool_(self._cuckoo_saturated))
+        os.replace(tmp, self._cuckoo_path)
+
+    def forget(self, urls) -> None:
+        """Recrawl window: remove URLs from the seen AND followed sets so a
+        later run re-fetches them (the delete the north star's cuckoo
+        fallback exists for — a bloom cannot forget). Commits a compaction
+        snapshot: `seen_compacted` / `followed_compacted` REPLACE all prior
+        history (Iceberg rewrite semantics, see SnapshotStore.state_paths),
+        `forgotten_delta` records lineage, and the current frontier is
+        carried forward so resume() still works. Under seen_filter='cuckoo'
+        the hashes are also deleted from the sidecar, so the next run's
+        prefilter treats them as new without rescanning the seen table.
+        """
+        if isinstance(urls, DataFrame):
+            fdf = urls.select('url')
+        else:
+            fdf = self.spark.createDataFrame([(u,) for u in urls], 'url string')
+        fdf = fdf.select('url', url_hash_col(F.col('url')).alias('url_hash'))
+        seen = self._state('seen_delta', SEEN_SCHEMA)
+        followed = self._state('followed_delta', 'url string')
+        tables = {
+            'seen_compacted': seen.join(fdf.select('url'), 'url', 'left_anti'),
+            'followed_compacted': followed.join(fdf.select('url'), 'url', 'left_anti'),
+            'forgotten_delta': fdf,
+        }
+        snap = self.store.current()
+        wave, next_priority = -1, 0
+        if snap is not None:
+            wave = snap['wave']
+            next_priority = snap['metadata'].get('next_priority', 0)
+            if 'frontier' in snap['tables']:
+                tables['frontier'] = self.store.load(self.spark, snap, 'frontier')
+        self.store.commit(tables, wave, metadata={'next_priority': next_priority,
+                                                  'compaction': True})
+        if self._cuckoo is not None:
+            hashes = np.array([r['url_hash'] for r in fdf.select('url_hash').collect()],
+                              dtype=np.int64)
+            if len(hashes):
+                self._cuckoo.delete(hashes)
+                self._save_cuckoo()
 
     # -- public API ---------------------------------------------------------
 
@@ -285,12 +394,28 @@ class CrawlEngine:
             F.first('scheme').alias('scheme'),
         ).withColumn('wave', F.lit(wave))
 
-        # 2. seen dedup (F1/J1): bloom-prefiltered exact anti-join
+        # 2. seen dedup (F1/J1): prefiltered exact anti-join. Cuckoo mode
+        # probes the persistent sidecar (updated incrementally, never
+        # rescanning seen — and delete-capable for forget()); bloom mode
+        # rebuilds from the seen table. A saturated cuckoo could yield
+        # false NEGATIVES (dropped inserts), so it falls back to the plain
+        # exact path — exactness always wins.
         t0 = time.time()
-        new = anti_join_seen(cand, seen_state, 'url_hash', seen_count, cfg.bloom_threshold)
+        if self._cuckoo is not None and not self._cuckoo_saturated:
+            new = anti_join_seen_cuckoo(cand, seen_state, self._cuckoo)
+        else:
+            new = anti_join_seen(cand, seen_state, 'url_hash', seen_count, cfg.bloom_threshold)
         new = new.persist()
         n_new = new.count()
         metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
+        if self._cuckoo is not None and n_new:
+            # wave-bounded hash array (8 B/url); cluster path: shard by
+            # hash range (operators/seen.py CuckooFilter scale note)
+            hashes = np.array([r['url_hash'] for r in new.select('url_hash').collect()],
+                              dtype=np.int64)
+            if self._cuckoo.insert(hashes) > 0:
+                self._cuckoo_saturated = True
+            self._save_cuckoo()
         if n_new == 0:
             frontier.unpersist()
             new.unpersist()
@@ -317,17 +442,25 @@ class CrawlEngine:
                 .groupBy('host')
                 .agg(F.min_by('url', 'priority').alias('decision_url'))
             )
-            fresh = evaluate_new_hosts(new_hosts, self.robots, cfg.user_agent, cfg.request_delay)
+            # only this wave's NEW hosts are evaluated; the result stays
+            # distributed end-to-end: parquet-backed prior state ∪ this
+            # wave's persisted fresh rows. No driver materialization — at
+            # web scale (10^7-10^8 hosts) a per-wave collect would be
+            # O(waves × hosts) serial driver work and an OOM.
+            fresh = evaluate_new_hosts(new_hosts, self.robots, cfg.user_agent,
+                                       cfg.request_delay, cfg.politeness_mode).persist()
             host_state = host_state.unionByName(fresh)
-            # host_state is small (one row per host) — materialize + broadcast
-            host_state = self.spark.createDataFrame(host_state.collect(), HOST_STATE_SCHEMA)
+            n_hosts = host_state.count()
             self._host_state_snapshot = host_state
-            joined = new.join(F.broadcast(host_state), 'host', 'left')
+            # broadcast-hint only while the table is small; beyond the
+            # limit let AQE pick the strategy (shuffle join on host)
+            right = F.broadcast(host_state) if n_hosts <= cfg.broadcast_host_limit else host_state
+            joined = new.join(right, 'host', 'left')
             excluded = joined.filter(F.coalesce(F.col('excluded'), F.lit(False))).select(
                 'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
             )
             allowed = joined.filter(~F.coalesce(F.col('excluded'), F.lit(False))).drop('excluded', 'delay')
-            metrics_rows.append((wave, 'robots', -1, host_state.count(), (time.time() - t0) * 1000))
+            metrics_rows.append((wave, 'robots', -1, n_hosts, (time.time() - t0) * 1000))
 
         # 4. politeness budget (W1/T2) with hot-host salting (§4.2)
         deferred = self._empty(FRONTIER_SCHEMA)
@@ -379,10 +512,27 @@ class CrawlEngine:
             ).otherwise(found & (F.col('http_status') < 400))
             return out.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
 
-        fetch_fn = base_fetch
-        for middleware in cfg.response_middlewares:
-            fetch_fn = middleware(fetch_fn)
-        fetched = fetch_fn(allowed)
+        def compose_and_fetch() -> DataFrame:
+            fn = base_fetch
+            for middleware in cfg.response_middlewares:
+                fn = middleware(fn)
+            return fn(allowed)
+
+        try:
+            fetched = compose_and_fetch()
+        except Exception:
+            if not cfg.ignore_errors:
+                raise
+            # ignore_errors quarantine semantics (T-level parity with
+            # tests/any_io/test_static_spider.py:194-220): a failing
+            # middleware chain is skipped, the bare fetch proceeds
+            metrics_rows.append((wave, 'middleware_error', -1, 0, 0.0))
+            fetched = base_fetch(allowed)
+        # the wave's working set feeds four downstream tables (seen/docs/
+        # items/outlinks) that are each materialized at commit — persist it
+        # once so the fetch join is not recomputed per table write
+        # (MEMORY_AND_DISK default: spills, never OOMs, at big waves)
+        fetched = fetched.persist()
 
         seen_delta = fetched.select('url', 'url_hash', 'status', 'wave', 'priority')
         if excluded is not None:
@@ -391,10 +541,27 @@ class CrawlEngine:
         docs = fetched.filter(F.col('status') == 'reachable').select(
             'url', 'priority', 'spans', 'fetch_ms', *render_cols)
 
-        # 6. items (F5/S6): span pairs + processor chain
-        items = extract_items(docs).withColumn('wave', F.lit(wave))
-        for processor in cfg.item_processors:
-            items = processor(items)
+        # 6. items (F5/S6): span pairs + processor chain. With
+        # ignore_errors, a failing processor chain quarantines the wave's
+        # raw items (with the error) instead of killing the crawl —
+        # runtime (data-dependent) failures are surfaced eagerly inside
+        # the guarded region via a persist+count, not at commit time.
+        raw_items = extract_items(docs).withColumn('wave', F.lit(wave))
+        items, quarantine = raw_items, None
+        if cfg.item_processors:
+            try:
+                for processor in cfg.item_processors:
+                    items = processor(items)
+                if cfg.ignore_errors:
+                    items = items.persist()
+                    items.count()
+            except Exception as e:
+                if not cfg.ignore_errors:
+                    raise
+                err = f'{type(e).__name__}: {e}'
+                quarantine = raw_items.withColumn('error', F.lit(err[:500]))
+                items = self._empty(raw_items.schema)
+                metrics_rows.append((wave, 'items_quarantined', -1, 0, 0.0))
 
         docs_delta = docs.select(
             F.col('url').alias('doc_id'), 'spans', F.lit(wave).alias('wave'), 'priority', 'fetch_ms',
@@ -433,6 +600,8 @@ class CrawlEngine:
             'items_delta': items,
             'docs_delta': docs_delta,
         }
+        if quarantine is not None:
+            tables['items_quarantine_delta'] = quarantine
         if cfg.follow_robots_txt:
             tables['host_state'] = getattr(self, '_host_state_snapshot', self._empty(HOST_STATE_SCHEMA))
         metrics_rows.append((wave, 'wave_total', -1, n_new, (time.time() - t_wave) * 1000))

@@ -112,6 +112,7 @@ class CrawlSimulator:
         user_agent: str = 'Mozilla/5.0',
         request_delay: float = 0.0,
         link_selector: LinkSelector | str = 'all',
+        politeness_mode: str = 'anyio',
     ):
         self.corpus = corpus
         self.robots = robots or {}
@@ -119,6 +120,10 @@ class CrawlSimulator:
         self.user_agent = user_agent
         self.request_delay = request_delay
         self.link_selector = LINK_SELECTORS[link_selector] if isinstance(link_selector, str) else link_selector
+        # 'green' = gevent backend pacing: robots delay NOT honored for
+        # allowed hosts, config delay always used (green/static_spider.py:192-199
+        # TODO); exclusion semantics identical in both modes
+        self.politeness_mode = politeness_mode
         # host → (excluded, delay); first URL of the host decides (any_io/robots.py:79-95)
         self._host_state: dict[str, tuple[bool, float]] = {}
 
@@ -137,6 +142,8 @@ class CrawlSimulator:
             parser = _parse_robots(row['rules'])
             if not parser.can_fetch(self.user_agent, url):
                 decision = (True, -1.0)  # first URL denied → whole host -1
+            elif self.politeness_mode == 'green':
+                decision = (False, self.request_delay)  # green/static_spider.py:192-199
             else:
                 decision = (False, _delay_from_rules(parser, self.request_delay))
         self._host_state[host] = decision

@@ -85,6 +85,21 @@ class SnapshotStore:
     def load(self, spark: SparkSession, snapshot: dict, table: str) -> DataFrame:
         return spark.read.parquet(snapshot['tables'][table])
 
+    def state_paths(self, delta_name: str) -> list[str]:
+        """Data paths whose union is the current state of an append-only
+        delta table, honoring compaction: a ``<base>_compacted`` table in a
+        snapshot REPLACES all earlier history (Iceberg rewrite semantics —
+        the engine's ``forget()`` commits one to drop recrawled URLs);
+        later deltas append on top of it."""
+        compacted_name = delta_name.replace('_delta', '_compacted')
+        paths: list[str] = []
+        for snap in self.snapshots():
+            if compacted_name in snap['tables']:
+                paths = [snap['tables'][compacted_name]]
+            if delta_name in snap['tables']:
+                paths.append(snap['tables'][delta_name])
+        return paths
+
     def load_current(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
         """Latest committed copy of a FULL (non-delta) table: the most
         recent snapshot that contains it (a snapshot may legitimately omit

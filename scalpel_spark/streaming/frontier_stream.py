@@ -14,9 +14,10 @@ Three operators:
   streaming twin of ``operators/sessions.py``).
 * ``stateful_politeness`` — ``applyInPandasWithState`` keyed by host: the
   per-host politeness budget as a custom stateful operator. State =
-  (dispatched_total, last_batch_dispatched); URLs over budget in a batch
-  are emitted with ``admitted=false`` (a real deployment would loop them
-  back into the frontier topic).
+  (dispatched_total, deferred URL carryover); URLs over budget are
+  emitted ``admitted=false`` in their arrival batch, carried in state,
+  and re-emitted ``admitted=true`` when a later micro-batch has budget —
+  the streaming twin of the batch engine's deferred re-enqueue.
 
 All are testable offline with file sources + ``trigger(availableNow=True)``
 + memory sink — no network needed.
@@ -52,7 +53,16 @@ ADMIT_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = T.StructType([T.StructField('dispatched_total', T.LongType())])
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField('dispatched_total', T.LongType()),
+        # deferred (over-budget) URLs carried to the next micro-batch —
+        # the streaming twin of the batch engine's `deferred` re-enqueue
+        # (plans/engine.py politeness step)
+        T.StructField('carry_urls', T.ArrayType(T.StringType())),
+        T.StructField('carry_prios', T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def windowed_host_throughput(stream: DataFrame, window: str = '10 seconds',
@@ -82,31 +92,59 @@ def session_windows(stream: DataFrame, gap: str = '30 minutes',
 
 
 def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFrame:
-    """Custom stateful operator: per-host dispatch admission.
+    """Custom stateful operator: per-host dispatch admission with
+    carryover re-enqueue.
 
     Each micro-batch admits at most ``budget_per_batch`` URLs per host in
-    priority order; a persistent per-host counter (`dispatched_total`)
-    carries across batches. Arrow-batched grouped-map state — no per-row
-    Python, state is one int per host.
+    priority order ACROSS the whole batch group (the pandas chunk iterator
+    is concatenated first — chunks are an Arrow transfer artifact split at
+    ``maxRecordsPerBatch``, never an admission boundary). Over-budget URLs
+    are kept in state and re-compete in later micro-batches, highest
+    priority first — the streaming twin of the batch engine's ``deferred``
+    re-enqueue (plans/engine.py step 4).
+
+    Emission contract: every NEW URL is emitted once in its arrival batch
+    with its admission status; a deferred URL is emitted again (admitted =
+    true) in the batch that finally dispatches it. ``dispatched_total`` is
+    the host's post-batch running counter, identical on every row of the
+    batch. Deferred URLs still in state at stream end stay undispatched —
+    an operational drain (timeout + flush) is deployment policy.
     """
 
     def admit(key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (host,) = key
-        total = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values('priority')
-            admitted = [i < budget_per_batch for i in range(len(pdf))]
-            total += sum(admitted)
-            out.append(pd.DataFrame({
-                'host': host,
-                'url': pdf['url'].to_numpy(),
-                'priority': pdf['priority'].to_numpy(),
-                'admitted': admitted,
-                'dispatched_total': total,
-            }))
-        state.update((total,))
-        yield from out
+        if state.exists:
+            total, carry_urls, carry_prios = state.get
+            carry_urls, carry_prios = list(carry_urls), list(carry_prios)
+        else:
+            total, carry_urls, carry_prios = 0, [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        new = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame({'url': [], 'priority': []}))
+        new_urls = set(new['url'])
+
+        pool = pd.DataFrame({
+            'url': carry_urls + list(new['url']),
+            'priority': carry_prios + [int(p) for p in new['priority']],
+        }).sort_values(['priority', 'url'], kind='mergesort')
+        admitted_mask = [i < budget_per_batch for i in range(len(pool))]
+        pool = pool.assign(admitted=admitted_mask)
+        n_admitted = int(pool['admitted'].sum())
+        total += n_admitted
+
+        deferred = pool[~pool['admitted']]
+        state.update((total, list(deferred['url']), [int(p) for p in deferred['priority']]))
+
+        # emit: all admitted rows + the newly-arrived-and-deferred rows
+        # (carryover rows already emitted admitted=false on arrival)
+        emit = pool[pool['admitted'] | pool['url'].isin(new_urls)]
+        yield pd.DataFrame({
+            'host': host,
+            'url': emit['url'].to_numpy(),
+            'priority': emit['priority'].to_numpy(),
+            'admitted': emit['admitted'].to_numpy(),
+            'dispatched_total': total,
+        })
 
     return (
         stream.groupBy('host')

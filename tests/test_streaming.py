@@ -56,7 +56,7 @@ def test_stateful_politeness_budget(spark, events_dir):
     name = 'admit_' + uuid.uuid4().hex[:8]
     out = _run_stream(spark, stateful_politeness(stream, budget_per_batch=4), name)
     rows = [r for r in out.collect() if r['host'] != 'flush']
-    assert len(rows) == 12
+    assert len(rows) == 12  # single batch: every new URL emitted once
     per_host = {}
     for r in rows:
         per_host.setdefault(r['host'], []).append(r)
@@ -68,6 +68,70 @@ def test_stateful_politeness_budget(spark, events_dir):
         min_rejected = min(r['priority'] for r in hr if not r['admitted'])
         assert max_admitted < min_rejected
         assert all(r['dispatched_total'] == 4 for r in hr)
+
+
+def test_stateful_politeness_multichunk_group(spark, tmp_path):
+    """ADVICE r1: the budget must hold across Arrow chunk boundaries — a
+    host with more rows than maxRecordsPerBatch still admits exactly
+    budget_per_batch URLs, in global priority order."""
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    n = 500
+    rows = [(f'http://big/p{i}.html', 'big.example.com',
+             base + pd.Timedelta(seconds=i), n - i) for i in range(n)]
+    d = str(tmp_path / 'big')
+    _write_events(spark, d, rows)
+    spark.conf.set('spark.sql.execution.arrow.maxRecordsPerBatch', '100')
+    try:
+        stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(d)
+        name = 'chunk_' + uuid.uuid4().hex[:8]
+        out = _run_stream(spark, stateful_politeness(stream, budget_per_batch=7), name)
+        rows = out.collect()
+        admitted = sorted(r['priority'] for r in rows if r['admitted'])
+        # exactly 7 admitted (not 7 per 100-row chunk), and they are the 7
+        # globally smallest priorities
+        assert admitted == list(range(1, 8))
+        assert all(r['dispatched_total'] == 7 for r in rows)
+    finally:
+        spark.conf.set('spark.sql.execution.arrow.maxRecordsPerBatch', '65536')
+
+
+def test_stateful_politeness_deferred_drain(spark, tmp_path):
+    """Deferred URLs re-enter admission in later micro-batches in priority
+    order (the batch engine's deferred re-enqueue, streaming twin)."""
+    import time as _time
+
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    d = str(tmp_path / 'drain')
+    host = 'h.example.com'
+    batch1 = [(f'http://{host}/p{i}.html', host, base + pd.Timedelta(seconds=i), i)
+              for i in range(6)]
+    _write_events(spark, d, batch1)
+    _time.sleep(1.1)  # distinct mtime → deterministic file (batch) order
+    batch2 = [(f'http://{host}/p{i}.html', host, base + pd.Timedelta(seconds=i), i)
+              for i in range(10, 16)]
+    _write_events(spark, d, batch2)
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    name = 'drain_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, stateful_politeness(stream, budget_per_batch=4), name)
+    rows = out.collect()
+    by_url: dict[str, list] = {}
+    for r in rows:
+        by_url.setdefault(r['url'], []).append(r['admitted'])
+
+    # batch 1: priorities 0-3 admitted, 4-5 deferred (emitted false);
+    # batch 2: deferred 4-5 outrank new 10-15 → admitted, then 10-11
+    admitted_prios = sorted(r['priority'] for r in rows if r['admitted'])
+    assert admitted_prios == [0, 1, 2, 3, 4, 5, 10, 11]
+    # deferred URLs appear twice: false on arrival, true when dispatched
+    assert by_url[f'http://{host}/p4.html'] == [False, True]
+    assert by_url[f'http://{host}/p5.html'] == [False, True]
+    # never-dispatched URLs appear once, false
+    assert by_url[f'http://{host}/p15.html'] == [False]
+    # running counter: 4 after batch 1, 8 after batch 2
+    totals = sorted({r['dispatched_total'] for r in rows})
+    assert totals == [4, 8]
 
 
 def test_windowed_host_throughput(spark, events_dir):

@@ -76,17 +76,20 @@ def main() -> None:
     t0 = time.time()
     result = CrawlEngine(spark, corpus, robots, cfg, store).run(seeds)
     wall = time.time() - t0
-    stats = result.statistics()
-    n_seen = result.seen.count()
+    # aggregate-only statistics (<= 3 rows to the driver); the set-returning
+    # result.statistics() is the reference-parity surface, test-scale only
+    stats = {r['status']: r for r in result.statistics_agg().collect()}
+    n_seen = sum(r['n_urls'] for r in stats.values())
+    reach = stats.get('reachable')
     print(json.dumps({
         'n_pages': args.n_pages,
         'n_hosts': args.n_hosts,
         'waves': int(result.metrics.agg({'wave': 'max'}).collect()[0][0]) + 1,
-        'reachable': len(stats.reachable_urls),
-        'unreachable': len(stats.unreachable_urls),
-        'robots_excluded': len(stats.robots_excluded_urls),
+        'reachable': int(reach['n_urls']) if reach else 0,
+        'unreachable': int(stats['unreachable']['n_urls']) if 'unreachable' in stats else 0,
+        'robots_excluded': int(stats['robots_excluded']['n_urls']) if 'robots_excluded' in stats else 0,
         'seen_total': n_seen,
-        'avg_fetch_ms': round(stats.average_fetch_time, 3),
+        'avg_fetch_ms': round(reach['avg_fetch_ms'], 3) if reach and reach['avg_fetch_ms'] else 0.0,
         'wall_sec': round(wall, 2),
         'urls_per_sec': round(n_seen / wall, 1),
         'checkpoint_dir': store.root,
