@@ -577,6 +577,44 @@ WHERE rank <= 3
 # ---------------------------------------------------------------------------
 
 
+def q_similarity_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF (nprobe=2): queries search their TWO nearest
+    centroid cells — the standard recall/cost dial missing from the
+    single-probe variant. Corpus vectors stay indexed under their primary
+    cell only."""
+    return similarity.ivf_topk(_t(spark, sf_dir, 'embeddings'), n_queries=10, k=3, nprobe=2)
+
+
+ORACLE_SIM_IVF_NPROBE2 = """
+WITH q AS (SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+dims AS (SELECT vec_id, label, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q),
+cent AS (SELECT label, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c FROM dims GROUP BY 1, 2),
+cv AS (SELECT label AS cell, list(c ORDER BY d) AS cvec FROM cent GROUP BY label),
+scored AS (SELECT q.vec_id, cv.cell,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                                          i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))) AS d2
+           FROM q CROSS JOIN cv),
+ranked AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM scored),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+assign_q AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+v AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
+vq AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign_q a USING (vec_id)),
+pairs AS (SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 floor(list_cosine_similarity(a.e, c.e) * 1000000 + 0.5) / 1000000 AS cosine
+          FROM vq a JOIN v c ON a.cell = c.cell AND a.vec_id != c.vec_id
+          WHERE a.vec_id < 10)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs)
+WHERE rank <= 3
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = textops.language_id(_t(spark, sf_dir, 'documents'))
     return pred.groupBy('lang', 'pred_lang').agg(F.count('*').alias('n'))
@@ -865,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'similarity_topk_bruteforce': q_similarity_topk_bruteforce,
         'similarity_lsh_ann': q_similarity_lsh_ann,
         'similarity_ivf': q_similarity_ivf,
+        'similarity_ivf_nprobe2': q_similarity_ivf_nprobe2,
         'dedup_containment': q_dedup_containment,
         'text_langid': q_text_langid,
         'text_quality_scores': q_text_quality_scores,
@@ -901,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         'similarity_topk_bruteforce': ORACLE_SIM_TOPK,
         'similarity_lsh_ann': ORACLE_SIM_LSH,
         'similarity_ivf': ORACLE_SIM_IVF,
+        'similarity_ivf_nprobe2': ORACLE_SIM_IVF_NPROBE2,
         'dedup_containment': ORACLE_CONTAINMENT,
         'text_langid': _langid_oracle(),
         'text_quality_scores': _quality_oracle(),

@@ -156,7 +156,7 @@ def frontier_pipeline_time(spark, n_candidates: int, n_seen: int, n_hosts: int,
 
 
 def run_frontier_bench(spark, n_candidates: int, n_seen: int, n_hosts: int = 1000,
-                       budget: int = 10_000, reps: int = 3) -> dict:
+                       budget: int = 10_000, reps: int = 5) -> dict:
     frontier_pipeline_time(spark, n_candidates, n_seen, n_hosts, budget)  # warmup
     times = [frontier_pipeline_time(spark, n_candidates, n_seen, n_hosts, budget)
              for _ in range(reps)]

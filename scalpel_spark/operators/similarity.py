@@ -125,15 +125,17 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     )
 
 
-def ivf_assignments(emb: DataFrame, quant: int = 1000) -> DataFrame:
+def ivf_assignments(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame:
     """IVF coarse quantizer: centroids = per-label mean vectors, every
-    vector assigned to its nearest centroid by squared L2 — the cell it
-    would be searched in. All arithmetic on floor(x*quant+0.5) integers so
-    assignment is bit-exact across engines (ties break on smaller label).
+    vector assigned to its ``nprobe`` nearest centroids by squared L2 —
+    the cells it would be searched in. All arithmetic on floor(x*quant+0.5)
+    integers so assignment is bit-exact across engines (ties break on
+    smaller label).
 
-    Returns (vec_id, label, cell). Training-free here because the corpus
-    carries labels; on unlabeled data the same code runs on k-means
-    centroids computed elsewhere.
+    Returns (vec_id, label, cell) — one row per probed cell per vector
+    (``nprobe=1`` keeps the classic single-cell assignment). Training-free
+    here because the corpus carries labels; on unlabeled data the same
+    code runs on k-means centroids computed elsewhere.
     """
     v = emb.select(
         'vec_id', 'label',
@@ -157,14 +159,17 @@ def ivf_assignments(emb: DataFrame, quant: int = 1000) -> DataFrame:
     w = Window.partitionBy('vec_id').orderBy('d2', 'cell')
     return (
         scored.withColumn('rn', F.row_number().over(w))
-        .filter(F.col('rn') == 1)
+        .filter(F.col('rn') <= nprobe)
         .select('vec_id', 'label', F.col('cell').cast('long').alias('cell'))
     )
 
 
-def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000) -> DataFrame:
-    """IVF search: exact cosine top-k restricted to the query's assigned
-    cell (coarse quantizer from :func:`ivf_assignments`). Returns
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000,
+             nprobe: int = 1) -> DataFrame:
+    """IVF search: exact cosine top-k restricted to the query's ``nprobe``
+    nearest cells (coarse quantizer from :func:`ivf_assignments`; corpus
+    vectors are indexed under their single primary cell, queries probe
+    ``nprobe`` cells — the standard recall/cost dial). Returns
     (query_id, neighbor_id, rank, cosine). The scale path: the cell join
     replaces the full cross product, like :func:`lsh_bucket_topk` but with
     learned (centroid) cells instead of random hyperplanes."""
@@ -172,7 +177,10 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000)
     v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(
         assign.select('vec_id', 'cell'), 'vec_id'
     )
-    q = v.filter(F.col('vec_id') < n_queries).select(
+    q_assign = assign if nprobe == 1 else ivf_assignments(emb, quant, nprobe)
+    q = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(
+        q_assign.select('vec_id', 'cell'), 'vec_id'
+    ).filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('query_id'), F.col('e').alias('eq'), 'cell'
     )
     c = v.select(F.col('vec_id').alias('neighbor_id'), F.col('e').alias('en'), 'cell')

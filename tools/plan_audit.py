@@ -21,7 +21,8 @@ sys.path.insert(0, '.')
 # queries whose plans are allowed to contain Python (Arrow) eval nodes
 PANDAS_OK = {'url_canonicalize_golden'}
 # engine queries run the full wave loop — skip static plan audit
-SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness'}
+SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness',
+        'crawl_golden_statistics', 'crawl_manyhosts_robots'}
 
 CHECKS = {
     'frontier_dedup_anti_join': ['LeftAnti'],
