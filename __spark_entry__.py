@@ -320,10 +320,13 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec('l_extendedprice') * (F.lit(1).cast('decimal(18,4)') - dec('l_discount')))
              .cast('double').alias('revenue'))
     )
+    # top-10 via sort+limit FIRST (TakeOrderedAndProject — distributed
+    # partial top-k, no single-partition global window over the full
+    # aggregate), then rank the surviving 10 rows
+    top = joined.orderBy(F.col('revenue').desc(), F.col('l_orderkey')).limit(10)
     w = Window.orderBy(F.col('revenue').desc(), F.col('l_orderkey'))
     return (
-        joined.withColumn('rnk', F.row_number().over(w))
-        .filter(F.col('rnk') <= 10)
+        top.withColumn('rnk', F.row_number().over(w))
         .select('l_orderkey', F.date_format('o_orderdate', 'yyyy-MM-dd').alias('o_orderdate'),
                 'revenue', F.col('rnk').cast('long').alias('rnk'))
     )
