@@ -421,11 +421,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs_plus(spark, sf_dir), k=16, bands=4, n=4, min_matches=8)
 
 
+def _minhash_consts_sql(k: int = 16) -> str:
+    from scalpel_spark.functions.texthash import minhash_affine_constants
+
+    rows = ', '.join(f'({i}, {a}, {b})'
+                     for i, (a, b) in enumerate(minhash_affine_constants(k)))
+    return f'consts(i, a, b) AS (VALUES {rows})'
+
+
 ORACLE_MINHASH = f"""
-WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
+WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)}, {_minhash_consts_sql(16)},
 ex AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
-hashed AS (SELECT doc_id, i, {H60.format(x="CAST(i AS VARCHAR) || ':' || s")} AS h
-           FROM ex CROSS JOIN range(16) t(i)),
+based AS (SELECT doc_id, ({H60.format(x='s')}) % {MERSENNE31} AS hb FROM ex),
+hashed AS (SELECT doc_id, i, (a * hb + b) % {MERSENNE31} AS h
+           FROM based CROSS JOIN consts),
 mh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
 sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
 banded AS (SELECT doc_id, sig, band,

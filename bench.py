@@ -54,9 +54,10 @@ BENCH_QUERIES = [
 
 def _bench_only_queries() -> dict:
     """Bench-only variants not in the oracle contract: the production
-    xxhash64 hash path (identical operator shapes to the md5-portable
-    defaults — this quantifies the md5 oracle-portability tax; see
-    functions/texthash.py docstring)."""
+    xxhash64 base-hash path (identical operator shapes to the md5-portable
+    defaults — this quantifies the remaining md5 oracle-portability tax,
+    now ~20% since the affine MinHash family needs only ONE base hash per
+    shingle; see functions/texthash.py)."""
     from pyspark.sql import functions as F
 
     from scalpel_spark.operators import dedup

@@ -57,6 +57,23 @@ def hash60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def minhash_affine_constants(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the affine MinHash family
+    sig_i = (a_i * (h mod M31) + b_i) mod M31 over the Mersenne prime
+    2^31-1 — the textbook universal-hash construction: ONE base hash per
+    shingle instead of k independent md5 calls (16x less hashing on the
+    dedup hot path), with each affine map a distinct permutation of the
+    31-bit space. The 31-bit reduction keeps a*h < 2^62 so int64 never
+    overflows in either engine. Shared verbatim by the Spark operator and
+    the DuckDB oracle SQL."""
+    consts = []
+    for i in range(k):
+        a = ((2 * i + 1) * 2654435761) % MERSENNE31 or 1
+        b = (i * 2654435769 + 98765) % MERSENNE31
+        consts.append((a, b))
+    return consts
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization. DuckDB twin: ``string_split(x, ' ')``."""
     return F.split(text, ' ')

@@ -116,22 +116,31 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def minhash_signatures(docs: DataFrame, k: int = 16, n: int = 3, hash_fn=hash60) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT> length k): sig[i] = min over shingles of
-    hash_fn(i || ':' || shingle). Docs with no shingles are dropped (they
-    cannot collide meaningfully).
+    the i-th affine universal hash of ONE base hash per shingle
+    (:func:`texthash.minhash_affine_constants` — k permutations of the
+    31-bit space from a single md5, 16x less hashing than k independent
+    hash calls). Docs with no shingles are dropped (they cannot collide
+    meaningfully).
 
-    ``hash_fn`` defaults to the md5-derived :func:`hash60` so the DuckDB
-    oracle can replay it bit-for-bit; production deployments pass
-    ``F.xxhash64`` (identical operator shape, ~an order of magnitude less
-    hashing cost — quantified in bench.py's ``dedup_minhash_lsh_xxh64``).
+    ``hash_fn`` (the base hash) defaults to the md5-derived :func:`hash60`
+    so the DuckDB oracle can replay it bit-for-bit; production deployments
+    pass ``F.xxhash64`` (identical operator shape — quantified in
+    bench.py's ``dedup_minhash_lsh_xxh64``).
     """
+    from scalpel_spark.functions.texthash import MERSENNE31, minhash_affine_constants
+
     sh = _shingled(docs, n).filter(F.size('shingle_set') > 0)
     ex = sh.select('doc_id', F.explode('shingle_set').alias('s'))
-    # all k hash families as k columns of the SAME exploded rows → one
-    # groupBy with k MIN aggregates (map-side partial), instead of a k-way
-    # explode that multiplies the shuffle k times
-    hashed = ex.select(
+    # ONE base hash per exploded row, k affine columns of the SAME rows →
+    # one groupBy with k MIN aggregates (map-side partial), instead of a
+    # k-way explode that multiplies the shuffle k times
+    based = ex.select(
+        'doc_id', F.pmod(hash_fn(F.col('s')), F.lit(MERSENNE31)).alias('hb')
+    )
+    hashed = based.select(
         'doc_id',
-        *[hash_fn(F.concat_ws(':', F.lit(i), F.col('s'))).alias(f'h{i}') for i in range(k)],
+        *[F.pmod(F.lit(a) * F.col('hb') + F.lit(b), F.lit(MERSENNE31)).alias(f'h{i}')
+          for i, (a, b) in enumerate(minhash_affine_constants(k))],
     )
     agg = hashed.groupBy('doc_id').agg(*[F.min(f'h{i}').alias(f'm{i}') for i in range(k)])
     return agg.select('doc_id', F.array(*[F.col(f'm{i}') for i in range(k)]).alias('sig'))
