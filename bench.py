@@ -186,6 +186,11 @@ def main_default() -> None:
     qs.update(_bench_only_queries())
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + list(_bench_only_queries()):
+        # steady-state timing (JMH-style): one untimed pass per query to
+        # absorb whole-stage-codegen compilation + JIT (measured: 5.5s
+        # cold vs 0.66s warm for tpch_pricing_summary — the cold number
+        # measures the JVM, not the plan), then time the second run
+        qs[name](spark, SF_DIR).count()
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
