@@ -29,6 +29,14 @@ from pyspark.sql import types as T
 def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str, start: int = 0) -> DataFrame:
     """Assign ``out_col`` = start, start+1, ... in the total order given by
     ``order_cols`` (which must be a unique key tuple for determinism)."""
+    return dense_sequence_with_count(df, order_cols, out_col, start)[0]
+
+
+def dense_sequence_with_count(df: DataFrame, order_cols: list[str], out_col: str,
+                              start: int = 0) -> tuple[DataFrame, int]:
+    """:func:`dense_sequence` plus the total row count — FREE, because the
+    offset pass already collects per-partition counts; callers needing
+    ``start + n`` (the engine's next_priority) avoid a whole extra job."""
     spark = df.sparkSession
     ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
 
@@ -56,11 +64,11 @@ def dense_sequence(df: DataFrame, order_cols: list[str], out_col: str, start: in
         acc += counts[pid]
     if not offsets:
         indexed.unpersist()
-        return df.withColumn(out_col, F.lit(start).cast('long'))
+        return df.withColumn(out_col, F.lit(start).cast('long')), 0
     offsets_df = spark.createDataFrame(pd.DataFrame(offsets, columns=['_pid', '_offset']))
     result = (
         indexed.join(F.broadcast(offsets_df), '_pid')
         .withColumn(out_col, (F.col('_local_idx') + F.col('_offset')).cast('long'))
         .drop('_pid', '_local_idx', '_offset')
     )
-    return result
+    return result, acc - start

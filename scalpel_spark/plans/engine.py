@@ -36,7 +36,7 @@ from scalpel_spark.config import CrawlConfig
 from scalpel_spark.functions import urlkit
 from scalpel_spark.functions.texthash import pround
 from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, url_hash_col
-from scalpel_spark.operators.ordering import dense_sequence
+from scalpel_spark.operators.ordering import dense_sequence_with_count
 from scalpel_spark.operators.parse import extract_items, extract_outlinks
 from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
 from scalpel_spark.operators.seen import CuckooFilter, anti_join_seen, anti_join_seen_cuckoo
@@ -406,7 +406,11 @@ class CrawlEngine:
         else:
             new = anti_join_seen(cand, seen_state, 'url_hash', seen_count, cfg.bloom_threshold)
         new = new.persist()
-        n_new = new.count()
+        # ONE action yields both the scheduled-set size and the
+        # per-partition lineage rows (metrics the north rule requires) —
+        # no separate count() round-trip
+        pid_counts = new.groupBy(F.spark_partition_id().alias('pid')).count().collect()
+        n_new = sum(int(r['count']) for r in pid_counts)
         metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
         if self._cuckoo is not None and n_new:
             # wave-bounded hash array (8 B/url); cluster path: shard by
@@ -422,8 +426,8 @@ class CrawlEngine:
             self._commit_wave({'frontier': self._empty(FRONTIER_SCHEMA)}, wave, next_priority, metrics_rows)
             return self._empty(FRONTIER_SCHEMA), next_priority, seen_count
 
-        # per-partition lineage for the scheduled set
-        for r in new.groupBy(F.spark_partition_id().alias('pid')).count().collect():
+        # per-partition lineage for the scheduled set (same collect as above)
+        for r in pid_counts:
             metrics_rows.append((wave, 'scheduled_rows', int(r['pid']), int(r['count']), 0.0))
 
         # 3. robots (F3/J2/T3): per-host decision on the host's first URL
@@ -576,9 +580,9 @@ class CrawlEngine:
         # reference quirk: dedup compares the RAW href (any_io/response.py:22-24)
         fresh_links = outlinks.join(follow_block, outlinks['raw_link'] == follow_block['url'], 'left_anti')
         absolutized = fresh_links.withColumn('abs_url', absolutize_udf(F.col('parent_url'), F.col('raw_link')))
-        with_prio = dense_sequence(absolutized, ['parent_priority', 'pos'], 'priority', start=next_priority)
-        max_p = with_prio.agg(F.max('priority')).collect()[0][0]
-        next_priority = next_priority if max_p is None else max_p + 1
+        with_prio, n_links = dense_sequence_with_count(
+            absolutized, ['parent_priority', 'pos'], 'priority', start=next_priority)
+        next_priority += n_links  # dense: max assigned = start + n_links - 1
         next_frontier_new = with_prio.select(
             F.col('abs_url').alias('url'),
             url_hash_col(F.col('abs_url')).alias('url_hash'),
