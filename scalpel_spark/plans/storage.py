@@ -53,16 +53,27 @@ class SnapshotStore:
     def commit(self, tables: dict[str, DataFrame], wave: int, metadata: Optional[dict] = None) -> str:
         """Atomically commit one snapshot containing all ``tables``.
 
-        Returns the snapshot id. Data is written first; the manifest rename
-        is the commit point.
+        Returns the snapshot id. Data is written first — all tables
+        concurrently (Spark schedules actions from multiple threads; this
+        is the Iceberg pattern of parallel data-file writes before the
+        single metadata swap) — then the manifest rename is the commit
+        point.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         manifest = self._read_manifest()
         snapshot_id = f's{len(manifest["snapshots"]):06d}-w{wave}'
         entry: dict = {'id': snapshot_id, 'wave': wave, 'ts': time.time(), 'tables': {}, 'metadata': metadata or {}}
-        for name, df in tables.items():
+
+        def write_one(item):
+            name, df = item
             path = os.path.join(self.root, 'data', snapshot_id, name)
             df.write.mode('overwrite').parquet(path)
-            entry['tables'][name] = path
+            return name, path
+
+        with ThreadPoolExecutor(max_workers=max(len(tables), 1)) as pool:
+            for name, path in pool.map(write_one, tables.items()):
+                entry['tables'][name] = path
         manifest['snapshots'].append(entry)
         manifest['current'] = snapshot_id
         tmp = self._manifest_path + '.tmp'

@@ -39,6 +39,23 @@ def test_statistics_agg_matches_set_statistics(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_host_state_beyond_broadcast_limit_matches(spark):
+    """broadcast_host_limit=0 forces the AQE shuffle-join path for the
+    robots join (the 10^8-host regime) — results must equal the
+    broadcast-hinted default."""
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_pages=120, n_hosts=10, seed=5)
+    robots = synthetic_robots(spark, n_hosts=10)
+    seeds = [f'http://h{h}.example.com/p{h}.html' for h in range(6)]
+    base = CrawlConfig(follow_robots_txt=True, max_waves=2)
+    a = CrawlEngine(spark, corpus, robots=robots, config=base).run(seeds)
+    b = CrawlEngine(spark, corpus, robots=robots,
+                    config=CrawlConfig(follow_robots_txt=True, max_waves=2,
+                                       broadcast_host_limit=0)).run(seeds)
+    assert a.dispatch_rows() == b.dispatch_rows()
+
+
 def test_host_state_committed_and_accumulates(spark):
     from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
 
