@@ -698,6 +698,28 @@ FROM per_doc GROUP BY lang
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase / punct→space / collapse / trim)
+    feeding exact dedup: cosmetic variants collapse to one fingerprint."""
+    norm = textops.normalize_text(_t(spark, sf_dir, 'documents'))
+    return norm.select(
+        'doc_id', 'n_chars_norm',
+        hash60(F.col('norm_text')).alias('norm_fingerprint'),
+    )
+
+
+ORACLE_TEXT_NORMALIZE = f"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+       {H60.format(x='norm_text')} AS norm_fingerprint
+FROM norm
+"""
+
+
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.document_fingerprints(_t(spark, sf_dir, 'documents'))
 
@@ -920,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_langid': q_text_langid,
         'text_quality_scores': q_text_quality_scores,
         'text_token_counts': q_text_token_counts,
+        'text_normalize': q_text_normalize,
         'text_fingerprints': q_text_fingerprints,
         'events_sessionize': q_events_sessionize,
         'crawl_golden_http': q_crawl_golden_http,
@@ -957,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         'text_langid': _langid_oracle(),
         'text_quality_scores': _quality_oracle(),
         'text_token_counts': ORACLE_TOKEN_COUNTS,
+        'text_normalize': ORACLE_TEXT_NORMALIZE,
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'events_sessionize': ORACLE_SESSIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,

@@ -136,3 +136,27 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
         lambda acc, t: acc.bitwiseXOR(hash60(t)),
     )
     return docs.select('doc_id', weighted.alias('fp_weighted'), xored.alias('fp_xor'))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization for dedup/quality pipelines: lowercase,
+    strip non-alphanumeric characters to spaces, collapse whitespace runs,
+    trim. Map-side only (JVM regexp, whole-stage codegen); the usual first
+    stage before exact-dup fingerprinting so cosmetic variants (case,
+    punctuation, spacing) collapse to one fingerprint.
+
+    Returns (doc_id, norm_text, n_chars_norm).
+    DuckDB twin: ``trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col('text')), '[^a-z0-9 ]', ' '),
+            ' +', ' ',
+        )
+    )
+    return docs.select(
+        'doc_id',
+        norm.alias('norm_text'),
+        F.length(norm).cast('long').alias('n_chars_norm'),
+    )

@@ -197,3 +197,33 @@ def test_ivf_assignments_and_topk(emb):
     rows = similarity.ivf_topk(emb, n_queries=1, k=2).collect()
     by_rank = sorted(rows, key=lambda r: r['rank'])
     assert by_rank[0]['neighbor_id'] == 1 and by_rank[0]['cosine'] == 1.0
+
+
+def test_ivf_nprobe_improves_recall(spark):
+    """Multi-probe IVF: the query's true nearest neighbor lives across the
+    cell boundary (L2 cells split on magnitude; cosine ignores it), so
+    nprobe=1 misses it and nprobe=2 finds it."""
+    rows = [(0, 0, [3.0, 3.0]),   # query: cell 0, but points along (1,1)
+            (1, 0, [5.0, 0.0]),
+            (2, 0, [0.0, 5.0]),
+            (3, 1, [6.0, 6.0]),   # cosine-identical direction to the query
+            (4, 1, [6.2, 6.0]),
+            (5, 1, [5.0, 5.2])]
+    emb = spark.createDataFrame(rows, 'vec_id long, label long, embedding array<double>')
+    one = similarity.ivf_topk(emb, n_queries=1, k=1, nprobe=1).collect()
+    two = similarity.ivf_topk(emb, n_queries=1, k=1, nprobe=2).collect()
+    assert one[0]['neighbor_id'] == 1 and abs(one[0]['cosine'] - 0.707107) < 1e-5
+    assert two[0]['neighbor_id'] == 3 and two[0]['cosine'] == 1.0
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(0, '  Hello,  WORLD!! 42 foo_bar  ', 'en', 's', 30),
+         (1, 'hello world 42 foo bar', 'en', 's', 22)],
+        DOC_SCHEMA,
+    )
+    rows = {r['doc_id']: r for r in textops.normalize_text(df).collect()}
+    assert rows[0]['norm_text'] == 'hello world 42 foo bar'
+    # cosmetic variants collapse to the same normalized form
+    assert rows[0]['norm_text'] == rows[1]['norm_text']
+    assert rows[0]['n_chars_norm'] == 22

@@ -161,3 +161,29 @@ def test_session_windows(spark, tmp_path):
     rows = sorted((r for r in out.collect() if r['host'] != 'flush'),
                   key=lambda r: r['session_start'])
     assert [r['n_events'] for r in rows] == [2, 1]
+
+
+def test_dedup_discovered_across_batches(spark, tmp_path):
+    """Streaming URL-seen dedup: repeats within the watermark horizon are
+    dropped, across micro-batch boundaries (state-store keyed on url)."""
+    import time as _time
+
+    from scalpel_spark.streaming.frontier_stream import dedup_discovered
+
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    d = str(tmp_path / 'dedup')
+    host = 'h.example.com'
+    batch1 = [(f'http://{host}/p{i}.html', host, base + pd.Timedelta(seconds=i), i)
+              for i in (0, 1, 2, 2)]  # in-batch duplicate of p2
+    _write_events(spark, d, batch1)
+    _time.sleep(1.1)
+    batch2 = [(f'http://{host}/p{i}.html', host, base + pd.Timedelta(seconds=10 + i), i)
+              for i in (1, 2, 3)]  # 1 and 2 already seen, 3 is new
+    _write_events(spark, d, batch2)
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    name = 'dedup_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, dedup_discovered(stream, watermark='1 hour'), name)
+    urls = sorted(r['url'] for r in out.collect())
+    assert urls == [f'http://{host}/p{i}.html' for i in range(4)]  # each once
