@@ -99,27 +99,16 @@ def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int =
     return Bloom(merged, num_bits, num_hashes)
 
 
-def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_hash',
-                   seen_count: int | None = None, bloom_threshold: int = 4096,
-                   exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
-    """candidates ⟕ seen LEFT ANTI, bloom-prefiltered.
-
-    The exact join keys are (url_hash, url): the hash drives the shuffle /
-    bloom, the string confirms — set semantics stay exact even under a
-    64-bit collision. Rows whose hash is *definitely not* in the bloom skip
-    the join entirely; only "maybe" rows shuffle into the exact anti-join.
-    Below ``bloom_threshold`` seen rows the bloom build costs more than it
-    saves — plain anti-join then (Catalyst broadcasts the small seen side).
-    """
+def bloom_prefiltered_anti_join(candidates: DataFrame, seen: DataFrame, bloom: 'Bloom',
+                                hash_col: str = 'url_hash',
+                                exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
+    """The prefilter+confirm core: rows whose hash is *definitely not* in
+    ``bloom`` skip the join entirely; only "maybe" rows shuffle into the
+    exact anti-join on ``exact_cols`` — set semantics stay exact even
+    under a 64-bit collision. Callers own the bloom lifecycle (the engine
+    maintains one incrementally across waves; :func:`anti_join_seen`
+    builds a one-shot one)."""
     keys = list(exact_cols)
-    if seen_count is None:
-        seen_count = seen.count()
-    if seen_count == 0:
-        return candidates
-    if seen_count < bloom_threshold:
-        return candidates.join(seen.select(*keys), keys, 'left_anti')
-
-    bloom = build_bloom(seen, hash_col, expected=seen_count)
     spark = candidates.sparkSession
     bc = spark.sparkContext.broadcast((bloom.bitmap, bloom.num_bits, bloom.num_hashes))
 
@@ -133,6 +122,25 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_
     definite_new = flagged.filter(~F.col('_maybe')).drop('_maybe')
     maybe = flagged.filter(F.col('_maybe')).drop('_maybe')
     return definite_new.unionByName(maybe.join(seen.select(*keys), keys, 'left_anti'))
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_hash',
+                   seen_count: int | None = None, bloom_threshold: int = 4096,
+                   exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
+    """candidates ⟕ seen LEFT ANTI, bloom-prefiltered (one-shot bloom).
+
+    Below ``bloom_threshold`` seen rows the bloom build costs more than it
+    saves — plain anti-join then (Catalyst broadcasts the small seen side).
+    """
+    keys = list(exact_cols)
+    if seen_count is None:
+        seen_count = seen.count()
+    if seen_count == 0:
+        return candidates
+    if seen_count < bloom_threshold:
+        return candidates.join(seen.select(*keys), keys, 'left_anti')
+    bloom = build_bloom(seen, hash_col, expected=seen_count)
+    return bloom_prefiltered_anti_join(candidates, seen, bloom, hash_col, exact_cols)
 
 
 def anti_join_seen_cuckoo(candidates: DataFrame, seen: DataFrame, cuckoo: 'CuckooFilter',

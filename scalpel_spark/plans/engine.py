@@ -39,7 +39,8 @@ from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, u
 from scalpel_spark.operators.ordering import dense_sequence_with_count
 from scalpel_spark.operators.parse import extract_items, extract_outlinks
 from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
-from scalpel_spark.operators.seen import CuckooFilter, anti_join_seen, anti_join_seen_cuckoo
+from scalpel_spark.operators.seen import (CuckooFilter, anti_join_seen_cuckoo,
+                                          bloom_prefiltered_anti_join, build_bloom)
 from scalpel_spark.operators.skew import detect_hot_keys
 from scalpel_spark.plans.storage import SnapshotStore
 
@@ -202,6 +203,10 @@ class CrawlEngine:
         self.store = store or SnapshotStore(tempfile.mkdtemp(prefix='scalpel-spark-'))
         self._cuckoo = None
         self._cuckoo_saturated = False
+        # in-run incremental bloom (rebuilt lazily per run/resume — the
+        # "rebuild-at-resume-time accelerator" of DESIGN.md)
+        self._bloom = None
+        self._bloom_capacity = 0
         if self.config.seen_filter == 'cuckoo':
             self._cuckoo = self._load_cuckoo()
 
@@ -396,15 +401,26 @@ class CrawlEngine:
 
         # 2. seen dedup (F1/J1): prefiltered exact anti-join. Cuckoo mode
         # probes the persistent sidecar (updated incrementally, never
-        # rescanning seen — and delete-capable for forget()); bloom mode
-        # rebuilds from the seen table. A saturated cuckoo could yield
-        # false NEGATIVES (dropped inserts), so it falls back to the plain
-        # exact path — exactness always wins.
+        # rescanning seen — and delete-capable for forget()); a saturated
+        # cuckoo could yield false NEGATIVES (dropped inserts), so it
+        # falls back — exactness always wins. Bloom mode is also
+        # incremental within a run: built ONCE with 4x headroom, then
+        # OR-merged with a per-wave mini-bloom over just the wave's new
+        # rows (executor-side treeAggregate) — O(seen) scanned once per
+        # run instead of O(waves × seen).
         t0 = time.time()
         if self._cuckoo is not None and not self._cuckoo_saturated:
             new = anti_join_seen_cuckoo(cand, seen_state, self._cuckoo)
+        elif seen_count >= cfg.bloom_threshold:
+            if self._bloom is None or seen_count > self._bloom_capacity:
+                self._bloom_capacity = max(seen_count, cfg.bloom_threshold) * 4
+                self._bloom = build_bloom(seen_state, 'url_hash', expected=self._bloom_capacity)
+            new = bloom_prefiltered_anti_join(cand, seen_state, self._bloom)
+        elif seen_count:
+            # tiny seen side: Catalyst broadcasts the exact anti-join
+            new = cand.join(seen_state.select('url_hash', 'url'), ['url_hash', 'url'], 'left_anti')
         else:
-            new = anti_join_seen(cand, seen_state, 'url_hash', seen_count, cfg.bloom_threshold)
+            new = cand
         new = new.persist()
         # ONE action yields both the scheduled-set size and the
         # per-partition lineage rows (metrics the north rule requires) —
@@ -412,14 +428,20 @@ class CrawlEngine:
         pid_counts = new.groupBy(F.spark_partition_id().alias('pid')).count().collect()
         n_new = sum(int(r['count']) for r in pid_counts)
         metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
-        if self._cuckoo is not None and n_new:
-            # wave-bounded hash array (8 B/url); cluster path: shard by
-            # hash range (operators/seen.py CuckooFilter scale note)
-            hashes = np.array([r['url_hash'] for r in new.select('url_hash').collect()],
-                              dtype=np.int64)
-            if self._cuckoo.insert(hashes) > 0:
-                self._cuckoo_saturated = True
-            self._save_cuckoo()
+        if n_new:
+            if self._cuckoo is not None:
+                # wave-bounded hash array (8 B/url); cluster path: shard by
+                # hash range (operators/seen.py CuckooFilter scale note)
+                hashes = np.array([r['url_hash'] for r in new.select('url_hash').collect()],
+                                  dtype=np.int64)
+                if self._cuckoo.insert(hashes) > 0:
+                    self._cuckoo_saturated = True
+                self._save_cuckoo()
+            if self._bloom is not None:
+                # same-capacity mini-bloom over this wave's rows, built
+                # executor-side, OR-merged — the bloom never rescans seen
+                self._bloom.merge(
+                    build_bloom(new, 'url_hash', expected=self._bloom_capacity))
         if n_new == 0:
             frontier.unpersist()
             new.unpersist()
