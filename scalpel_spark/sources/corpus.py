@@ -340,6 +340,23 @@ def synthetic_robots(spark: SparkSession, n_hosts: int, seed: int = 42) -> DataF
     return spark.createDataFrame(synthetic_robots_rows(n_hosts, seed), ROBOTS_SCHEMA)
 
 
+def write_bucketed_corpus(corpus_df: DataFrame, table_name: str,
+                          n_buckets: int = 8, path: str | None = None) -> None:
+    """Persist the corpus as a parquet table bucketed (and sorted) on
+    ``doc_id`` — the at-rest layout DESIGN.md prescribes for the fetch
+    join: at 100 TB the corpus is by far the bigger join side, so
+    pre-bucketing it on the join key makes the fetch a one-sided shuffle
+    (only the much smaller frontier moves; the corpus-side Exchange
+    disappears from the plan — proven by
+    tests/test_bucketed_join.py). ``path`` makes it an external table
+    (keeps test data out of the default warehouse)."""
+    writer = (corpus_df.write.mode('overwrite').format('parquet')
+              .bucketBy(n_buckets, 'doc_id').sortBy('doc_id'))
+    if path is not None:
+        writer = writer.option('path', path)
+    writer.saveAsTable(table_name)
+
+
 def with_render_modes(corpus_df: DataFrame, dom_mod: int = 3, seed: int = 42) -> DataFrame:
     """S5 selenium parity: tag every ``dom_mod``-th page (hash-selected,
     deterministic) as browser-rendered (``render='dom'``), the rest as
