@@ -92,3 +92,18 @@ def test_saturated_cuckoo_falls_back_to_exact(spark, tmp_path):
     res = engine.run(['http://quotes.com'])
     assert res.statistics().reachable_urls == ALL3
     assert res.seen.count() == 3
+
+
+def test_cuckoo_rebuilds_from_bloom_written_store(spark, tmp_path):
+    """A store written under seen_filter='bloom' has no sidecar; opening it
+    in cuckoo mode rebuilds the filter from the seen hashes once, and
+    forget()/recrawl work from there."""
+    bloom_engine = _engine(spark, tmp_path, seen_filter='bloom')
+    bloom_engine.run(['http://quotes.com'])
+
+    cuckoo_engine = _engine(spark, tmp_path, seen_filter='cuckoo')  # same store
+    assert cuckoo_engine._cuckoo.contains(_url_hashes(spark, sorted(ALL3))).all()
+    cuckoo_engine.forget([PAGE2])
+    res = cuckoo_engine.run([PAGE2])
+    assert {r['url'] for r in res.seen.filter("status='reachable'").collect()} == ALL3
+    assert res.seen.count() == 3

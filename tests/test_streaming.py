@@ -187,3 +187,25 @@ def test_dedup_discovered_across_batches(spark, tmp_path):
     out = _run_stream(spark, dedup_discovered(stream, watermark='1 hour'), name)
     urls = sorted(r['url'] for r in out.collect())
     assert urls == [f'http://{host}/p{i}.html' for i in range(4)]  # each once
+
+
+def test_stateful_politeness_empty_carryover_roundtrip(spark, tmp_path):
+    """A host that stays under budget writes an EMPTY carryover to state;
+    the next batch must read it back cleanly (array-typed state fields)."""
+    import time as _time
+
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    d = str(tmp_path / 'under')
+    host = 'h.example.com'
+    _write_events(spark, d, [(f'http://{host}/p0.html', host, base, 0),
+                             (f'http://{host}/p1.html', host, base, 1)])
+    _time.sleep(1.1)
+    _write_events(spark, d, [(f'http://{host}/p2.html', host, base + pd.Timedelta(seconds=5), 2)])
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    name = 'under_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, stateful_politeness(stream, budget_per_batch=4), name)
+    rows = out.collect()
+    assert all(r['admitted'] for r in rows) and len(rows) == 3
+    assert sorted({r['dispatched_total'] for r in rows}) == [2, 3]
