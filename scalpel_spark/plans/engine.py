@@ -267,13 +267,17 @@ class CrawlEngine:
         else:
             fdf = self.spark.createDataFrame([(u,) for u in urls], 'url string')
         fdf = fdf.select('url', url_hash_col(F.col('url')).alias('url_hash'))
-        seen = self._state('seen_delta', SEEN_SCHEMA)
-        followed = self._state('followed_delta', 'url string')
-        tables = {
-            'seen_compacted': seen.join(fdf.select('url'), 'url', 'left_anti'),
-            'followed_compacted': followed.join(fdf.select('url'), 'url', 'left_anti'),
-            'forgotten_delta': fdf,
-        }
+        tables = {'forgotten_delta': fdf}
+        # every per-URL state table is compacted: a forgotten URL must also
+        # drop its emitted document and items, or the recrawl would leave
+        # stale duplicates behind (and overcount fetch statistics)
+        for delta, key in (('seen_delta', 'url'), ('followed_delta', 'url'),
+                           ('docs_delta', 'doc_id'), ('items_delta', 'doc_id')):
+            if not self.store.state_paths(delta):
+                continue
+            state = self.spark.read.parquet(*self.store.state_paths(delta))
+            compacted = state.join(fdf.select(F.col('url').alias(key)), key, 'left_anti')
+            tables[delta.replace('_delta', '_compacted')] = compacted
         snap = self.store.current()
         wave, next_priority = -1, 0
         if snap is not None:

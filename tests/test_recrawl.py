@@ -52,6 +52,11 @@ def test_forget_then_refetch_deterministically(spark, tmp_path):
     # page1/page3 were NOT re-fetched (their original wave rows survive,
     # no new rows) — deterministic dedup across the forget boundary
     assert res2.seen.filter("url = 'http://quotes.com'").count() == 1
+    # docs and items were compacted too: the recrawled page's doc appears
+    # exactly once (no stale pre-forget copy), 2 items per page
+    assert res2.docs.filter(f"doc_id = '{PAGE2}'").count() == 1
+    assert res2.docs.count() == 3
+    assert res2.items.count() == 6
 
 
 def test_forget_without_cuckoo_still_compacts(spark, tmp_path):
