@@ -93,14 +93,16 @@ def session_windows(stream: DataFrame, gap: str = '30 minutes',
 
 def dedup_discovered(stream: DataFrame, watermark: str = '1 hour') -> DataFrame:
     """Streaming URL-seen dedup: first sighting of each URL wins, repeats
-    within the watermark horizon are dropped (``dropDuplicates`` keyed on
-    the URL — Spark keeps per-key state bounded by the event-time
-    watermark). The streaming twin of the batch engine's seen anti-join:
-    at an unbounded crawl the state store IS the recent-seen set, with the
-    durable full set living in the committed seen table that a periodic
-    batch anti-join reconciles against.
+    within the watermark horizon are dropped. Uses
+    ``dropDuplicatesWithinWatermark`` — the key-only dedup whose per-URL
+    state IS evicted once the watermark passes (plain ``dropDuplicates``
+    on a key subset without the event-time column keeps state forever).
+    The streaming twin of the batch engine's seen anti-join: the state
+    store is the recent-seen set, the durable full set lives in the
+    committed seen table that a periodic batch anti-join reconciles
+    against.
     """
-    return stream.withWatermark('ts', watermark).dropDuplicates(['url'])
+    return stream.withWatermark('ts', watermark).dropDuplicatesWithinWatermark(['url'])
 
 
 def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFrame:
