@@ -379,6 +379,34 @@ ORACLE_URL = 'SELECT * FROM (VALUES\n' + ',\n'.join(
 ) + '\n) AS t(base, link, absolute)'
 
 
+CANON_GOLDEN = [
+    ('http://a.com/p?utm_source=x&id=2&utm_campaign=c', 'http://a.com/p?id=2'),
+    ('http://a.com/p?b=2&a=1', 'http://a.com/p?a=1&b=2'),
+    ('http://a.com/p?a=1#frag', 'http://a.com/p?a=1'),
+    ('http://a.com/p?gclid=xyz', 'http://a.com/p'),
+    ('HTTP://a.com/p', 'http://a.com/p'),
+    ('http://a.com/p?', 'http://a.com/p'),
+    ('http://a.com/p?a=1&a=0', 'http://a.com/p?a=1&a=0'),
+    ('file:///website/p.html?ref=nav', 'file:/website/p.html'),
+    ('http://a.com/p?PHPSESSID=9&x=1', 'http://a.com/p?x=1'),
+]
+
+
+def q_url_frontier_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier canonicalization (seen-set key normalizer): fragment drop,
+    tracking/session-param strip, stable param sort — one page stays ONE
+    frontier entry regardless of link cosmetics. Pinned goldens."""
+    from scalpel_spark.functions.urls import canonical_frontier_udf
+
+    df = spark.createDataFrame([(u,) for u, _ in CANON_GOLDEN], 'url string')
+    return df.select('url', canonical_frontier_udf(F.col('url')).alias('canonical'))
+
+
+ORACLE_CANON = 'SELECT * FROM (VALUES\n' + ',\n'.join(
+    "  ('{}', '{}')".format(u, c) for u, c in CANON_GOLDEN
+) + '\n) AS t(url, canonical)'
+
+
 # ---------------------------------------------------------------------------
 # 3. deduplication (training-data pipeline)
 # ---------------------------------------------------------------------------
@@ -929,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'skew_salted_aggregation': q_skew_salted_aggregation,
         'tpch_shipping_priority': q_tpch_shipping_priority,
         'url_canonicalize_golden': q_url_canonicalize_golden,
+        'url_frontier_canonical': q_url_frontier_canonical,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
@@ -967,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         'skew_salted_aggregation': ORACLE_SALTED,
         'tpch_shipping_priority': ORACLE_TPCH_Q3,
         'url_canonicalize_golden': ORACLE_URL,
+        'url_frontier_canonical': ORACLE_CANON,
         'dedup_exact': ORACLE_DEDUP_EXACT,
         'dedup_ngram_jaccard': ORACLE_JACCARD,
         'dedup_minhash_lsh': ORACLE_MINHASH,

@@ -160,6 +160,37 @@ def absolutize(base_url: str, url: str) -> str:
     return unsplit(target._replace(fragment=None))
 
 
+# session/campaign query parameters that never change page identity —
+# the classic frontier canonicalization blocklist (lowercase match)
+TRACKING_PARAMS = frozenset({
+    'utm_source', 'utm_medium', 'utm_campaign', 'utm_term', 'utm_content',
+    'gclid', 'fbclid', 'msclkid', 'mc_cid', 'mc_eid', 'ref', 'sessionid',
+    'phpsessid', 'jsessionid',
+})
+
+
+def canonicalize_for_frontier(url: str) -> str:
+    """Frontier canonical form: drop the fragment, strip tracking/session
+    query params (``TRACKING_PARAMS``), and sort the surviving params by
+    key (stable for equal keys) so param order can't split one page into
+    many frontier entries. Everything else — scheme case, ``file:///``
+    collapse — follows the same split/unsplit rules the reference uses.
+    The crawl still fetches the ORIGINAL url; this form only feeds the
+    seen-set key, exactly like the reference dedups on its own notion of
+    a canonical URL.
+    """
+    u = split_uri(url)
+    query = u.query
+    if query:
+        kept = [p for p in query.split('&')
+                if p and p.split('=', 1)[0].lower() not in TRACKING_PARAMS]
+        kept.sort(key=lambda p: p.split('=', 1)[0])
+        query = '&'.join(kept) if kept else None
+    elif query == '':
+        query = None
+    return unsplit(SplitURI(u.scheme, u.authority, u.path, query, None))
+
+
 def host_of(url: str) -> Optional[str]:
     """Lowercased host, userinfo and port stripped (httpx.URL(url).host
     semantics used for robots keying, ``any_io/robots.py:44-45``)."""

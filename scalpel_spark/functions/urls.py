@@ -32,6 +32,14 @@ def absolutize_udf(base: pd.Series, url: pd.Series) -> pd.Series:
 
 
 @pandas_udf(StringType())
+def canonical_frontier_udf(url: pd.Series) -> pd.Series:
+    """Vectorized :func:`urlkit.canonicalize_for_frontier` (tracking-param
+    strip + param sort + fragment drop) — the seen-set key normalizer."""
+    canon = urlkit.canonicalize_for_frontier
+    return pd.Series([canon(u) if u is not None else None for u in url], dtype='object')
+
+
+@pandas_udf(StringType())
 def validate_url_udf(url: pd.Series) -> pd.Series:
     """Returns the reference's error message per URL, or null when valid
     (``core/spider.py:15-53``)."""

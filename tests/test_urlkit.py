@@ -90,3 +90,18 @@ def test_is_absolute():
     assert not urlkit.is_absolute('http://example.com#frag')
     assert not urlkit.is_absolute('page2.html')
     assert not urlkit.is_absolute('#hello')
+
+
+def test_canonicalize_for_frontier():
+    from scalpel_spark.functions.urlkit import canonicalize_for_frontier as canon
+
+    assert canon('http://a.com/p?utm_source=x&id=2&utm_campaign=c') == 'http://a.com/p?id=2'
+    assert canon('http://a.com/p?b=2&a=1') == 'http://a.com/p?a=1&b=2'
+    assert canon('http://a.com/p?a=1#frag') == 'http://a.com/p?a=1'
+    assert canon('http://a.com/p?gclid=xyz') == 'http://a.com/p'
+    assert canon('http://a.com/p?') == 'http://a.com/p'
+    # stable for repeated keys — relative order of a=1, a=0 preserved
+    assert canon('http://a.com/p?a=1&a=0') == 'http://a.com/p?a=1&a=0'
+    # idempotent: canon(canon(u)) == canon(u)
+    for u in ('http://a.com/p?b=2&a=1&utm_term=t#x', 'file:///w/p.html?ref=nav'):
+        assert canon(canon(u)) == canon(u)
