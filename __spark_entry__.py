@@ -904,6 +904,67 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delay-derived politeness budget (SURVEY §2.9 T2/W1): per-host budget
+    = least(max_dispatch, max(1, floor(wave_duration / robots delay))) —
+    the reference's crawl-delay pacing (any_io/static_spider.py:180,187 via
+    any_io/robots.py:79-95) per wave. 10 seeds/host, wave_duration=10:
+    h4 (Crawl-delay: 2) → 5/wave, h5 (Request-rate: 2/5) → 4/wave,
+    delay-0 hosts → max_dispatch=8. Deterministic → VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_pages=150, n_hosts=12, seed=11)
+    robots = synthetic_robots(spark, n_hosts=12)
+    engine = CrawlEngine(
+        spark, corpus, robots=robots,
+        config=CrawlConfig(
+            follow_robots_txt=True,
+            wave_duration=10.0,
+            max_dispatch_per_host_per_wave=8,
+            max_waves=2,
+        ),
+    )
+    seeds = [f'http://h{h}.example.com/p{p}.html' for h in range(12) for p in range(10)]
+    result = engine.run(seeds)
+    dispatched = result.seen.filter(F.col('status') != 'robots_excluded')
+    return (
+        dispatched.select(F.regexp_extract('url', r'^http://([^/]+)/', 1).alias('host'),
+                          'wave', 'priority')
+        .groupBy('host', 'wave')
+        .agg(F.count('*').alias('n_dispatched'), F.min('priority').alias('min_priority'))
+        .select('host', F.col('wave').cast('long').alias('wave'), 'n_dispatched', 'min_priority')
+    )
+
+
+# pinned from the deterministic run (corpus seed=11, robots policy table):
+# h4 = 5/wave (Crawl-delay 2), h5 = 4/wave (Request-rate 2/5), delay-0
+# hosts = 8 in wave 0 (max_dispatch); h0/h2/h3 excluded entirely
+ORACLE_POLITENESS_BUDGET = """
+SELECT * FROM (VALUES
+  ('h1.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(10 AS BIGINT)),
+  ('h10.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h11.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(110 AS BIGINT)),
+  ('h4.example.com', CAST(0 AS BIGINT), CAST(5 AS BIGINT), CAST(40 AS BIGINT)),
+  ('h5.example.com', CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(50 AS BIGINT)),
+  ('h6.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(60 AS BIGINT)),
+  ('h7.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(70 AS BIGINT)),
+  ('h8.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(80 AS BIGINT)),
+  ('h9.example.com', CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(90 AS BIGINT)),
+  ('h1.example.com', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(18 AS BIGINT)),
+  ('h10.example.com', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(108 AS BIGINT)),
+  ('h11.example.com', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(118 AS BIGINT)),
+  ('h4.example.com', CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(45 AS BIGINT)),
+  ('h5.example.com', CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(54 AS BIGINT)),
+  ('h6.example.com', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(68 AS BIGINT)),
+  ('h7.example.com', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(78 AS BIGINT)),
+  ('h8.example.com', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(88 AS BIGINT)),
+  ('h9.example.com', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(98 AS BIGINT))
+) AS t(host, wave, n_dispatched, min_priority)
+"""
+
+
 def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic 200-page crawl with robots + politeness budget + hot-host
     salting; deterministic per-wave dispatch statistics. Iterative wave
@@ -977,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_golden_http': q_crawl_golden_http,
         'crawl_golden_statistics': q_crawl_golden_statistics,
         'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
+        'crawl_politeness_budget': q_crawl_politeness_budget,
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
     }
 
@@ -1016,5 +1078,6 @@ def oracle_sql() -> dict[str, str]:
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
+        'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }

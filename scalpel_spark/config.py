@@ -37,9 +37,25 @@ class CrawlConfig:
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded
+    # wall-clock seconds one wave represents (SURVEY §2.9 T2): when set,
+    # each host's per-wave dispatch budget is delay-derived —
+    # max(1, floor(wave_duration / delay)) — from the host_state delay the
+    # robots evaluation recorded (crawl-delay → request-rate → config
+    # default precedence, any_io/robots.py:79-95), so a `Crawl-delay: 10`
+    # host is paced 10x slower than a delay-1 host, exactly the
+    # reference's sleep-between-dispatches pacing
+    # (any_io/static_spider.py:180,187). delay <= 0 (or politeness_mode=
+    # 'green' with request_delay 0, which records the config delay) means
+    # unbounded-by-delay; combined with max_dispatch_per_host_per_wave the
+    # smaller budget wins. None = budget is max_dispatch... alone.
+    wave_duration: Optional[float] = None
     hot_host_threshold: Optional[int] = None  # rows per host that triggers salting
     num_salts: int = 8
     bloom_threshold: int = 4096  # seen rows below which the bloom prefilter is skipped
+    # bloom shard count (None = auto: 1 shard until one bitmap would exceed
+    # seen.MAX_SHARD_BYTES, then power-of-2 shards by hash range — the
+    # 10^10-key layout where a single 15 GB bitmap could not broadcast)
+    bloom_shards: Optional[int] = None
     # seen-set prefilter structure: 'bloom' (default — rebuilt per wave
     # from the seen table, no deletes) or 'cuckoo' (persistent sidecar,
     # updated incrementally per wave, delete-capable → enables forget()/
@@ -77,6 +93,8 @@ class CrawlConfig:
             raise ValueError(f'unknown link_rule: {self.link_rule}')
         if self.politeness_mode not in ('anyio', 'green'):
             raise ValueError(f'unknown politeness_mode: {self.politeness_mode}')
+        if self.wave_duration is not None and self.wave_duration <= 0:
+            raise ValueError('wave_duration must be > 0 seconds')
         if self.seen_filter not in ('bloom', 'cuckoo'):
             raise ValueError(f'unknown seen_filter: {self.seen_filter}')
 
@@ -92,9 +110,9 @@ class CrawlConfig:
 
 _BOOL_TRUE = {'1', 'true', 'yes', 'y', 'on'}
 _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_per_wave',
-               'hot_host_threshold', 'num_salts', 'bloom_threshold', 'max_waves', 'seed',
-               'broadcast_host_limit', 'cuckoo_buckets'}
-_FLOAT_FIELDS = {'fetch_timeout'}
+               'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
+               'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets'}
+_FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
 

@@ -31,13 +31,46 @@ def _next_pow2(n: int) -> int:
     return 1 << max(13, (n - 1).bit_length())
 
 
-class Bloom:
-    """Immutable bloom filter over signed-64 hash values (F.xxhash64)."""
+# a single shard's bitmap is capped so one shard always fits comfortably in
+# an executor/broadcast slot; 10^10 keys at 12 bits/key = ~15 GB total →
+# ~60 shards of 256 MB, each independently built, merged, and probed
+MAX_SHARD_BYTES = 256 << 20
 
-    def __init__(self, bitmap: np.ndarray, num_bits: int, num_hashes: int):
-        self.bitmap = bitmap  # uint8[num_bits/8]
-        self.num_bits = num_bits
+
+def shards_for(expected: int, bits_per_key: int = 12) -> int:
+    """Power-of-2 shard count so each shard bitmap stays under
+    ``MAX_SHARD_BYTES`` (1 at every sandbox scale)."""
+    total_bytes = _next_pow2(max(expected, 1) * bits_per_key) >> 3
+    n = 1
+    while total_bytes // n > MAX_SHARD_BYTES:
+        n <<= 1
+    return n
+
+
+def _shard_of(h: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard routing on hash bits 32..(32+log2 n) — disjoint from both the
+    bloom's double-hash mix and the cuckoo fingerprint (bits 48..63) /
+    bucket (low bits), so sharding never correlates with in-shard
+    placement."""
+    return ((h.astype(np.uint64) >> np.uint64(32)) % np.uint64(n_shards)).astype(np.int64)
+
+
+class Bloom:
+    """Bloom filter over signed-64 hash values (F.xxhash64), sharded by
+    hash range: ``shards[i]`` is an independent bitmap holding the keys
+    whose bits 32.. route to shard i. One shard (the sandbox default) is
+    the classic flat bitmap; at 10^10 keys the shards are what keeps each
+    bitmap under :data:`MAX_SHARD_BYTES` (broadcastable as a dict, probed
+    per owning shard)."""
+
+    def __init__(self, shards: list[np.ndarray], num_bits: int, num_hashes: int):
+        self.shards = shards  # per-shard uint8[num_bits/8]
+        self.num_bits = num_bits  # bits PER SHARD
         self.num_hashes = num_hashes
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.shards)
 
     @staticmethod
     def _indices(h: np.ndarray, k: int, num_bits: int) -> np.ndarray:
@@ -46,57 +79,90 @@ class Bloom:
         h2 = (h >> np.uint64(32)) | np.uint64(1)
         return (h + np.uint64(k) * h2) % np.uint64(num_bits)
 
-    def add_array(self, hashes: np.ndarray) -> None:
+    def _add_to_shard(self, bitmap: np.ndarray, hashes: np.ndarray) -> None:
         for k in range(self.num_hashes):
             idx = self._indices(hashes, k, self.num_bits)
-            np.bitwise_or.at(self.bitmap, (idx >> np.uint64(3)).astype(np.int64),
+            np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
                              (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+    def add_array(self, hashes: np.ndarray) -> None:
+        if self.n_shards == 1:
+            self._add_to_shard(self.shards[0], hashes)
+            return
+        sh = _shard_of(hashes, self.n_shards)
+        for s in np.unique(sh):
+            self._add_to_shard(self.shards[s], hashes[sh == s])
 
     def contains_array(self, hashes: np.ndarray) -> np.ndarray:
         out = np.ones(len(hashes), dtype=bool)
-        for k in range(self.num_hashes):
-            idx = self._indices(hashes, k, self.num_bits)
-            bits = self.bitmap[(idx >> np.uint64(3)).astype(np.int64)] & (
-                np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
-            )
-            out &= bits != 0
+        if self.n_shards == 1:
+            groups = [(self.shards[0], slice(None), hashes)]
+        else:
+            sh = _shard_of(hashes, self.n_shards)
+            groups = [(self.shards[s], sh == s, hashes[sh == s]) for s in np.unique(sh)]
+        for bitmap, sel, h in groups:
+            hit = np.ones(len(h), dtype=bool)
+            for k in range(self.num_hashes):
+                idx = self._indices(h, k, self.num_bits)
+                bits = bitmap[(idx >> np.uint64(3)).astype(np.int64)] & (
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+                )
+                hit &= bits != 0
+            out[sel] = hit
         return out
 
     def merge(self, other: 'Bloom') -> 'Bloom':
-        np.bitwise_or(self.bitmap, other.bitmap, out=self.bitmap)
+        assert other.n_shards == self.n_shards and other.num_bits == self.num_bits
+        for mine, theirs in zip(self.shards, other.shards):
+            np.bitwise_or(mine, theirs, out=mine)
         return self
 
 
-def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int = 12, num_hashes: int = 4) -> Bloom:
-    """Build per-partition bitmaps in mapInPandas (numpy over Arrow), then
-    OR-merge them *executor-side* with a depth-2 treeReduce — the driver
-    receives exactly one bitmap. A collect-and-merge-on-driver variant is
+def build_bloom(df: DataFrame, hash_col: str, expected: int, bits_per_key: int = 12,
+                num_hashes: int = 4, n_shards: int | None = None) -> Bloom:
+    """Build per-(partition, shard) bitmaps in mapInPandas (numpy over
+    Arrow), then OR-merge them *executor-side* per shard with
+    ``aggregateByKey`` keyed on the shard id — map-side partial merge, one
+    reducer per shard, the driver receives each shard's final bitmap
+    exactly once. A collect-and-merge-on-driver variant is
     O(partitions × bitmap) serial driver work, which caps scaling (Amdahl)
-    once partitions track core count — SURVEY.md §4.2."""
-    num_bits = _next_pow2(max(expected, 1) * bits_per_key)
-    schema = T.StructType([T.StructField('bitmap', T.BinaryType())])
+    once partitions track core count — SURVEY.md §4.2.
+
+    ``n_shards`` defaults to :func:`shards_for` (1 below ~10^8 keys); each
+    shard is sized for its expected/n_shards keys, so the total bit budget
+    — and the false-positive rate — is identical at any shard count."""
+    if n_shards is None:
+        n_shards = shards_for(expected, bits_per_key)
+    num_bits = _next_pow2(max(expected // n_shards, 1) * bits_per_key)
+    schema = T.StructType([T.StructField('shard', T.IntegerType()),
+                           T.StructField('bitmap', T.BinaryType())])
 
     def per_partition(batches):
-        bitmap = np.zeros(num_bits >> 3, dtype=np.uint8)
-        seen_any = False
+        bitmaps: dict[int, np.ndarray] = {}
+        proto = Bloom([], num_bits, num_hashes)
         for pdf in batches:
             h = pdf[hash_col].to_numpy(dtype=np.int64)
-            if len(h):
-                seen_any = True
-                bloom = Bloom(bitmap, num_bits, num_hashes)
-                bloom.add_array(h)
-        if seen_any:
-            yield pd.DataFrame({'bitmap': [bitmap.tobytes()]})
+            if not len(h):
+                continue
+            sh = _shard_of(h, n_shards)
+            for s in np.unique(sh):
+                bitmap = bitmaps.setdefault(int(s), np.zeros(num_bits >> 3, dtype=np.uint8))
+                proto._add_to_shard(bitmap, h[sh == s])
+        for s, bitmap in bitmaps.items():
+            yield pd.DataFrame({'shard': [s], 'bitmap': [bitmap.tobytes()]})
 
     def or_bytes(a: bytes, b: bytes) -> bytes:
         return np.bitwise_or(
             np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
         ).tobytes()
 
-    parts = df.select(hash_col).mapInPandas(per_partition, schema).rdd.map(lambda r: r['bitmap'])
-    merged_bytes = parts.treeAggregate(bytes(num_bits >> 3), or_bytes, or_bytes, depth=2)
-    merged = np.frombuffer(merged_bytes, dtype=np.uint8).copy()
-    return Bloom(merged, num_bits, num_hashes)
+    parts = df.select(hash_col).mapInPandas(per_partition, schema).rdd.map(
+        lambda r: (r['shard'], r['bitmap']))
+    merged = dict(parts.aggregateByKey(bytes(num_bits >> 3), or_bytes, or_bytes,
+                                       numPartitions=n_shards).collect())
+    shards = [np.frombuffer(merged.get(s, bytes(num_bits >> 3)), dtype=np.uint8).copy()
+              for s in range(n_shards)]
+    return Bloom(shards, num_bits, num_hashes)
 
 
 def bloom_prefiltered_anti_join(candidates: DataFrame, seen: DataFrame, bloom: 'Bloom',
@@ -110,12 +176,12 @@ def bloom_prefiltered_anti_join(candidates: DataFrame, seen: DataFrame, bloom: '
     builds a one-shot one)."""
     keys = list(exact_cols)
     spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast((bloom.bitmap, bloom.num_bits, bloom.num_hashes))
+    bc = spark.sparkContext.broadcast((bloom.shards, bloom.num_bits, bloom.num_hashes))
 
     @F.pandas_udf('boolean')
     def maybe_seen(h: pd.Series) -> pd.Series:
-        bitmap, num_bits, num_hashes = bc.value
-        b = Bloom(bitmap, num_bits, num_hashes)
+        shards, num_bits, num_hashes = bc.value
+        b = Bloom(shards, num_bits, num_hashes)
         return pd.Series(b.contains_array(h.to_numpy(dtype=np.int64)))
 
     flagged = candidates.withColumn('_maybe', maybe_seen(F.col(hash_col)))

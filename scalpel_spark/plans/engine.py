@@ -135,7 +135,8 @@ class CrawlResult:
     def dispatch_rows(self) -> list[dict]:
         rows = self.seen.orderBy('wave', 'priority').collect()
         return [
-            {'url': r['url'], 'wave': r['wave'], 'status': r['status']}
+            {'url': r['url'], 'wave': r['wave'], 'status': r['status'],
+             'priority': r['priority']}
             for r in rows
         ]
 
@@ -418,7 +419,8 @@ class CrawlEngine:
         elif seen_count >= cfg.bloom_threshold:
             if self._bloom is None or seen_count > self._bloom_capacity:
                 self._bloom_capacity = max(seen_count, cfg.bloom_threshold) * 4
-                self._bloom = build_bloom(seen_state, 'url_hash', expected=self._bloom_capacity)
+                self._bloom = build_bloom(seen_state, 'url_hash', expected=self._bloom_capacity,
+                                          n_shards=cfg.bloom_shards)
             new = bloom_prefiltered_anti_join(cand, seen_state, self._bloom)
         elif seen_count:
             # tiny seen side: Catalyst broadcasts the exact anti-join
@@ -445,7 +447,8 @@ class CrawlEngine:
                 # same-capacity mini-bloom over this wave's rows, built
                 # executor-side, OR-merged — the bloom never rescans seen
                 self._bloom.merge(
-                    build_bloom(new, 'url_hash', expected=self._bloom_capacity))
+                    build_bloom(new, 'url_hash', expected=self._bloom_capacity,
+                                n_shards=self._bloom.n_shards))
         if n_new == 0:
             frontier.unpersist()
             new.unpersist()
@@ -489,13 +492,37 @@ class CrawlEngine:
             excluded = joined.filter(F.coalesce(F.col('excluded'), F.lit(False))).select(
                 'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
             )
-            allowed = joined.filter(~F.coalesce(F.col('excluded'), F.lit(False))).drop('excluded', 'delay')
+            # keep the per-host `delay` when wave_duration derives the
+            # budget from it (step 4); drop it otherwise
+            drop_cols = ('excluded',) if cfg.wave_duration is not None else ('excluded', 'delay')
+            allowed = joined.filter(~F.coalesce(F.col('excluded'), F.lit(False))).drop(*drop_cols)
             metrics_rows.append((wave, 'robots', -1, n_hosts, (time.time() - t0) * 1000))
 
-        # 4. politeness budget (W1/T2) with hot-host salting (§4.2)
+        # 4. politeness budget (W1/T2) with hot-host salting (§4.2).
+        # Budget per host = least(max_dispatch_per_host_per_wave,
+        # max(1, floor(wave_duration / delay))) — the second term is the
+        # reference's sleep-between-dispatches pacing
+        # (any_io/static_spider.py:180,187 via any_io/robots.py:79-95)
+        # expressed per wave: a host whose robots delay is d seconds fits
+        # at most wave_duration/d dispatches in one wave (at least 1, so
+        # slow hosts still progress). Hosts without a robots decision
+        # (file scheme, no host, robots off) pace with the config
+        # request_delay, like the reference's _get_request_delay default.
         deferred = self._empty(FRONTIER_SCHEMA)
-        if cfg.max_dispatch_per_host_per_wave is not None:
-            budget = cfg.max_dispatch_per_host_per_wave
+        if cfg.max_dispatch_per_host_per_wave is not None or cfg.wave_duration is not None:
+            budget = None
+            if cfg.max_dispatch_per_host_per_wave is not None:
+                budget = F.lit(cfg.max_dispatch_per_host_per_wave).cast('long')
+            if cfg.wave_duration is not None:
+                delay = (F.coalesce(F.col('delay'), F.lit(float(cfg.request_delay)))
+                         if 'delay' in allowed.columns else F.lit(float(cfg.request_delay)))
+                # delay <= 0 → NULL = unbounded-by-delay (F.least skips nulls)
+                delay_budget = F.when(
+                    delay > 0,
+                    F.greatest(F.lit(1).cast('long'),
+                               F.floor(F.lit(float(cfg.wave_duration)) / delay).cast('long')),
+                )
+                budget = delay_budget if budget is None else F.least(budget, delay_budget)
             if cfg.hot_host_threshold is not None:
                 hot = detect_hot_keys(allowed, 'host', cfg.hot_host_threshold)
                 marked = allowed.join(F.broadcast(hot.withColumn('_hot', F.lit(True))), 'host', 'left')
@@ -516,11 +543,14 @@ class CrawlEngine:
             else:
                 w = Window.partitionBy('host').orderBy('priority')
                 allowed = allowed.withColumn('_slot', F.row_number().over(w) - 1)
+            # NULL budget (both knobs unbounded for this host) → never over
+            over = F.coalesce(F.col('_slot') >= budget, F.lit(False))
             deferred = (
-                allowed.filter(F.col('_slot') >= budget)
+                allowed.filter(over)
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
-            allowed = allowed.filter(F.col('_slot') < budget).drop('_slot')
+            allowed = allowed.filter(~over).drop('_slot')
+        allowed = allowed.drop('delay')
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response
         # middlewares wrap the fetch *stage* exactly like the reference's
@@ -550,6 +580,13 @@ class CrawlEngine:
 
         try:
             fetched = compose_and_fetch()
+            if cfg.ignore_errors and cfg.response_middlewares:
+                # surface data-dependent (evaluation-time) middleware
+                # failures NOW, inside the guarded region — a middleware
+                # whose returned plan raises per-row would otherwise kill
+                # the wave at items.count()/commit even with ignore_errors
+                fetched = fetched.persist()
+                fetched.count()
         except Exception:
             if not cfg.ignore_errors:
                 raise

@@ -149,6 +149,153 @@ class CrawlSimulator:
         self._host_state[host] = decision
         return decision
 
+    def run_waves(
+        self,
+        seeds: list[str],
+        *,
+        max_dispatch_per_host_per_wave: Optional[int] = None,
+        wave_duration: Optional[float] = None,
+        max_waves: int = 1000,
+        link_selector: Optional[LinkSelector] = None,
+    ) -> SimResult:
+        """Wave-mode twin of :meth:`run` — the executable spec of the
+        engine's set-oriented loop (plans/engine.py ``_run_wave``),
+        including the politeness budget:
+
+        per wave, per host, budget = least(``max_dispatch_per_host_per_wave``,
+        max(1, floor(``wave_duration`` / delay))) where delay is the
+        host_state delay the robots evaluation recorded (crawl-delay →
+        request-rate → config default precedence, any_io/robots.py:79-95;
+        config default for hosts with no robots decision). This is the
+        reference's sleep-between-dispatches pacing
+        (any_io/static_spider.py:180,187) expressed per wave: a delay-d
+        host fits at most wave_duration/d dispatches in one wave.
+        Over-budget URLs defer to the next wave, keeping their priority.
+
+        ``dispatch_rows`` entries carry (url, wave, status, priority) in
+        (wave, priority) order — directly comparable to
+        ``CrawlResult.dispatch_rows()``. Hot-host salting is an engine
+        physical concern (it re-buckets WHICH urls defer); parity tests
+        run unsalted.
+        """
+        for seed in seeds:
+            err = urlkit.validate_url(seed)
+            if err is not None:
+                raise ValueError(err)
+        select_links = link_selector or self.link_selector
+
+        res = SimResult()
+        seen: dict[str, tuple[str, int, int]] = {}  # url -> (status, wave, prio)
+        frontier: list[tuple[str, int]] = [(u, i) for i, u in enumerate(seeds)]
+        next_priority = len(seeds)
+        wave = 0
+        while frontier and wave < max_waves:
+            # 1. within-wave dedup: first enqueue (min priority) wins
+            byurl: dict[str, int] = {}
+            for url, prio in frontier:
+                if url not in byurl or prio < byurl[url]:
+                    byurl[url] = prio
+            # 2. seen anti-join
+            new = sorted(((p, u) for u, p in byurl.items() if u not in seen))
+            if not new:
+                break
+            # 3. robots: new hosts decided on their min-priority URL
+            allowed: list[tuple[int, str]] = []
+            excluded: list[tuple[int, str]] = []
+            if self.follow_robots_txt:
+                for prio, url in new:  # min-priority URL of each new host decides
+                    host = urlkit.host_of(url)
+                    if (host is not None and host not in self._host_state
+                            and urlkit.scheme_of(url) in ('http', 'https')):
+                        self._robots_decision(url)
+                for prio, url in new:
+                    host = urlkit.host_of(url)
+                    if host is not None and self._host_state.get(host, (False,))[0]:
+                        excluded.append((prio, url))
+                    else:
+                        allowed.append((prio, url))
+            else:
+                allowed = list(new)
+            for prio, url in excluded:
+                seen[url] = ('robots_excluded', wave, prio)
+                res.robots_excluded.add(url)
+
+            # 4. politeness budget: per host, priority order
+            deferred: list[tuple[str, int]] = []
+            if max_dispatch_per_host_per_wave is not None or wave_duration is not None:
+                byhost: dict[Optional[str], list[tuple[int, str]]] = {}
+                for prio, url in allowed:
+                    byhost.setdefault(urlkit.host_of(url), []).append((prio, url))
+                allowed = []
+                for host, rows in byhost.items():
+                    budget = float('inf')
+                    if max_dispatch_per_host_per_wave is not None:
+                        budget = float(max_dispatch_per_host_per_wave)
+                    if wave_duration is not None:
+                        delay = self._host_state.get(host, (False, None))[1]
+                        if delay is None:
+                            delay = self.request_delay
+                        if delay > 0:
+                            budget = min(budget, max(1.0, wave_duration // delay))
+                    rows.sort()
+                    if budget == float('inf'):
+                        allowed.extend(rows)
+                    else:
+                        b = int(budget)
+                        allowed.extend(rows[:b])
+                        deferred.extend((url, prio) for prio, url in rows[b:])
+                allowed.sort()
+
+            # 5/6. fetch + stats, 7. follow (state snapshots from BEFORE
+            # this wave, like the engine's seen_state/followed_state reads)
+            reachable_before = set(res.reachable)
+            followed_before = set(res.followed)
+            fresh: list[tuple[int, int, str, str]] = []  # (parent_prio, pos, raw, parent)
+            for prio, url in allowed:
+                row = self.corpus.get(url)
+                scheme = urlkit.scheme_of(url)
+                ok = row is not None and (
+                    (scheme == 'file' and row.get('readable', True))
+                    or (scheme != 'file' and row['http_status'] < 400)
+                )
+                if not ok:
+                    seen[url] = ('unreachable', wave, prio)
+                    res.unreachable.add(url)
+                    continue
+                seen[url] = ('reachable', wave, prio)
+                res.reachable.add(url)
+                res.request_counter += 1
+                res.total_fetch_time += row['fetch_ms']
+                res.fetch_seq.append(url)
+                spans = row['spans']
+                res.emitted_docs.append({'doc_id': url, 'spans': spans})
+                text_spans = [s['text'] for s in spans if s['kind'] == 'text']
+                for k in range(len(text_spans) // 2):
+                    res.items.append({'doc_id': url, 'quote': text_spans[2 * k],
+                                      'author': text_spans[2 * k + 1], 'item_seq': k})
+                links = [s['text'] for s in spans if s['kind'] == 'link']
+                for pos, raw in enumerate(select_links(links)):
+                    if raw in followed_before or raw in reachable_before:
+                        continue
+                    fresh.append((prio, pos, raw, url))
+            # dense priorities in (parent_priority, pos) order — the
+            # engine's dense_sequence_with_count total order
+            fresh.sort()
+            next_frontier: list[tuple[str, int]] = []
+            for parent_prio, pos, raw, parent in fresh:
+                absolute = urlkit.absolutize(parent, raw)
+                res.followed.add(absolute)
+                next_frontier.append((absolute, next_priority))
+                next_priority += 1
+            frontier = next_frontier + deferred
+            wave += 1
+
+        res.dispatch_rows = [
+            {'url': u, 'wave': w, 'status': s, 'priority': p}
+            for u, (s, w, p) in sorted(seen.items(), key=lambda kv: (kv[1][1], kv[1][2]))
+        ]
+        return res
+
     def run(self, seeds: list[str]) -> SimResult:
         for seed in seeds:
             err = urlkit.validate_url(seed)

@@ -1,0 +1,162 @@
+"""Delay-derived politeness budget (SURVEY §2.9 T2/W1; round-2 verdict #1).
+
+The reference paces dispatches by the per-host robots crawl-delay
+(``any_io/static_spider.py:180,187`` via ``any_io/robots.py:79-95``,
+pinned by ``tests/any_io/test_static_spider.py:265-282``). The wave engine
+expresses that pacing as a per-host per-wave budget:
+
+    budget(host) = least(max_dispatch_per_host_per_wave,
+                         max(1, floor(wave_duration / delay(host))))
+
+where delay(host) follows the crawl-delay → request-rate → config-default
+precedence. ``politeness_mode='green'`` records the config delay instead
+(the gevent backend's explicit TODO, green/static_spider.py:192-199), so a
+green crawl keeps the config-delay budget.
+
+Parity oracle: ``CrawlSimulator.run_waves`` — the pure-Python executable
+spec of the engine's wave loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from scalpel_spark.config import CrawlConfig
+from scalpel_spark.plans.engine import CrawlEngine
+from scalpel_spark.plans.simulator import CrawlSimulator
+from scalpel_spark.sources.corpus import (synthetic_corpus, synthetic_robots,
+                                          synthetic_robots_rows)
+
+N_PAGES, N_HOSTS = 150, 12
+
+# synthetic_robots policy by host index m = h % 12 (sources/corpus.py):
+# m=4 → Crawl-delay: 2  → delay 2.0;  m=5 → Request-rate: 2/5 → delay 2.5;
+# m=3 → Disallow: / (excluded); m=0/2 → deny-all; m=8..11 → allow, delay 0.
+
+
+def _pure_sim(politeness_mode: str = 'anyio', request_delay: float = 0.0,
+              n_pages: int = 0) -> CrawlSimulator:
+    """Spark-free simulator over a hand-rolled corpus: every URL of every
+    host exists and links nowhere (budget arithmetic in isolation)."""
+    corpus = {
+        f'http://h{h}.example.com/p{p}.html': {
+            'spans': [], 'http_status': 200, 'readable': True, 'fetch_ms': 1.0,
+        }
+        for h in range(N_HOSTS)
+        for p in range(10)
+    }
+    robots = {r['host']: r for r in synthetic_robots_rows(N_HOSTS)}
+    return CrawlSimulator(corpus, robots, follow_robots_txt=True,
+                          user_agent=CrawlConfig().user_agent,
+                          request_delay=request_delay,
+                          politeness_mode=politeness_mode)
+
+
+def _seeds(per_host: int = 10) -> list[str]:
+    return [f'http://h{h}.example.com/p{p}.html'
+            for h in range(N_HOSTS) for p in range(per_host)]
+
+
+def _per_host_wave_counts(rows) -> dict[tuple[str, int], int]:
+    out: dict[tuple[str, int], int] = {}
+    for r in rows:
+        if r['status'] == 'robots_excluded':
+            continue
+        host = r['url'].split('/')[2]
+        out[(host, r['wave'])] = out.get((host, r['wave']), 0) + 1
+    return out
+
+
+def test_sim_delay_budget_arithmetic():
+    """Crawl-delay 2 @ wave_duration 10 → 5/wave; Request-rate 2/5 → 4/wave;
+    delay-0 hosts bounded only by max_dispatch."""
+    sim = _pure_sim()
+    res = sim.run_waves(_seeds(), max_dispatch_per_host_per_wave=8,
+                        wave_duration=10.0, max_waves=1)
+    counts = _per_host_wave_counts(res.dispatch_rows)
+    assert counts[('h4.example.com', 0)] == 5   # floor(10 / 2)
+    assert counts[('h5.example.com', 0)] == 4   # floor(10 / 2.5)
+    assert counts[('h8.example.com', 0)] == 8   # delay 0 → max_dispatch
+    assert ('h3.example.com', 0) not in counts  # Disallow: / → excluded
+
+
+def test_sim_budget_floor_is_one():
+    """delay > wave_duration still dispatches 1/wave — slow hosts progress."""
+    sim = _pure_sim()
+    sim.robots['h4.example.com'] = {'host': 'h4.example.com', 'fetch_status': 200,
+                                    'rules': 'User-agent: *\nCrawl-delay: 30\n'}
+    res = sim.run_waves(_seeds(), wave_duration=10.0, max_waves=3)
+    counts = _per_host_wave_counts(res.dispatch_rows)
+    assert counts[('h4.example.com', 0)] == 1
+    assert counts[('h4.example.com', 1)] == 1
+    assert counts[('h4.example.com', 2)] == 1
+
+
+def test_sim_green_mode_keeps_config_delay_budget():
+    """green mode records the config delay (robots delay NOT honored,
+    green/static_spider.py:192-199) → crawl-delay host paces like any other."""
+    res = _pure_sim('green').run_waves(_seeds(), wave_duration=10.0, max_waves=1)
+    counts = _per_host_wave_counts(res.dispatch_rows)
+    assert counts[('h4.example.com', 0)] == 10  # delay 0 → unbounded
+    # nonzero config delay paces EVERY allowed host uniformly
+    res2 = _pure_sim('green', request_delay=5.0).run_waves(
+        _seeds(), wave_duration=10.0, max_waves=1)
+    counts2 = _per_host_wave_counts(res2.dispatch_rows)
+    assert counts2[('h4.example.com', 0)] == 2  # floor(10 / 5)
+    assert counts2[('h8.example.com', 0)] == 2
+
+
+def test_wave_sim_without_budget_matches_fifo_sets():
+    """Unbudgeted wave mode reaches the same seen sets as the FIFO spec
+    (BFS completeness — order differs, sets cannot)."""
+    corpus = _pure_sim().corpus
+    robots = {r['host']: r for r in synthetic_robots_rows(N_HOSTS)}
+    seeds = _seeds(3)
+    kwargs = dict(follow_robots_txt=True, user_agent=CrawlConfig().user_agent)
+    fifo = CrawlSimulator(corpus, robots, **kwargs).run(seeds)
+    waves = CrawlSimulator(corpus, robots, **kwargs).run_waves(seeds)
+    assert waves.reachable == fifo.reachable
+    assert waves.unreachable == fifo.unreachable
+    assert waves.robots_excluded == fifo.robots_excluded
+
+
+@pytest.mark.parametrize('mode', ['anyio', 'green'])
+def test_engine_matches_wave_sim_with_budget(spark, mode):
+    """Engine ↔ wave-sim parity under the delay-derived budget, both
+    politeness modes: identical (url, wave, status, priority) rows."""
+    corpus_df = synthetic_corpus(spark, n_pages=N_PAGES, n_hosts=N_HOSTS, seed=11).persist()
+    robots_df = synthetic_robots(spark, n_hosts=N_HOSTS)
+    corpus = {r['doc_id']: r.asDict(recursive=True) for r in corpus_df.collect()}
+    robots = {r['host']: r for r in synthetic_robots_rows(N_HOSTS)}
+    seeds = _seeds(5) + sorted(corpus)[:10]
+    # dedupe seeds while keeping first-occurrence order (engine validates
+    # but does not dedupe the driver-side seed list; sim mirrors)
+    seeds = list(dict.fromkeys(seeds))
+
+    cfg = CrawlConfig(follow_robots_txt=True, politeness_mode=mode,
+                      wave_duration=10.0, max_dispatch_per_host_per_wave=8,
+                      max_waves=5)
+    result = CrawlEngine(spark, corpus_df, robots=robots_df, config=cfg).run(seeds)
+    sim = CrawlSimulator(corpus, robots, follow_robots_txt=True,
+                         user_agent=cfg.user_agent,
+                         request_delay=cfg.request_delay, politeness_mode=mode)
+    expected = sim.run_waves(seeds, max_dispatch_per_host_per_wave=8,
+                             wave_duration=10.0, max_waves=5)
+    assert result.dispatch_rows() == expected.dispatch_rows
+    corpus_df.unpersist()
+
+
+def test_engine_crawl_delay_host_fewer_dispatches(spark):
+    """The verdict's 'done' bar: a Crawl-delay host provably gets fewer
+    dispatches per wave than a delay-0 host in the SAME engine run."""
+    corpus_df = synthetic_corpus(spark, n_pages=N_PAGES, n_hosts=N_HOSTS, seed=11)
+    robots_df = synthetic_robots(spark, n_hosts=N_HOSTS)
+    cfg = CrawlConfig(follow_robots_txt=True, wave_duration=10.0,
+                      max_dispatch_per_host_per_wave=8, max_waves=2)
+    result = CrawlEngine(spark, corpus_df, robots=robots_df, config=cfg).run(_seeds(10))
+    counts = _per_host_wave_counts(result.dispatch_rows())
+    assert counts[('h4.example.com', 0)] == 5      # Crawl-delay: 2
+    assert counts[('h5.example.com', 0)] == 4      # Request-rate: 2/5
+    assert counts[('h8.example.com', 0)] == 8      # delay 0 → max_dispatch
+    # the deferred overflow drains in wave 1 (5 remaining of 10 seeds)
+    assert counts[('h4.example.com', 1)] == 5

@@ -247,3 +247,34 @@ def test_env_dotted_path_processors():
     })
     assert len(cfg.item_processors) == 2
     assert cfg.ignore_errors is True
+
+
+def _runtime_failing_middleware(fetch):
+    # composes fine; the returned plan raises per-row at EVALUATION —
+    # the advisor's data-dependent middleware failure mode
+    def wrapped(df):
+        out = fetch(df)
+        return out.withColumn(
+            'status',
+            F.when(F.length('url') >= 0, F.raise_error(F.lit('mw row-level failure')))
+            .otherwise(F.col('status')),
+        )
+    return wrapped
+
+
+def test_ignore_errors_middleware_runtime_failure_falls_back(spark):
+    """ADVICE r2: a middleware whose plan fails at evaluation (not at
+    composition) must be skipped under ignore_errors=True — the bare fetch
+    proceeds and the crawl completes."""
+    engine = _golden_engine(spark, response_middlewares=(_runtime_failing_middleware,),
+                            ignore_errors=True)
+    res = engine.run(['http://quotes.com'])
+    assert len(res.fetch_sequence()) == 3
+    mw_errors = res.metrics.filter(F.col('stage') == 'middleware_error').count()
+    assert mw_errors >= 1
+
+
+def test_middleware_runtime_failure_raises_without_ignore_errors(spark):
+    engine = _golden_engine(spark, response_middlewares=(_runtime_failing_middleware,))
+    with pytest.raises(Exception, match='mw row-level failure'):
+        engine.run(['http://quotes.com'])

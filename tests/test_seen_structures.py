@@ -14,7 +14,7 @@ def test_bloom_no_false_negatives():
     rng = np.random.default_rng(42)
     keys = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
     num_bits, num_hashes = sizing_for(len(keys), 0.01)
-    b = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, num_hashes)
+    b = Bloom([np.zeros(num_bits >> 3, dtype=np.uint8)], num_bits, num_hashes)
     b.add_array(keys)
     assert b.contains_array(keys).all()
 
@@ -24,7 +24,7 @@ def test_bloom_false_positive_rate_bounded():
     keys = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
     probe = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
     num_bits, num_hashes = sizing_for(len(keys), 0.01)
-    b = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, num_hashes)
+    b = Bloom([np.zeros(num_bits >> 3, dtype=np.uint8)], num_bits, num_hashes)
     b.add_array(keys)
     fpr = b.contains_array(probe).mean()
     assert fpr < 0.05  # sized for 1%, generous margin
@@ -35,8 +35,8 @@ def test_bloom_merge_is_union():
     a_keys = rng.integers(0, 2**60, size=5_000, dtype=np.int64)
     b_keys = rng.integers(0, 2**60, size=5_000, dtype=np.int64)
     num_bits, k = sizing_for(10_000, 0.01)
-    a = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, k)
-    b = Bloom(np.zeros(num_bits >> 3, dtype=np.uint8), num_bits, k)
+    a = Bloom([np.zeros(num_bits >> 3, dtype=np.uint8)], num_bits, k)
+    b = Bloom([np.zeros(num_bits >> 3, dtype=np.uint8)], num_bits, k)
     a.add_array(a_keys)
     b.add_array(b_keys)
     a.merge(b)
@@ -89,3 +89,92 @@ def test_cuckoo_false_positive_rate():
     cf = CuckooFilter(num_buckets=8192)
     cf.insert(keys)
     assert cf.contains(probe).mean() < 0.02  # 16-bit fingerprints → ~2/65536 per slot pair
+
+# ---------------------------------------------------------------------------
+# sharded bloom (round-2 verdict #2: the 10^10-key layout)
+# ---------------------------------------------------------------------------
+
+
+def test_shards_for_sizing():
+    """1 shard at every sandbox scale; power-of-2 shards once one bitmap
+    would exceed MAX_SHARD_BYTES (10^10 keys @ 12 b/key = ~15 GB → 8+
+    shards of <=256 MB each)."""
+    from scalpel_spark.operators.seen import MAX_SHARD_BYTES, _next_pow2, shards_for
+
+    assert shards_for(100_000) == 1
+    assert shards_for(100_000_000) == 1  # 150 MB bitmap still fits one shard
+    n = shards_for(10_000_000_000)
+    assert n >= 8 and (n & (n - 1)) == 0
+    per_shard_bytes = _next_pow2(10_000_000_000 // n * 12) >> 3
+    assert per_shard_bytes <= MAX_SHARD_BYTES
+
+
+def test_sharded_bloom_no_false_negatives_and_fpr():
+    rng = np.random.default_rng(21)
+    keys = rng.integers(-(2**62), 2**62, size=40_000, dtype=np.int64)
+    probe = rng.integers(-(2**62), 2**62, size=40_000, dtype=np.int64)
+    num_bits, k = sizing_for(len(keys) // 8, 0.01)  # per-shard sizing
+    b = Bloom([np.zeros(num_bits >> 3, dtype=np.uint8) for _ in range(8)], num_bits, k)
+    b.add_array(keys)
+    assert b.contains_array(keys).all()
+    assert b.contains_array(probe).mean() < 0.05
+
+
+def test_sharded_bloom_merge_is_union_per_shard():
+    rng = np.random.default_rng(23)
+    a_keys = rng.integers(0, 2**60, size=5_000, dtype=np.int64)
+    b_keys = rng.integers(0, 2**60, size=5_000, dtype=np.int64)
+    num_bits, k = sizing_for(5_000, 0.01)
+    mk = lambda: Bloom([np.zeros(num_bits >> 3, dtype=np.uint8) for _ in range(4)], num_bits, k)  # noqa: E731
+    a, b = mk(), mk()
+    a.add_array(a_keys)
+    b.add_array(b_keys)
+    a.merge(b)
+    assert a.contains_array(a_keys).all() and a.contains_array(b_keys).all()
+
+
+def test_build_bloom_sharded_distributed(spark):
+    df = spark.range(0, 50_000, 1, 8).select(F.xxhash64('id').alias('h'))
+    bloom = build_bloom(df, 'h', expected=50_000, n_shards=4)
+    assert bloom.n_shards == 4
+    hashes = np.array([r['h'] for r in df.collect()], dtype=np.int64)
+    assert bloom.contains_array(hashes).all()
+    # shards genuinely partition the key space: every shard holds some keys
+    from scalpel_spark.operators.seen import _shard_of
+
+    assert len(np.unique(_shard_of(hashes, 4))) == 4
+
+
+def test_anti_join_sharded_bloom_identical(spark):
+    """Shard count is invisible to results: the n_shards=4 prefiltered
+    anti-join returns the exact same set as n_shards=1."""
+    from scalpel_spark.operators.seen import bloom_prefiltered_anti_join
+
+    cand = spark.range(0, 10_000).select(
+        F.concat(F.lit('u'), F.col('id')).alias('url'), F.xxhash64('id').alias('url_hash')
+    )
+    seen = spark.range(0, 10_000, 2).select(
+        F.concat(F.lit('u'), F.col('id')).alias('url'), F.xxhash64('id').alias('url_hash')
+    )
+    expected = {f'u{i}' for i in range(1, 10_000, 2)}
+    for n_shards in (1, 4):
+        bloom = build_bloom(seen, 'url_hash', expected=5_000, n_shards=n_shards)
+        got = {r['url'] for r in bloom_prefiltered_anti_join(cand, seen, bloom).collect()}
+        assert got == expected
+
+
+def test_engine_sharded_bloom_identical_crawl(spark):
+    """End-to-end: a crawl forced onto the bloom path (bloom_threshold=0)
+    with bloom_shards=4 produces the identical dispatch sequence as the
+    single-shard default."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=150, n_hosts=8, seed=42).persist()
+    seeds = sorted(r['doc_id'] for r in corpus.limit(4).collect())
+    a = CrawlEngine(spark, corpus, config=CrawlConfig(bloom_threshold=0)).run(seeds)
+    b = CrawlEngine(spark, corpus,
+                    config=CrawlConfig(bloom_threshold=0, bloom_shards=4)).run(seeds)
+    assert a.dispatch_rows() == b.dispatch_rows()
+    corpus.unpersist()

@@ -19,10 +19,11 @@ import sys
 sys.path.insert(0, '.')
 
 # queries whose plans are allowed to contain Python (Arrow) eval nodes
-PANDAS_OK = {'url_canonicalize_golden'}
+PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness',
-        'crawl_golden_statistics', 'crawl_manyhosts_robots'}
+        'crawl_golden_statistics', 'crawl_manyhosts_robots',
+        'crawl_politeness_budget'}
 
 CHECKS = {
     'frontier_dedup_anti_join': ['LeftAnti'],
