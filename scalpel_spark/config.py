@@ -62,7 +62,12 @@ class CrawlConfig:
     # recrawl windows without rescanning seen; falls back to the exact
     # anti-join if it ever saturates, preserving exactness)
     seen_filter: str = 'bloom'
-    cuckoo_buckets: int = 1 << 16  # × 4 slots ≈ 250k keys at ~95% load
+    cuckoo_buckets: int = 1 << 16  # × 4 slots ≈ 250k keys at ~95% load (TOTAL across shards)
+    # cuckoo sidecar shard count: shard tables live as independent files
+    # maintained by per-shard executor tasks (seen.ShardedCuckooStore) —
+    # at 10^10 keys (~20 GB of tables) shards are what keeps each file /
+    # broadcast segment bounded; 1 at sandbox scales
+    cuckoo_shards: int = 1
     # host_state rows up to which the robots join gets a broadcast hint;
     # beyond it (10^7-10^8 hosts at web scale) the join is left to AQE,
     # which picks a shuffle join on `host` — a broadcast would not fit
@@ -111,7 +116,8 @@ class CrawlConfig:
 _BOOL_TRUE = {'1', 'true', 'yes', 'y', 'on'}
 _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_per_wave',
                'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
-               'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets'}
+               'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
+               'cuckoo_shards'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}

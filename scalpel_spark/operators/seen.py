@@ -209,15 +209,16 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, hash_col: str = 'url_
     return bloom_prefiltered_anti_join(candidates, seen, bloom, hash_col, exact_cols)
 
 
-def anti_join_seen_cuckoo(candidates: DataFrame, seen: DataFrame, cuckoo: 'CuckooFilter',
+def anti_join_seen_cuckoo(candidates: DataFrame, seen: DataFrame, cuckoo: 'ShardedCuckooStore',
                           hash_col: str = 'url_hash',
                           exact_cols: tuple[str, ...] = ('url_hash', 'url')) -> DataFrame:
-    """candidates ⟕ seen LEFT ANTI, prefiltered by a persistent cuckoo
-    filter — the delete-capable alternative to the per-run bloom.
+    """candidates ⟕ seen LEFT ANTI, prefiltered by the persistent sharded
+    cuckoo sidecar — the delete-capable alternative to the per-run bloom.
 
     Unlike :func:`anti_join_seen`'s bloom (rebuilt from a full scan of the
     seen table), the cuckoo is maintained *incrementally*: the engine
-    inserts each wave's newly-scheduled hashes and ``forget()`` deletes
+    bulk-inserts each wave's newly-scheduled hashes executor-side
+    (:meth:`ShardedCuckooStore.insert_df`) and ``forget()`` deletes
     recrawled ones, so no wave rescans the seen table to build its
     prefilter. Rows whose hash is definitely absent skip the join; "maybe"
     rows are confirmed by the exact anti-join, so set semantics stay exact
@@ -229,13 +230,13 @@ def anti_join_seen_cuckoo(candidates: DataFrame, seen: DataFrame, cuckoo: 'Cucko
     """
     keys = list(exact_cols)
     spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast((cuckoo.table, cuckoo.num_buckets))
+    bc = spark.sparkContext.broadcast((cuckoo.load_tables(), cuckoo.n_shards))
 
     @F.pandas_udf('boolean')
     def maybe_seen(h: pd.Series) -> pd.Series:
-        table, num_buckets = bc.value
-        cf = CuckooFilter.from_table(table, num_buckets)
-        return pd.Series(cf.contains(h.to_numpy(dtype=np.int64)))
+        tables, n_shards = bc.value
+        return pd.Series(ShardedCuckooStore.contains_tables(
+            tables, h.to_numpy(dtype=np.int64), n_shards))
 
     flagged = candidates.withColumn('_maybe', maybe_seen(F.col(hash_col)))
     definite_new = flagged.filter(~F.col('_maybe')).drop('_maybe')
@@ -289,13 +290,40 @@ class CuckooFilter:
         return (b1.astype(np.uint64) ^ fph).astype(np.uint64) % np.uint64(self.num_buckets)
 
     def insert(self, hashes: np.ndarray) -> int:
-        """Insert; returns number of failed (dropped) keys."""
+        """Insert; returns number of failed (dropped) keys.
+
+        Vectorized (round-2 verdict #3): slot-filling passes place one key
+        per distinct bucket per pass with pure numpy indexing — per-key
+        Python survives only on the rare eviction (kick) path, for keys
+        whose both candidate buckets are already full."""
         h = hashes.astype(np.int64)
         fp = self._fingerprint(h)
         b1 = self._bucket1(h)
         b2 = self._bucket2(b1, fp).astype(np.int64)
+        pending = np.arange(len(h), dtype=np.int64)
+        for bucket_arr in (b1, b2):
+            while len(pending):
+                b = bucket_arr[pending]
+                order = np.argsort(b, kind='stable')
+                bs = b[order]
+                first = np.ones(len(bs), dtype=bool)
+                first[1:] = bs[1:] != bs[:-1]
+                cand = pending[order[first]]  # one key per distinct bucket
+                cb = bucket_arr[cand]
+                empty = self.table[cb] == 0
+                has = empty.any(axis=1)
+                if not has.any():
+                    break  # every pending bucket full on this side
+                slot = empty.argmax(axis=1)  # first empty slot per bucket
+                placed = cand[has]
+                self.table[cb[has], slot[has]] = fp[placed]
+                keep = np.ones(len(h), dtype=bool)
+                keep[placed] = False
+                pending = pending[keep[pending]]
+            if not len(pending):
+                break
         failed = 0
-        for i in range(len(h)):
+        for i in pending:  # eviction path: both buckets full
             if not self._insert_one(int(b1[i]), int(b2[i]), int(fp[i])):
                 failed += 1
         return failed
@@ -342,6 +370,157 @@ class CuckooFilter:
                     deleted += 1
                     break
         return deleted
+
+
+class ShardedCuckooStore:
+    """Executor-maintained persistent cuckoo sidecar (round-2 verdict #3).
+
+    The delete-capable seen-prefilter lives as ``n_shards`` independent
+    cuckoo tables, one ``shard_{i}.npz`` per shard under ``directory``
+    (shared storage on a cluster; shard routing on hash bits 32.., like
+    the sharded bloom). ALL maintenance — rebuild-from-seen, per-wave
+    inserts, forget() deletes — runs as ONE Spark job per operation:
+
+        df.groupBy(shard).applyInPandas(...)
+
+    so each shard's hashes shuffle to that shard's single task, which
+    loads its table, applies a vectorized bulk insert/delete
+    (:meth:`CuckooFilter.insert` / ``delete``), and writes the file back
+    atomically (unique tmp + rename). The driver only ever receives the
+    per-shard summary rows (shard, n_changed, saturated) — never a hash
+    array — replacing the per-wave collect + Python insert loop that
+    serialized every wave's hashes through the driver.
+
+    Idempotence note: a task retry after a completed rename re-inserts the
+    same keys as extra fingerprint copies — membership (and therefore
+    crawl exactness, which the exact anti-join owns anyway) is unaffected,
+    and a later delete removes one copy per key, keeping the counting
+    invariant.
+
+    Saturation (a dropped insert ⇒ possible false negative) is recorded
+    per shard IN the shard file and is sticky; the engine checks
+    :meth:`any_saturated` and falls back to the exact path, like before.
+    """
+
+    _SUMMARY_SCHEMA = 'shard int, n_changed long, saturated boolean'
+
+    def __init__(self, directory: str, num_buckets: int, n_shards: int = 1):
+        import os
+
+        self.directory = directory
+        self.n_shards = max(1, n_shards)
+        self.num_buckets_per_shard = max(num_buckets // self.n_shards, 8192)
+        os.makedirs(directory, exist_ok=True)
+
+    # -- shard files ---------------------------------------------------------
+
+    def _path(self, shard: int) -> str:
+        import os
+
+        return os.path.join(self.directory, f'shard_{shard}.npz')
+
+    @staticmethod
+    def _load_shard(path: str, num_buckets: int) -> tuple['CuckooFilter', bool]:
+        import os
+
+        if os.path.exists(path):
+            data = np.load(path)
+            return (CuckooFilter.from_table(data['table'], int(data['num_buckets'])),
+                    bool(data['saturated']))
+        return CuckooFilter(num_buckets), False
+
+    @staticmethod
+    def _save_shard(path: str, cf: 'CuckooFilter', saturated: bool) -> None:
+        import os
+        import uuid
+
+        tmp = f'{path}.{uuid.uuid4().hex}.tmp.npz'
+        np.savez(tmp, table=cf.table, num_buckets=np.int64(cf.num_buckets),
+                 saturated=np.bool_(saturated))
+        os.replace(tmp, path)
+
+    def exists(self) -> bool:
+        """True if ANY shard file exists (an insert job only writes the
+        shards that received keys)."""
+        import os
+
+        return any(f.startswith('shard_') and f.endswith('.npz')
+                   for f in os.listdir(self.directory))
+
+    def any_saturated(self) -> bool:
+        sat = False
+        for s in range(self.n_shards):
+            _, s_sat = self._load_shard(self._path(s), self.num_buckets_per_shard)
+            sat |= s_sat
+        return sat
+
+    # -- distributed maintenance ---------------------------------------------
+
+    def _shard_col(self, hash_col: str):
+        return F.pmod(F.shiftrightunsigned(F.col(hash_col), 32),
+                      F.lit(self.n_shards)).cast('int')
+
+    def _apply(self, df: DataFrame, hash_col: str, op: str) -> list:
+        """One grouped-map job: per shard, load → bulk op → atomic save.
+        Returns the collected per-shard summaries (≤ n_shards tiny rows)."""
+        directory, n_shards, buckets = self.directory, self.n_shards, self.num_buckets_per_shard
+        path_of = self._path
+        load, save = self._load_shard, self._save_shard
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf['_shard'].iloc[0])
+            h = pdf[hash_col].to_numpy(dtype=np.int64)
+            cf, saturated = load(path_of(shard), buckets)
+            if op == 'insert':
+                if cf.insert(h) > 0:
+                    saturated = True
+                n_changed = len(h)
+            else:
+                n_changed = cf.delete(h)
+            save(path_of(shard), cf, saturated)
+            return pd.DataFrame({'shard': [shard], 'n_changed': [n_changed],
+                                 'saturated': [saturated]})
+
+        keyed = df.select(F.col(hash_col)).withColumn('_shard', self._shard_col(hash_col))
+        return keyed.groupBy('_shard').applyInPandas(per_shard, self._SUMMARY_SCHEMA).collect()
+
+    def insert_df(self, df: DataFrame, hash_col: str = 'url_hash') -> bool:
+        """Bulk-insert the hashes of ``df`` executor-side; returns True if
+        any shard is (now) saturated."""
+        rows = self._apply(df, hash_col, 'insert')
+        return any(r['saturated'] for r in rows)
+
+    def delete_df(self, df: DataFrame, hash_col: str = 'url_hash') -> int:
+        rows = self._apply(df, hash_col, 'delete')
+        return sum(r['n_changed'] for r in rows)
+
+    # -- probe side ------------------------------------------------------------
+
+    def load_tables(self) -> list[tuple[np.ndarray, int]]:
+        """(table, num_buckets) per shard — the broadcast payload for
+        :func:`anti_join_seen_cuckoo`'s membership UDF."""
+        out = []
+        for s in range(self.n_shards):
+            cf, _ = self._load_shard(self._path(s), self.num_buckets_per_shard)
+            out.append((cf.table, cf.num_buckets))
+        return out
+
+    @staticmethod
+    def contains_tables(tables: list, hashes: np.ndarray, n_shards: int) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        if n_shards == 1:
+            table, nb = tables[0]
+            return CuckooFilter.from_table(table, nb).contains(hashes)
+        sh = ((hashes.astype(np.uint64) >> np.uint64(32)) % np.uint64(n_shards)).astype(np.int64)
+        for s in np.unique(sh):
+            table, nb = tables[s]
+            sel = sh == s
+            out[sel] = CuckooFilter.from_table(table, nb).contains(hashes[sel])
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Driver-side probe (tests / small sets)."""
+        return self.contains_tables(self.load_tables(), hashes, self.n_shards)
 
 
 def sizing_for(expected: int, target_fpp: float = 0.01) -> tuple[int, int]:

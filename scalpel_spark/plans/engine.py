@@ -26,7 +26,6 @@ import time
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
-import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -39,7 +38,7 @@ from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, u
 from scalpel_spark.operators.ordering import dense_sequence_with_count
 from scalpel_spark.operators.parse import extract_items, extract_outlinks
 from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
-from scalpel_spark.operators.seen import (CuckooFilter, anti_join_seen_cuckoo,
+from scalpel_spark.operators.seen import (ShardedCuckooStore, anti_join_seen_cuckoo,
                                           bloom_prefiltered_anti_join, build_bloom)
 from scalpel_spark.operators.skew import detect_hot_keys
 from scalpel_spark.plans.storage import SnapshotStore
@@ -224,33 +223,23 @@ class CrawlEngine:
 
     # -- cuckoo sidecar (seen_filter='cuckoo') -------------------------------
 
-    @property
-    def _cuckoo_path(self) -> str:
-        return os.path.join(self.store.root, 'cuckoo_sidecar.npz')
-
-    def _load_cuckoo(self) -> 'CuckooFilter':
-        """Load the persistent seen-prefilter sidecar; when absent but seen
-        state exists (e.g. a store written under seen_filter='bloom'),
-        rebuild it from the seen hashes once."""
-        if os.path.exists(self._cuckoo_path):
-            data = np.load(self._cuckoo_path)
-            self._cuckoo_saturated = bool(data['saturated'])
-            return CuckooFilter.from_table(data['table'], int(data['num_buckets']))
-        cf = CuckooFilter(self.config.cuckoo_buckets)
+    def _load_cuckoo(self) -> 'ShardedCuckooStore':
+        """Open the persistent sharded seen-prefilter sidecar; when absent
+        but seen state exists (e.g. a store written under
+        seen_filter='bloom'), rebuild it from the seen hashes ONCE — as an
+        executor-side bulk insert job (ShardedCuckooStore.insert_df), never
+        a driver-side hash collect."""
+        sidecar = ShardedCuckooStore(os.path.join(self.store.root, 'cuckoo_shards'),
+                                     self.config.cuckoo_buckets, self.config.cuckoo_shards)
+        if sidecar.exists():
+            self._cuckoo_saturated = sidecar.any_saturated()
+            return sidecar
         self._cuckoo_saturated = False
         seen = self._state('seen_delta', SEEN_SCHEMA)
-        hashes = np.array([r['url_hash'] for r in seen.select('url_hash').collect()],
-                          dtype=np.int64)
-        if len(hashes) and cf.insert(hashes) > 0:
-            self._cuckoo_saturated = True
-        return cf
-
-    def _save_cuckoo(self) -> None:
-        tmp = self._cuckoo_path + '.tmp.npz'
-        np.savez(tmp, table=self._cuckoo.table,
-                 num_buckets=np.int64(self._cuckoo.num_buckets),
-                 saturated=np.bool_(self._cuckoo_saturated))
-        os.replace(tmp, self._cuckoo_path)
+        if self.store.state_paths('seen_delta'):
+            if sidecar.insert_df(seen.select('url_hash')):
+                self._cuckoo_saturated = True
+        return sidecar
 
     def forget(self, urls) -> None:
         """Recrawl window: remove URLs from the seen AND followed sets so a
@@ -268,6 +257,18 @@ class CrawlEngine:
         else:
             fdf = self.spark.createDataFrame([(u,) for u in urls], 'url string')
         fdf = fdf.select('url', url_hash_col(F.col('url')).alias('url_hash'))
+        # sidecar deletes are restricted to URLs actually present in the
+        # PRE-compaction seen table: deleting a never-inserted hash whose
+        # (bucket, fingerprint) collides with a seen URL would evict that
+        # URL's entry — a false negative that bypasses the exact anti-join
+        # ("definitely new") and re-crawls a seen URL. The semi-join keeps
+        # the counting invariant exact. (Captured lazily here, evaluated
+        # after the commit — the pre-compaction parquet files survive the
+        # snapshot rewrite, Iceberg-style.)
+        cuckoo_deletes = None
+        if self._cuckoo is not None and self.store.state_paths('seen_delta'):
+            pre_seen = self.spark.read.parquet(*self.store.state_paths('seen_delta'))
+            cuckoo_deletes = fdf.join(pre_seen.select('url'), 'url', 'left_semi')
         tables = {'forgotten_delta': fdf}
         # every per-URL state table is compacted: a forgotten URL must also
         # drop its emitted document and items, or the recrawl would leave
@@ -288,12 +289,8 @@ class CrawlEngine:
                 tables['frontier'] = self.store.load(self.spark, snap, 'frontier')
         self.store.commit(tables, wave, metadata={'next_priority': next_priority,
                                                   'compaction': True})
-        if self._cuckoo is not None:
-            hashes = np.array([r['url_hash'] for r in fdf.select('url_hash').collect()],
-                              dtype=np.int64)
-            if len(hashes):
-                self._cuckoo.delete(hashes)
-                self._save_cuckoo()
+        if cuckoo_deletes is not None:
+            self._cuckoo.delete_df(cuckoo_deletes.select('url_hash'))
 
     # -- public API ---------------------------------------------------------
 
@@ -436,13 +433,11 @@ class CrawlEngine:
         metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
         if n_new:
             if self._cuckoo is not None:
-                # wave-bounded hash array (8 B/url); cluster path: shard by
-                # hash range (operators/seen.py CuckooFilter scale note)
-                hashes = np.array([r['url_hash'] for r in new.select('url_hash').collect()],
-                                  dtype=np.int64)
-                if self._cuckoo.insert(hashes) > 0:
+                # executor-side sharded bulk insert: the wave's hashes
+                # shuffle to their owning shard's task; the driver sees
+                # only per-shard summaries (ShardedCuckooStore.insert_df)
+                if self._cuckoo.insert_df(new.select('url_hash')):
                     self._cuckoo_saturated = True
-                self._save_cuckoo()
             if self._bloom is not None:
                 # same-capacity mini-bloom over this wave's rows, built
                 # executor-side, OR-merged — the bloom never rescans seen
