@@ -80,17 +80,29 @@ def tokens(text: Column) -> Column:
 
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
-    """n-word shingles in document order (1-based element_at, like DuckDB
-    list indexing). Empty array when the doc has fewer than ``n`` tokens.
+    """n-word shingles in document order. Empty array when the doc has
+    fewer than ``n`` tokens.
 
-    DuckDB twin::
+    Built as ``arrays_zip`` of the n shifted slices of ``toks`` and a
+    ``concat_ws`` over each zipped struct — O(tokens) array work per row.
+    The previous form (``transform`` over an index sequence with
+    ``element_at(toks, i+k)`` inside the lambda) was O(tokens * n) calls
+    into an *interpreted* lambda, and when ``toks`` is an unmaterialized
+    ``split(text)`` expression the lambda re-splits the text once per
+    element (no common-subexpression elimination inside higher-order
+    functions) — measured 9.0s -> 1.3s for 256k shingles at sf0.1.
+    IMPORTANT: pass a *materialized* token column (see ``dedup._shingled``),
+    not the raw split expression, so the slices share one split.
+
+    DuckDB twin (unchanged — same output strings)::
 
         list_transform(range(1, greatest(len(l) - {n-2}, 1)),
                        i -> l[i] || ' ' || l[i+1] || ... )
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.when(F.size(toks) >= n, F.transform(
-        idx, lambda i: F.concat_ws(' ', *[F.element_at(toks, i + k) for k in range(n)])
+    m = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    return F.when(m > 0, F.transform(
+        zipped, lambda s: F.concat_ws(' ', *[s[str(k)] for k in range(n)])
     )).otherwise(F.array().cast('array<string>'))
 
 

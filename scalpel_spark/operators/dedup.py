@@ -66,8 +66,13 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def _shingled(docs: DataFrame, n: int = 3) -> DataFrame:
-    toks = tokens(F.col('text'))
-    return docs.select('doc_id', F.array_distinct(word_shingles(toks, n)).alias('shingle_set'))
+    # two-step projection on purpose: materializing `toks` keeps the n
+    # slice expressions inside word_shingles sharing ONE split() — inlining
+    # the split re-evaluates it per shingle inside the interpreted lambda
+    # (CollapseProject keeps the split separate because it is non-cheap and
+    # multiply-referenced)
+    tok_df = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    return tok_df.select('doc_id', F.array_distinct(word_shingles(F.col('toks'), n)).alias('shingle_set'))
 
 
 def _drop_heavy_shingles(ex: DataFrame, df_cap: int) -> DataFrame:
@@ -167,21 +172,27 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     )
     a = banded.select('band', 'bucket', F.col('doc_id').alias('doc_a'), F.col('sig').alias('sig_a'))
     b = banded.select('band', 'bucket', F.col('doc_id').alias('doc_b'), F.col('sig').alias('sig_b'))
-    cand = (
-        a.join(b, ['band', 'bucket'])
-        .filter(F.col('doc_a') < F.col('doc_b'))
-        .select('doc_a', 'doc_b', 'sig_a', 'sig_b')
-        .distinct()
-    )
+    # matches is a per-PAIR constant, so it is computed on the band-join
+    # output BEFORE any pair-level exchange and the sub-threshold collisions
+    # are dropped right there: the pair-dedup shuffle then moves only
+    # (doc_a, doc_b, matches) — 20 B/row — instead of the former
+    # distinct() over rows still carrying both k-long signature arrays
+    # (~270 B/row), and only for pairs that already pass min_matches.
+    # groupBy/max over the duplicate band collisions replaces distinct()
+    # (max of a constant = the constant; same single shuffle, slim rows).
     matches = F.size(
         F.filter(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda i: F.element_at('sig_a', i) == F.element_at('sig_b', i),
+            F.zip_with('sig_a', 'sig_b', lambda x, y: x == y),
+            lambda eq: eq,
         )
     )
     return (
-        cand.select('doc_a', 'doc_b', matches.alias('matches'))
+        a.join(b, ['band', 'bucket'])
+        .filter(F.col('doc_a') < F.col('doc_b'))
+        .select('doc_a', 'doc_b', matches.alias('matches'))
         .filter(F.col('matches') >= min_matches)
+        .groupBy('doc_a', 'doc_b')
+        .agg(F.max('matches').alias('matches'))
     )
 
 

@@ -122,7 +122,13 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, fp_weighted, fp_xor).
     """
-    toks = tokens(F.col('text'))
+    # materialize the token array first: element_at(toks, i) inside the
+    # interpreted aggregate lambda re-evaluates `toks` per index, and an
+    # inlined split(text) expression would re-split the text once per
+    # token position (O(tokens^2) string work — same pathology fixed in
+    # texthash.word_shingles)
+    tok_df = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    toks = F.col('toks')
     idx = F.sequence(F.lit(1), F.size(toks))
     weighted = F.aggregate(
         idx, F.lit(0).cast('long'),
@@ -135,7 +141,7 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
         toks, F.lit(0).cast('long'),
         lambda acc, t: acc.bitwiseXOR(hash60(t)),
     )
-    return docs.select('doc_id', weighted.alias('fp_weighted'), xored.alias('fp_xor'))
+    return tok_df.select('doc_id', weighted.alias('fp_weighted'), xored.alias('fp_xor'))
 
 
 def normalize_text(docs: DataFrame) -> DataFrame:
