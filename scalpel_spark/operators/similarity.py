@@ -125,18 +125,15 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     )
 
 
-def ivf_assignments(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame:
-    """IVF coarse quantizer: centroids = per-label mean vectors, every
-    vector assigned to its ``nprobe`` nearest centroids by squared L2 —
-    the cells it would be searched in. All arithmetic on floor(x*quant+0.5)
-    integers so assignment is bit-exact across engines (ties break on
-    smaller label).
-
-    Returns (vec_id, label, cell) — one row per probed cell per vector
-    (``nprobe=1`` keeps the classic single-cell assignment). Training-free
-    here because the corpus carries labels; on unlabeled data the same
-    code runs on k-means centroids computed elsewhere.
-    """
+def _ivf_probes(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame:
+    """Shared IVF probe ranking: (vec_id, label, cell, rn) — every vector's
+    ``nprobe`` nearest centroids by squared L2 with the probe rank ``rn``
+    (1 = primary cell). ONE centroid aggregation feeds every consumer:
+    :func:`ivf_assignments` filters on rn, and :func:`ivf_topk` derives
+    BOTH the corpus side (rn == 1) and the query side (rn <= nprobe) from
+    the same ranked frame instead of recomputing the centroid aggregation
+    per side. All arithmetic on floor(x*quant+0.5) integers so assignment
+    is bit-exact across engines (ties break on smaller label)."""
     v = emb.select(
         'vec_id', 'label',
         F.transform(F.col('embedding').cast('array<double>'),
@@ -160,8 +157,21 @@ def ivf_assignments(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataF
     return (
         scored.withColumn('rn', F.row_number().over(w))
         .filter(F.col('rn') <= nprobe)
-        .select('vec_id', 'label', F.col('cell').cast('long').alias('cell'))
+        .select('vec_id', 'label', F.col('cell').cast('long').alias('cell'), 'rn')
     )
+
+
+def ivf_assignments(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantizer: centroids = per-label mean vectors, every
+    vector assigned to its ``nprobe`` nearest centroids by squared L2 —
+    the cells it would be searched in (see :func:`_ivf_probes`).
+
+    Returns (vec_id, label, cell) — one row per probed cell per vector
+    (``nprobe=1`` keeps the classic single-cell assignment). Training-free
+    here because the corpus carries labels; on unlabeled data the same
+    code runs on k-means centroids computed elsewhere.
+    """
+    return _ivf_probes(emb, quant, nprobe).select('vec_id', 'label', 'cell')
 
 
 def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000,
@@ -172,14 +182,19 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000,
     ``nprobe`` cells — the standard recall/cost dial). Returns
     (query_id, neighbor_id, rank, cosine). The scale path: the cell join
     replaces the full cross product, like :func:`lsh_bucket_topk` but with
-    learned (centroid) cells instead of random hyperplanes."""
-    assign = ivf_assignments(emb, quant)
+    learned (centroid) cells instead of random hyperplanes.
+
+    The corpus side (primary cell, rn == 1) and the query side (all
+    ``nprobe`` probed cells) are both filters over ONE ranked probe frame,
+    so the centroid aggregation + probe window run once in the plan (AQE
+    reuses the shared exchanges; pinned by
+    ``tests/test_similarity_plans.py``) instead of once per side."""
+    probes = _ivf_probes(emb, quant, nprobe)
     v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(
-        assign.select('vec_id', 'cell'), 'vec_id'
+        probes.filter(F.col('rn') == 1).select('vec_id', 'cell'), 'vec_id'
     )
-    q_assign = assign if nprobe == 1 else ivf_assignments(emb, quant, nprobe)
     q = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(
-        q_assign.select('vec_id', 'cell'), 'vec_id'
+        probes.select('vec_id', 'cell'), 'vec_id'
     ).filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('query_id'), F.col('e').alias('eq'), 'cell'
     )

@@ -1,0 +1,73 @@
+"""Plan-shape pins for the ANN operators (VERDICT r2 item #5).
+
+``ivf_topk(nprobe>1)`` used to call ``ivf_assignments`` once per side,
+recomputing the centroid aggregation for corpus and query. Now both sides
+are filters over ONE ranked probe frame (``similarity._ivf_probes``), so
+the physical plan holds a single centroid build — Spark's static
+ReuseExchange rule collapses the second reference into a ReusedExchange.
+AQE performs exchange reuse at runtime instead of in the static plan, so
+the pin disables AQE for a deterministic plan string.
+"""
+
+import contextlib
+
+import pytest
+
+from scalpel_spark.operators import similarity
+
+EMB = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.0, 0.0, 0.0], 0),
+    (2, [0.9, 0.1, 0.0, 0.0], 0),
+    (3, [0.0, 1.0, 0.0, 0.0], 1),
+    (4, [0.0, -1.0, 0.0, 0.0], 1),
+]
+
+
+@pytest.fixture(scope='module')
+def emb(spark):
+    return spark.createDataFrame(EMB, 'vec_id long, embedding array<float>, label int')
+
+
+@contextlib.contextmanager
+def _static_plans(spark):
+    old = spark.conf.get('spark.sql.adaptive.enabled')
+    spark.conf.set('spark.sql.adaptive.enabled', 'false')
+    try:
+        yield
+    finally:
+        spark.conf.set('spark.sql.adaptive.enabled', old)
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_nprobe2_single_centroid_aggregation(spark, emb):
+    with _static_plans(spark):
+        df = similarity.ivf_topk(emb, n_queries=1, k=1, nprobe=2)
+        plan = _physical_plan(df)
+    # ONE centroid build: each logical aggregation prints as a
+    # partial + final pair, so a duplicated build would show 4 of each.
+    assert plan.count('collect_list') == 2, plan
+    assert plan.count('avg(') == 2, plan
+    assert plan.count('Generate') == 1, plan  # the posexplode over dims
+    # the second consumer of the probe frame is a reused exchange
+    assert 'ReusedExchange' in plan, plan
+
+
+def test_ivf_nprobe2_results_unchanged(emb):
+    # the refactor must not move results: identical vector still wins
+    rows = similarity.ivf_topk(emb, n_queries=1, k=1, nprobe=2).collect()
+    assert [(r['query_id'], r['neighbor_id'], r['rank'], r['cosine'])
+            for r in rows] == [(0, 1, 1, 1.0)]
+
+
+def test_ivf_assignments_rn_filter_matches_legacy_shape(emb):
+    # ivf_assignments is now a projection of the shared probe frame —
+    # nprobe=1 keeps exactly one row per vector, primary cell = own label
+    # cell for this labeled corpus
+    rows = similarity.ivf_assignments(emb, nprobe=1).collect()
+    assert len(rows) == len(EMB)
+    assert {r['vec_id'] for r in rows} == {0, 1, 2, 3, 4}
+    assert set(rows[0].asDict()) == {'vec_id', 'label', 'cell'}
