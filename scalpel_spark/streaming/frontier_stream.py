@@ -105,7 +105,8 @@ def dedup_discovered(stream: DataFrame, watermark: str = '1 hour') -> DataFrame:
     return stream.withWatermark('ts', watermark).dropDuplicatesWithinWatermark(['url'])
 
 
-def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFrame:
+def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5,
+                        drain_after_ms: int | None = None) -> DataFrame:
     """Custom stateful operator: per-host dispatch admission with
     carryover re-enqueue.
 
@@ -121,8 +122,16 @@ def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFra
     with its admission status; a deferred URL is emitted again (admitted =
     true) in the batch that finally dispatches it. ``dispatched_total`` is
     the host's post-batch running counter, identical on every row of the
-    batch. Deferred URLs still in state at stream end stay undispatched —
-    an operational drain (timeout + flush) is deployment policy.
+    batch.
+
+    ``drain_after_ms`` arms ``GroupStateTimeout.ProcessingTimeTimeout``:
+    a host holding deferred URLs that receives NO new arrivals for that
+    long is invoked with ``state.hasTimedOut`` in a later micro-batch and
+    drains up to ``budget_per_batch`` carryover URLs per timeout firing
+    (re-arming itself until the carryover is empty) — so an idle host's
+    backlog still dispatches within its budget instead of waiting for the
+    next arrival. ``None`` keeps the legacy no-timeout behavior where
+    stream-end strands the carryover.
     """
 
     def admit(key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -132,6 +141,26 @@ def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFra
             carry_urls, carry_prios = list(carry_urls), list(carry_prios)
         else:
             total, carry_urls, carry_prios = 0, [], []
+        if drain_after_ms is not None and state.hasTimedOut:
+            # idle-host drain: no new arrivals this batch — dispatch the
+            # highest-priority carryover within the same per-batch budget
+            pool = pd.DataFrame({'url': carry_urls, 'priority': carry_prios})
+            pool = pool.sort_values(['priority', 'url'], kind='mergesort')
+            admitted = pool.head(budget_per_batch)
+            deferred = pool.tail(max(len(pool) - budget_per_batch, 0))
+            total += len(admitted)
+            state.update((total, list(deferred['url']),
+                          [int(p) for p in deferred['priority']]))
+            if len(deferred):
+                state.setTimeoutDuration(drain_after_ms)
+            yield pd.DataFrame({
+                'host': host,
+                'url': admitted['url'].to_numpy(),
+                'priority': admitted['priority'].to_numpy(),
+                'admitted': True,
+                'dispatched_total': total,
+            })
+            return
         chunks = [pdf for pdf in pdfs if len(pdf)]
         new = (pd.concat(chunks, ignore_index=True) if chunks
                else pd.DataFrame({'url': [], 'priority': []}))
@@ -148,6 +177,8 @@ def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFra
 
         deferred = pool[~pool['admitted']]
         state.update((total, list(deferred['url']), [int(p) for p in deferred['priority']]))
+        if drain_after_ms is not None and len(deferred):
+            state.setTimeoutDuration(drain_after_ms)
 
         # emit: all admitted rows + the newly-arrived-and-deferred rows
         # (carryover rows already emitted admitted=false on arrival)
@@ -167,6 +198,7 @@ def stateful_politeness(stream: DataFrame, budget_per_batch: int = 5) -> DataFra
             outputStructType=ADMIT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode='append',
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.NoTimeout if drain_after_ms is None
+                         else GroupStateTimeout.ProcessingTimeTimeout),
         )
     )

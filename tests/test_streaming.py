@@ -134,6 +134,46 @@ def test_stateful_politeness_deferred_drain(spark, tmp_path):
     assert totals == [4, 8]
 
 
+def test_stateful_politeness_idle_host_timeout_drain(spark, tmp_path):
+    """VERDICT r2 #6: a host with deferred carryover but NO new arrivals
+    must still drain within its budget — ProcessingTimeTimeout fires the
+    group in a later micro-batch and dispatches the backlog, instead of
+    stranding it until the next arrival (or forever)."""
+    import time as _time
+
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    d = str(tmp_path / 'idle')
+    busy, other = 'busy.example.com', 'other.example.com'
+    batch1 = [(f'http://{busy}/p{i}.html', busy, base + pd.Timedelta(seconds=i), i)
+              for i in range(6)]
+    _write_events(spark, d, batch1)
+    _time.sleep(1.1)  # distinct mtime → deterministic file (batch) order
+    # batch 2 carries NOTHING for the busy host — only the timeout can
+    # drain its two deferred URLs
+    _write_events(spark, d, [(f'http://{other}/q.html', other,
+                              base + pd.Timedelta(seconds=60), 100)])
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    name = 'idle_' + uuid.uuid4().hex[:8]
+    out = _run_stream(
+        spark, stateful_politeness(stream, budget_per_batch=4, drain_after_ms=1), name)
+    rows = out.collect()
+    by_url: dict[str, list] = {}
+    for r in rows:
+        by_url.setdefault(r['url'], []).append(r['admitted'])
+
+    # batch 1: 0-3 admitted, 4-5 deferred; batch 2: timeout drains 4-5
+    assert by_url[f'http://{busy}/p4.html'] == [False, True]
+    assert by_url[f'http://{busy}/p5.html'] == [False, True]
+    busy_admitted = sorted(r['priority'] for r in rows
+                           if r['host'] == busy and r['admitted'])
+    assert busy_admitted == [0, 1, 2, 3, 4, 5]
+    # running counter advances through the drain firing
+    assert max(r['dispatched_total'] for r in rows if r['host'] == busy) == 6
+    assert by_url[f'http://{other}/q.html'] == [True]
+
+
 def test_windowed_host_throughput(spark, events_dir):
     stream = spark.readStream.schema(FETCH_EVENT_SCHEMA).parquet(events_dir)
     name = 'win_' + uuid.uuid4().hex[:8]
