@@ -87,6 +87,16 @@ class CrawlConfig:
     # error) and the crawl continues. At 10^10 rows quarantine-and-continue
     # is the only sane policy for data-dependent stage failures.
     ignore_errors: bool = False
+    # frontier canonicalization (functions/urlkit.canonicalize_for_frontier:
+    # fragment drop + tracking/session-param strip + stable param sort)
+    # applied to every seed and discovered link BEFORE hashing/seen-keying,
+    # so `?utm_source=` variants collapse into one frontier entry. OFF by
+    # default for reference parity — the reference dedups the literal URL
+    # string (any_io/response.py:22-24). With the flag on, the engine
+    # fetches the canonical form (tracking params never change page
+    # identity by definition), and forget() canonicalizes its inputs the
+    # same way so recrawl targeting stays consistent.
+    canonicalize_urls: bool = False
     seed: int = 42
 
     def __post_init__(self):

@@ -175,9 +175,13 @@ def canonicalize_for_frontier(url: str) -> str:
     key (stable for equal keys) so param order can't split one page into
     many frontier entries. Everything else — scheme case, ``file:///``
     collapse — follows the same split/unsplit rules the reference uses.
-    The crawl still fetches the ORIGINAL url; this form only feeds the
-    seen-set key, exactly like the reference dedups on its own notion of
-    a canonical URL.
+    The engine consumes this via ``CrawlConfig.canonicalize_urls``
+    (OFF by default — the reference dedups the literal URL string,
+    any_io/response.py:22-24): with the flag on, every seed and
+    discovered link is rewritten to this form before hashing/seen-keying
+    (plans/engine.py ``_canonicalized``), so the canonical form IS both
+    the seen-set key and the fetched URL. Standalone it also backs the
+    ``url_frontier_canonical`` query via ``canonical_frontier_udf``.
     """
     u = split_uri(url)
     query = u.query

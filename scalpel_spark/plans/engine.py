@@ -34,7 +34,8 @@ from pyspark.sql import types as T
 from scalpel_spark.config import CrawlConfig
 from scalpel_spark.functions import urlkit
 from scalpel_spark.functions.texthash import pround
-from scalpel_spark.functions.urls import absolutize_udf, host_col, scheme_col, url_hash_col
+from scalpel_spark.functions.urls import (absolutize_udf, canonical_frontier_udf, host_col,
+                                          scheme_col, url_hash_col)
 from scalpel_spark.operators.ordering import dense_sequence_with_count
 from scalpel_spark.operators.parse import extract_items, extract_outlinks
 from scalpel_spark.operators.robots import HOST_STATE_SCHEMA, evaluate_new_hosts
@@ -221,6 +222,17 @@ class CrawlEngine:
             return self._empty(schema)
         return self.spark.read.parquet(*paths)
 
+    def _canonicalized(self, df: DataFrame, col: str = 'url') -> DataFrame:
+        """Under ``config.canonicalize_urls``, rewrite ``col`` to its
+        frontier-canonical form (tracking-param strip + param sort +
+        fragment drop, vectorized ``canonical_frontier_udf``) BEFORE any
+        hashing/seen-keying — one URL identity per page. Identity
+        passthrough when the flag is off (reference parity: dedup on the
+        literal URL string)."""
+        if not self.config.canonicalize_urls:
+            return df
+        return df.withColumn(col, canonical_frontier_udf(F.col(col)))
+
     # -- cuckoo sidecar (seen_filter='cuckoo') -------------------------------
 
     def _load_cuckoo(self) -> 'ShardedCuckooStore':
@@ -256,6 +268,7 @@ class CrawlEngine:
             fdf = urls.select('url')
         else:
             fdf = self.spark.createDataFrame([(u,) for u in urls], 'url string')
+        fdf = self._canonicalized(fdf)
         fdf = fdf.select('url', url_hash_col(F.col('url')).alias('url_hash'))
         # sidecar deletes are restricted to URLs actually present in the
         # PRE-compaction seen table: deleting a never-inserted hash whose
@@ -307,6 +320,7 @@ class CrawlEngine:
         seeds_df = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(seeds)], 'url string, priority long'
         )
+        seeds_df = self._canonicalized(seeds_df)
         frontier = seeds_df.select(
             'url',
             url_hash_col(F.col('url')).alias('url_hash'),
@@ -343,6 +357,7 @@ class CrawlEngine:
             valid = checked.drop('_err')
         else:
             valid = checked.filter(F.col('_err').isNull()).drop('_err')
+        valid = self._canonicalized(valid)
         frontier = valid.select(
             'url',
             url_hash_col(F.col('url')).alias('url_hash'),
@@ -638,6 +653,7 @@ class CrawlEngine:
         # reference quirk: dedup compares the RAW href (any_io/response.py:22-24)
         fresh_links = outlinks.join(follow_block, outlinks['raw_link'] == follow_block['url'], 'left_anti')
         absolutized = fresh_links.withColumn('abs_url', absolutize_udf(F.col('parent_url'), F.col('raw_link')))
+        absolutized = self._canonicalized(absolutized, 'abs_url')
         with_prio, n_links = dense_sequence_with_count(
             absolutized, ['parent_priority', 'pos'], 'priority', start=next_priority)
         next_priority += n_links  # dense: max assigned = start + n_links - 1
