@@ -431,8 +431,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JACCARD = f"""
 WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
 ex0 AS (SELECT doc_id, unnest(sset) AS s FROM sh),
-ex AS (SELECT * FROM ex0
-       WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100)),
+mk AS (SELECT doc_id, s,
+              s IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100) AS h
+       FROM ex0),
+ky AS (SELECT doc_id, MIN(CASE WHEN NOT h THEN s END) AS nh_min, MIN(s) AS all_min
+       FROM mk GROUP BY doc_id),
+ex AS (SELECT mk.doc_id, mk.s FROM mk JOIN ky USING (doc_id)
+       WHERE NOT h OR (nh_min IS NULL AND s = all_min)),
 cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
@@ -567,8 +572,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CONTAINMENT = f"""
 WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)},
 ex0 AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
-ex AS (SELECT * FROM ex0
-       WHERE s NOT IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100)),
+mk AS (SELECT doc_id, s,
+              s IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100) AS h
+       FROM ex0),
+ky AS (SELECT doc_id, MIN(CASE WHEN NOT h THEN s END) AS nh_min, MIN(s) AS all_min
+       FROM mk GROUP BY doc_id),
+ex AS (SELECT mk.doc_id, mk.s FROM mk JOIN ky USING (doc_id)
+       WHERE NOT h OR (nh_min IS NULL AND s = all_min)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_contained, b.doc_id AS doc_container
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id != b.doc_id)
 SELECT doc_contained, doc_container, containment FROM (

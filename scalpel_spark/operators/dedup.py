@@ -81,10 +81,31 @@ def _drop_heavy_shingles(ex: DataFrame, df_cap: int) -> DataFrame:
     ubiquitous boilerplate shingle shared by 10^6 docs yields ~10^12
     candidate pairs — the classic quadratic blowup. Heavy shingles are few
     (they are, by definition, the most common ones), so the blocklist
-    broadcast-anti-joins; the Jaccard/containment *scores* still use the
-    full shingle sets, only candidate *blocking* loses the heavy keys."""
-    heavy = ex.groupBy('s').agg(F.count('*').alias('df')).filter(F.col('df') > df_cap).select('s')
-    return ex.join(F.broadcast(heavy), 's', 'left_anti')
+    broadcast-joins; the Jaccard/containment *scores* still use the full
+    shingle sets, only candidate *blocking* loses the heavy keys.
+
+    Guaranteed blocking key (ADVICE r2): a doc whose shingles are ALL
+    heavy — the >df_cap cluster of near-identical documents — would
+    otherwise lose every blocking key and the whole cluster would escape
+    near-dup detection (even jaccard = 1.0 pairs). Such a doc keeps
+    exactly ONE shingle: its lexicographic-min shingle, which
+    near-identical docs share, so the cluster still blocks together.
+    Cost stays bounded: the exemption fires only for all-heavy docs, and
+    a c-doc cluster's c² candidate pairs are the *required output* of a
+    pairs API, not avoidable work."""
+    heavy = (ex.groupBy('s').agg(F.count('*').alias('df'))
+             .filter(F.col('df') > df_cap).select('s', F.lit(True).alias('_heavy')))
+    marked = ex.join(F.broadcast(heavy), 's', 'left')
+    keys = marked.groupBy('doc_id').agg(
+        F.min(F.when(F.col('_heavy').isNull(), F.col('s'))).alias('nh_min'),
+        F.min('s').alias('all_min'),
+    )
+    return (
+        marked.join(keys, 'doc_id')
+        .filter(F.col('_heavy').isNull()
+                | (F.col('nh_min').isNull() & (F.col('s') == F.col('all_min'))))
+        .select('doc_id', 's')
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -93,9 +114,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingle with a document-frequency cap (see :func:`_drop_heavy_shingles`
     — candidate count stays bounded even under ubiquitous boilerplate).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b. Note: a pair whose
-    ONLY shared shingles are heavy is not a near-dup candidate — at
-    jaccard >= 0.5 such a pair would need its whole overlap to be
-    boilerplate, which is exactly the pair a dedup pipeline should skip.
+    only shared shingles are heavy is not a near-dup candidate UNLESS both
+    docs are all-heavy (the >df_cap duplicate cluster — caught via the
+    guaranteed min-shingle blocking key); a *mixed* pair whose overlap is
+    pure boilerplate is exactly the pair a dedup pipeline should skip.
     """
     sh = _shingled(docs, n)
     ex = _drop_heavy_shingles(sh.select('doc_id', F.explode('shingle_set').alias('s')), df_cap)

@@ -42,6 +42,23 @@ def test_uncapped_goes_quadratic(boilerplate_docs):
     assert pairs.count() == 40 * 39 // 2
 
 
+def test_all_heavy_cluster_still_detected(spark):
+    """ADVICE r2: a cluster of more than df_cap near-identical docs makes
+    ALL its shingles heavy — without a guaranteed blocking key the whole
+    cluster (even jaccard = 1.0 pairs) escapes detection. The kept
+    lexicographic-min shingle blocks the cluster together."""
+    n = 20
+    rows = [(i, 'same exact body text repeated verbatim everywhere') for i in range(n)]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    pairs = dedup.ngram_jaccard_pairs(docs, n=4, threshold=0.9, df_cap=5)
+    got = {(r['doc_a'], r['doc_b']): r['jaccard'] for r in pairs.collect()}
+    assert len(got) == n * (n - 1) // 2  # every in-cluster pair surfaces
+    assert set(got.values()) == {1.0}
+
+    cont = dedup.containment_pairs(docs, n=4, threshold=0.9, df_cap=5)
+    assert cont.count() == n * (n - 1)  # both directions
+
+
 def test_cap_does_not_change_scores(boilerplate_docs):
     # blocking loses heavy shingles but the Jaccard score still uses the
     # FULL shingle sets — the (0,1) pair scores identically either way
