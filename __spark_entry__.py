@@ -1003,6 +1003,81 @@ def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_green_file_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backend-fidelity divergence (VERDICT r2 #8): under deny-all robots
+    the anyio worker excludes a denied host's file:// URL at schedule time
+    (any_io/static_spider.py:181-184, host-keyed delay mapping) while the
+    gevent backend reads file URLs before its robots check
+    (green/static_spider.py:126-140) and fetches it. Both modes through
+    the full engine; deterministic VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA, ROBOTS_SCHEMA
+
+    host = 'denied.example.com'
+    http_url, file_url = f'http://{host}/a.html', f'file://{host}/b.txt'
+    corpus = spark.createDataFrame([
+        {'doc_id': http_url,
+         'spans': [{'kind': 'text', 'text': 'alpha', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 2.0},
+        {'doc_id': file_url,
+         'spans': [{'kind': 'text', 'text': 'beta', 'media_ref': None, 'offset': 0}],
+         'http_status': 0, 'scheme': 'file', 'readable': True, 'fetch_ms': 3.0},
+    ], CORPUS_SCHEMA)
+    robots = spark.createDataFrame(
+        [{'host': host, 'fetch_status': 200, 'rules': 'User-agent: *\nDisallow: /'}],
+        ROBOTS_SCHEMA)
+    out = None
+    for mode in ('anyio', 'green'):
+        cfg = CrawlConfig(follow_robots_txt=True, politeness_mode=mode, max_waves=2)
+        res = CrawlEngine(spark, corpus, robots, cfg).run([http_url, file_url])
+        part = res.seen.select(F.lit(mode).alias('mode'), 'url', 'status')
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_GREEN_FILE_BYPASS = """
+SELECT * FROM (VALUES
+  ('anyio', 'http://denied.example.com/a.html', 'robots_excluded'),
+  ('anyio', 'file://denied.example.com/b.txt', 'robots_excluded'),
+  ('green', 'http://denied.example.com/a.html', 'robots_excluded'),
+  ('green', 'file://denied.example.com/b.txt', 'reachable')
+) AS t(mode, url, status)
+"""
+
+
+def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.canonicalize_urls through the full engine: with the
+    flag on, a ?utm_source= seed variant collapses into the clean URL's
+    frontier entry (ONE seen row, first-enqueue priority); with it off,
+    reference literal-URL dedup keeps both (the variant misses the corpus
+    and lands unreachable). Deterministic VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    seeds = ['http://quotes.com', 'http://quotes.com?utm_source=news&fbclid=x']
+    out = None
+    for flag in (True, False):
+        cfg = CrawlConfig(link_rule='second_contains_page', max_waves=1,
+                          canonicalize_urls=flag)
+        res = CrawlEngine(spark, golden_site(spark, 'http'), config=cfg).run(seeds)
+        part = res.seen.select(
+            F.lit(flag).alias('canonicalize'), 'url', 'status',
+            F.col('priority').cast('long').alias('priority'))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CANONICALIZED_SEEN = """
+SELECT * FROM (VALUES
+  (TRUE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com?utm_source=news&fbclid=x', 'unreachable', CAST(1 AS BIGINT))
+) AS t(canonicalize, url, status, priority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1050,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
         'crawl_politeness_budget': q_crawl_politeness_budget,
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
+        'crawl_green_file_bypass': q_crawl_green_file_bypass,
+        'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
     }
 
 
@@ -1086,6 +1163,8 @@ def oracle_sql() -> dict[str, str]:
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'events_sessionize': ORACLE_SESSIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
+        'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
+        'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,

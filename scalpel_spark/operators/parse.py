@@ -49,8 +49,13 @@ def extract_items(docs: DataFrame) -> DataFrame:
     Returns (doc_id, quote, author, item_seq).
     """
     texts = F.filter(F.col('spans'), lambda s: s['kind'] == F.lit('text'))
+    # guard: F.sequence(0, -1) yields a DESCENDING [0, -1] (not empty!), so
+    # a doc with <2 text spans would probe element_at(texts, 0) and throw —
+    # emit no pairs instead
+    n_pairs = F.floor(F.size(texts) / 2).cast('int')
     pairs = F.transform(
-        F.sequence(F.lit(0), F.floor(F.size(texts) / 2).cast('int') - 1),
+        F.when(n_pairs > 0, F.sequence(F.lit(0), n_pairs - 1)).otherwise(
+            F.array().cast('array<int>')),
         lambda k: F.struct(
             F.element_at(texts, k * 2 + 1)['text'].alias('quote'),
             F.element_at(texts, k * 2 + 2)['text'].alias('author'),

@@ -499,13 +499,23 @@ class CrawlEngine:
             # limit let AQE pick the strategy (shuffle join on host)
             right = F.broadcast(host_state) if n_hosts <= cfg.broadcast_host_limit else host_state
             joined = new.join(right, 'host', 'left')
-            excluded = joined.filter(F.coalesce(F.col('excluded'), F.lit(False))).select(
+            is_excluded = F.coalesce(F.col('excluded'), F.lit(False))
+            if cfg.politeness_mode == 'green':
+                # gevent-backend fidelity (green/static_spider.py:126-140):
+                # file URLs are read in _handle_url BEFORE the robots check
+                # (which lives in the http else-branch only), so a denied
+                # host's file:// URLs are still fetched. The anyio worker
+                # instead consults the robots delay-mapping per dequeued
+                # URL regardless of scheme (any_io/static_spider.py:181-184)
+                # — host-keyed schedule-time exclusion, the default here.
+                is_excluded = is_excluded & (F.col('scheme') != 'file')
+            excluded = joined.filter(is_excluded).select(
                 'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
             )
             # keep the per-host `delay` when wave_duration derives the
             # budget from it (step 4); drop it otherwise
             drop_cols = ('excluded',) if cfg.wave_duration is not None else ('excluded', 'delay')
-            allowed = joined.filter(~F.coalesce(F.col('excluded'), F.lit(False))).drop(*drop_cols)
+            allowed = joined.filter(~is_excluded).drop(*drop_cols)
             metrics_rows.append((wave, 'robots', -1, n_hosts, (time.time() - t0) * 1000))
 
         # 4. politeness budget (W1/T2) with hot-host salting (§4.2).

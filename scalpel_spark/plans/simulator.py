@@ -210,7 +210,10 @@ class CrawlSimulator:
                         self._robots_decision(url)
                 for prio, url in new:
                     host = urlkit.host_of(url)
-                    if host is not None and self._host_state.get(host, (False,))[0]:
+                    file_bypass = (self.politeness_mode == 'green'
+                                   and urlkit.scheme_of(url) == 'file')
+                    if (host is not None and self._host_state.get(host, (False,))[0]
+                            and not file_bypass):
                         excluded.append((prio, url))
                     else:
                         allowed.append((prio, url))
@@ -309,8 +312,23 @@ class CrawlSimulator:
         while queue:
             url, wave = queue.popleft()
 
-            if self.follow_robots_txt and urlkit.scheme_of(url) in ('http', 'https'):
+            scheme = urlkit.scheme_of(url)
+            if self.follow_robots_txt and scheme in ('http', 'https'):
                 excluded, _delay = self._robots_decision(url)
+            elif (self.follow_robots_txt and self.politeness_mode == 'anyio'
+                  and urlkit.host_of(url) is not None):
+                # anyio worker consults the robots delay-mapping for EVERY
+                # dequeued URL (any_io/static_spider.py:181-184), so a
+                # file://host/path URL whose host was already denied is
+                # excluded at schedule time; green's _handle_url reads file
+                # URLs before its robots check (green/static_spider.py:
+                # 126-140) — file bypass. A host never decided over http
+                # stays undecided (robots.txt is an http fetch), matching
+                # the engine's http-only host evaluation.
+                excluded = self._host_state.get(urlkit.host_of(url), (False,))[0]
+            else:
+                excluded = False
+            if self.follow_robots_txt:
                 if excluded:
                     if url not in (res.reachable | res.unreachable | res.robots_excluded):
                         res.robots_excluded.add(url)

@@ -23,7 +23,8 @@ PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness',
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
-        'crawl_politeness_budget'}
+        'crawl_politeness_budget', 'crawl_green_file_bypass',
+        'crawl_canonicalized_seen'}
 
 CHECKS = {
     'frontier_dedup_anti_join': ['LeftAnti'],
