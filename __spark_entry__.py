@@ -1078,6 +1078,96 @@ SELECT * FROM (VALUES
 """
 
 
+def q_spans_fingerprint_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-sequence fingerprint (operators/spans.py) over the
+    reference's golden 3-page site — the north-rule invariant ("span-sequence
+    equality (kind, text, media_ref, order) on every emitted document",
+    reference parse path core/response.py:77-116) as a map-side 60-bit
+    signature.  Deterministic → exact signatures pinned as a VALUES oracle."""
+    from scalpel_spark.operators import spans as sp
+    from scalpel_spark.sources.corpus import golden_site
+
+    docs = golden_site(spark, 'http')
+    return sp.with_span_signature(docs).select(
+        'doc_id', 'span_sig', F.size('spans').cast('long').alias('n_spans'))
+
+
+ORACLE_SPANS_GOLDEN = """
+SELECT * FROM (VALUES
+  ('http://quotes.com', CAST(706096425200159455 AS BIGINT), CAST(6 AS BIGINT)),
+  ('http://quotes.com/page2.html', CAST(760134644376185007 AS BIGINT), CAST(6 AS BIGINT)),
+  ('http://quotes.com/page3.html', CAST(765052511856382037 AS BIGINT), CAST(6 AS BIGINT))
+) AS t(doc_id, span_sig, n_spans)
+"""
+
+
+def q_spans_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-composition rollup over a 400-page interleaved synthetic corpus
+    (operators/spans.span_stats): per-doc text/link/media counts computed
+    map-side with array filter/aggregate (no explode), then ONE aggregation
+    shuffle over the tiny (n_text, n_media, n_link) key space.  The shape a
+    100 TB media-inventory audit would use.  Deterministic VALUES oracle."""
+    from scalpel_spark.operators import spans as sp
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=400, n_hosts=8, seed=13)
+    return (
+        sp.span_stats(corpus)
+        .groupBy('n_text', 'n_media', 'n_link')
+        .agg(F.count('*').alias('n_docs'), F.sum('text_chars').alias('text_chars'))
+    )
+
+
+ORACLE_SPANS_STATS = """
+SELECT * FROM (VALUES
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(73 AS BIGINT), CAST(1965 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(49 AS BIGINT), CAST(1346 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT), CAST(73 AS BIGINT), CAST(1999 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(64 AS BIGINT), CAST(1748 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(38 AS BIGINT), CAST(1034 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(40 AS BIGINT), CAST(1081 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(31 AS BIGINT), CAST(865 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(32 AS BIGINT), CAST(866 AS BIGINT))
+) AS t(n_text, n_media, n_link, n_docs, text_chars)
+"""
+
+
+def q_spans_parity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed span-sequence parity audit (operators/spans.span_parity):
+    left = a 300-page corpus; right = the same corpus with deterministic
+    faults injected in pure column algebra — docs with xxhash64(doc_id)%7==0
+    lose their last span (mismatch), %7==1 are deleted (left_only), and ten
+    extra pages are appended (right_only).  Each side reduces map-side to
+    (doc_id, signature); the single full-outer join shuffles 16 bytes/row —
+    the plan a 10^10-doc emitted-vs-source audit needs.  VALUES oracle pins
+    the 4-way classification counts."""
+    from scalpel_spark.operators import spans as sp
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    left = synthetic_corpus(spark, n_pages=300, n_hosts=8, seed=5)
+    bucket = F.pmod(F.xxhash64('doc_id'), F.lit(7))
+    mutated = left.withColumn(
+        'spans',
+        F.when(bucket == 0, F.slice('spans', 1, F.size('spans') - 1)).otherwise(F.col('spans')),
+    ).filter(bucket != 1)
+    extra = (
+        synthetic_corpus(spark, n_pages=310, n_hosts=8, seed=5)
+        .filter(F.regexp_extract('doc_id', r'/p(\d+)\.html$', 1).cast('int') >= 300)
+    )
+    right = mutated.unionByName(extra)
+    return sp.span_parity_summary(left, right)
+
+
+ORACLE_SPANS_PARITY = """
+SELECT * FROM (VALUES
+  ('left_only', CAST(35 AS BIGINT)),
+  ('match', CAST(229 AS BIGINT)),
+  ('mismatch', CAST(36 AS BIGINT)),
+  ('right_only', CAST(10 AS BIGINT))
+) AS t(status, n_docs)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1127,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
         'crawl_green_file_bypass': q_crawl_green_file_bypass,
         'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
+        'spans_fingerprint_golden': q_spans_fingerprint_golden,
+        'spans_media_stats': q_spans_media_stats,
+        'spans_parity_check': q_spans_parity_check,
     }
 
 
@@ -1168,5 +1261,8 @@ def oracle_sql() -> dict[str, str]:
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,
+        'spans_fingerprint_golden': ORACLE_SPANS_GOLDEN,
+        'spans_media_stats': ORACLE_SPANS_STATS,
+        'spans_parity_check': ORACLE_SPANS_PARITY,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }
