@@ -98,6 +98,29 @@ def test_span_stats_golden_site(spark):
         assert got['text_chars'] == chars
 
 
+def test_engine_emitted_docs_are_span_exact(spark):
+    """End-to-end north-rule invariant: every document the engine emits is a
+    span-exact copy of its corpus row — no reorder, no drop, no rewrite
+    through fetch/middleware/commit (reference emit: any_io/static_spider.py:143)."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_pages=120, n_hosts=6, seed=21)
+    robots = synthetic_robots(spark, n_hosts=6)
+    cfg = CrawlConfig(follow_robots_txt=True, max_waves=2)
+    engine = CrawlEngine(spark, corpus, robots, cfg, SnapshotStore(tempfile.mkdtemp()))
+    res = engine.run([r['doc_id'] for r in corpus.limit(3).collect()])
+    emitted = res.docs.select('doc_id', 'spans')
+    summary = {r['status']: r['n_docs']
+               for r in sp.span_parity_summary(emitted, corpus.select('doc_id', 'spans')).collect()}
+    assert summary.get('mismatch', 0) == 0 and summary.get('left_only', 0) == 0
+    assert summary.get('match', 0) == emitted.count() > 0
+
+
 def test_parity_plan_is_slim_single_join_no_python(spark):
     docs = golden_site(spark, 'http')
     plan = sp.span_parity(docs, docs)._jdf.queryExecution().executedPlan().toString()
