@@ -1168,6 +1168,43 @@ SELECT * FROM (VALUES
 """
 
 
+def q_media_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-axis frontier schedule+dedup (operators/multimodal.media_frontier):
+    media spans referenced by a 500-page interleaved corpus become fetch
+    candidates, LEFT-ANTI-deduped against the refs already fetched (the
+    first 250 pages' media), then rolled up per media host for politeness
+    grouping — the interleaved-payload twin of the URL seen-set step
+    (reference dedup: any_io/static_spider.py:100-106).  Deterministic
+    VALUES oracle over the per-host new-ref counts."""
+    from scalpel_spark.operators.multimodal import media_frontier
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=500, n_hosts=10, seed=17)
+    pid = F.regexp_extract('doc_id', r'/p(\d+)\.html$', 1).cast('int')
+    seen = media_frontier(corpus.filter(pid < 250))
+    return (
+        media_frontier(corpus, seen_media=seen)
+        .groupBy('media_host')
+        .agg(F.count('*').alias('n_new_refs'))
+    )
+
+
+ORACLE_MEDIA_FRONTIER = """
+SELECT * FROM (VALUES
+  ('h0', CAST(8 AS BIGINT)),
+  ('h1', CAST(14 AS BIGINT)),
+  ('h2', CAST(4 AS BIGINT)),
+  ('h3', CAST(5 AS BIGINT)),
+  ('h4', CAST(2 AS BIGINT)),
+  ('h5', CAST(10 AS BIGINT)),
+  ('h6', CAST(9 AS BIGINT)),
+  ('h7', CAST(5 AS BIGINT)),
+  ('h8', CAST(15 AS BIGINT)),
+  ('h9', CAST(9 AS BIGINT))
+) AS t(media_host, n_new_refs)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1220,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'spans_fingerprint_golden': q_spans_fingerprint_golden,
         'spans_media_stats': q_spans_media_stats,
         'spans_parity_check': q_spans_parity_check,
+        'media_frontier_dedup': q_media_frontier_dedup,
     }
 
 
@@ -1264,5 +1302,6 @@ def oracle_sql() -> dict[str, str]:
         'spans_fingerprint_golden': ORACLE_SPANS_GOLDEN,
         'spans_media_stats': ORACLE_SPANS_STATS,
         'spans_parity_check': ORACLE_SPANS_PARITY,
+        'media_frontier_dedup': ORACLE_MEDIA_FRONTIER,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }

@@ -173,3 +173,36 @@ def join_spans_to_media(docs: DataFrame, media: DataFrame) -> DataFrame:
         F.posexplode(F.filter('spans', lambda s: s['kind'] == F.lit('media'))).alias('pos', 'span'),
     ).select('doc_id', 'pos', F.col('span.media_ref').alias('media_ref'), F.col('span.offset').alias('offset'))
     return spans.join(media, 'media_ref', 'left')
+
+
+def media_frontier(docs: DataFrame, seen_media: DataFrame | None = None) -> DataFrame:
+    """The media analogue of the URL frontier's schedule+dedup step: media
+    spans referenced by emitted documents become fetch candidates, deduped
+    against the already-fetched media set (the interleaved-payload twin of
+    ``operators/seen.anti_join_seen`` — reference URL dedup:
+    ``any_io/static_spider.py:100-106`` applied to the media axis).
+
+    docs must carry (doc_id, spans); seen_media, if given, carries
+    ``media_ref``. Returns one row per NEW distinct media_ref with its
+    host (parsed from the ``img://<host>/<id>`` ref) for politeness
+    grouping — ready to feed the same per-host dispatch window the page
+    frontier uses.
+
+    Scale shape: media spans are filtered map-side (no full-spans
+    explode), the distinct is one shuffle on media_ref, and the seen
+    check is a LEFT ANTI equi-join — at 10^10 refs this is the same
+    bloom-prefilterable plan as the URL seen set.
+    """
+    refs = docs.select(
+        F.explode(
+            F.filter('spans', lambda s: s['kind'] == F.lit('media'))
+        ).alias('span')
+    ).select(F.col('span.media_ref').alias('media_ref')).filter(
+        F.col('media_ref').isNotNull()
+    ).distinct()
+    if seen_media is not None:
+        refs = refs.join(
+            seen_media.select('media_ref').distinct(), 'media_ref', 'left_anti'
+        )
+    host = F.regexp_extract('media_ref', r'^[a-z]+://([^/]+)/', 1)
+    return refs.select('media_ref', host.alias('media_host'))

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from scalpel_spark.operators import multimodal as mm
 from scalpel_spark.sources.corpus import golden_site, synthetic_corpus
@@ -106,3 +107,30 @@ def test_golden_site_has_no_media(spark):
     docs = golden_site(spark, 'http').select('doc_id', 'spans')
     media = mm.synthetic_media(spark, 5)
     assert mm.join_spans_to_media(docs, media).count() == 0
+
+
+def test_media_frontier_dedup_and_host_parse(spark):
+    """media_frontier: media spans → distinct new refs with parsed host,
+    anti-joined against the already-fetched set; NULL refs and non-media
+    spans never schedule."""
+    from scalpel_spark.sources.corpus import SPAN_TYPE
+
+    schema = T.StructType([
+        T.StructField('doc_id', T.StringType()),
+        T.StructField('spans', SPAN_TYPE),
+    ])
+    mk = lambda kind, text, ref, off: {'kind': kind, 'text': text, 'media_ref': ref, 'offset': off}
+    docs = spark.createDataFrame([
+        ('d1', [mk('text', 'a', None, 0), mk('media', None, 'img://hA/1', 1),
+                mk('media', None, 'img://hB/2', 2)]),
+        ('d2', [mk('media', None, 'img://hA/1', 0),   # duplicate ref across docs
+                mk('media', None, None, 1),           # NULL ref never schedules
+                mk('link', 'u', None, 2)]),
+        ('d3', [mk('media', None, 'img://hA/3', 0)]),
+    ], schema)
+    all_new = {(r['media_ref'], r['media_host'])
+               for r in mm.media_frontier(docs).collect()}
+    assert all_new == {('img://hA/1', 'hA'), ('img://hB/2', 'hB'), ('img://hA/3', 'hA')}
+    seen = spark.createDataFrame([('img://hA/1',)], 'media_ref string')
+    fresh = {r['media_ref'] for r in mm.media_frontier(docs, seen_media=seen).collect()}
+    assert fresh == {'img://hB/2', 'img://hA/3'}
