@@ -93,6 +93,18 @@ class CrawlResult:
             return None
         return self.spark.read.parquet(*paths)
 
+    def as_of(self, snapshot_id: str, table: str = 'seen') -> Optional[DataFrame]:
+        """Time-travel read: the accumulated state of ``table`` (seen,
+        followed, items, docs, metrics) AS OF the named snapshot — the
+        Iceberg ``VERSION AS OF`` surface over the manifest
+        (SnapshotStore.state_paths_at). Snapshot ids come from
+        ``self.store.snapshots()``; each wave commits one, so this answers
+        "what had we crawled by wave k" without replaying the crawl."""
+        paths = self.store.state_paths_at(f'{table}_delta', snapshot_id)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
     @property
     def seen(self) -> DataFrame:
         return self._delta('seen_delta')

@@ -102,9 +102,24 @@ class SnapshotStore:
         snapshot REPLACES all earlier history (Iceberg rewrite semantics —
         the engine's ``forget()`` commits one to drop recrawled URLs);
         later deltas append on top of it."""
+        return self.state_paths_at(delta_name, None)
+
+    def state_paths_at(self, delta_name: str, snapshot_id: Optional[str]) -> list[str]:
+        """Time-travel variant of :meth:`state_paths`: the accumulated state
+        of a delta table AS OF ``snapshot_id`` (inclusive) — the Iceberg
+        ``VERSION AS OF`` read over our manifest. ``None`` means current.
+
+        Raises ``KeyError`` for an unknown snapshot id (misspelled ids must
+        not silently read the full history)."""
         compacted_name = delta_name.replace('_delta', '_compacted')
+        snaps = self.snapshots()
+        if snapshot_id is not None:
+            ids = [s['id'] for s in snaps]
+            if snapshot_id not in ids:
+                raise KeyError(f'unknown snapshot id: {snapshot_id!r} (have {ids})')
+            snaps = snaps[: ids.index(snapshot_id) + 1]
         paths: list[str] = []
-        for snap in self.snapshots():
+        for snap in snaps:
             if compacted_name in snap['tables']:
                 paths = [snap['tables'][compacted_name]]
             if delta_name in snap['tables']:

@@ -67,3 +67,28 @@ def test_snapshot_manifest_atomicity(spark, tmp_path, corpus_and_robots):
     for s in snaps:
         for table, path in s['tables'].items():
             spark.read.parquet(path).count()  # loadable, not torn
+
+
+def test_time_travel_as_of_snapshot(spark, tmp_path, corpus_and_robots):
+    """Iceberg VERSION-AS-OF parity: `CrawlResult.as_of(snapshot_id)` reads
+    the accumulated seen state as of each wave's commit — monotone growth,
+    per-wave prefix equality with the final state, and KeyError on unknown
+    ids (no silent full-history fallback)."""
+    corpus, robots = corpus_and_robots
+    store = SnapshotStore(str(tmp_path / 'tt'))
+    cfg = CrawlConfig(follow_robots_txt=True, max_waves=3)
+    res = CrawlEngine(spark, corpus, robots, cfg, store).run(
+        [r['doc_id'] for r in corpus.limit(3).collect()])
+    snaps = store.snapshots()
+    assert len(snaps) >= 2
+    final = _rows(res.seen, ['url', 'status', 'wave'])
+    prev_n = 0
+    for snap in snaps:
+        seen_at = res.as_of(snap['id'], 'seen')
+        rows_at = _rows(seen_at, ['url', 'status', 'wave'])
+        assert len(rows_at) >= prev_n                       # monotone accumulation
+        assert rows_at == [r for r in final if r[2] <= snap['wave']]  # exact wave prefix
+        prev_n = len(rows_at)
+    assert _rows(res.as_of(snaps[-1]['id'], 'seen'), ['url']) == _rows(res.seen, ['url'])
+    with pytest.raises(KeyError):
+        res.as_of('s999999-w9', 'seen')
