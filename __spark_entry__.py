@@ -450,6 +450,37 @@ WHERE jaccard >= 0.5
 """
 
 
+def q_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via connected components (min-label propagation)
+    over the n-gram Jaccard pair graph, with the keep-one-drop-rest
+    decision: is_canonical = 1 for the min doc_id of each cluster. The
+    transitive-closure step pair operators leave to the pipeline —
+    A~B, B~C must merge even when A~C was never emitted. Oracle is a
+    recursive CTE computing the same closure."""
+    pairs = dedup.ngram_jaccard_pairs(_docs_plus(spark, sf_dir), n=4, threshold=0.5)
+    return dedup.cluster_canonical(pairs)
+
+
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+{ORACLE_JACCARD}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(c.doc_id = c.cluster_id AS INTEGER) AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs_plus(spark, sf_dir), k=16, bands=4, n=4, min_matches=8)
 
@@ -1233,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_frontier_canonical': q_url_frontier_canonical,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
+        'dedup_cluster_canonical': q_dedup_cluster_canonical,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_cosine': q_dedup_embedding_cosine,
@@ -1279,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         'url_frontier_canonical': ORACLE_CANON,
         'dedup_exact': ORACLE_DEDUP_EXACT,
         'dedup_ngram_jaccard': ORACLE_JACCARD,
+        'dedup_cluster_canonical': ORACLE_CLUSTERS,
         'dedup_minhash_lsh': ORACLE_MINHASH,
         'dedup_simhash': _simhash_oracle(),
         'dedup_embedding_cosine': ORACLE_EMB_DUP,

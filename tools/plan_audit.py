@@ -21,7 +21,8 @@ sys.path.insert(0, '.')
 # queries whose plans are allowed to contain Python (Arrow) eval nodes
 PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical'}
 # engine queries run the full wave loop — skip static plan audit
-SKIP = {'crawl_golden_http', 'crawl_synthetic_politeness',
+SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
+        'crawl_golden_http', 'crawl_synthetic_politeness',
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
         'crawl_politeness_budget', 'crawl_green_file_bypass',
         'crawl_canonicalized_seen'}
