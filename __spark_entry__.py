@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround
-from scalpel_spark.operators import dedup, sessions, similarity, textops
+from scalpel_spark.operators import curation, dedup, sessions, similarity, textops
 
 SF_DEFAULT = '/root/testdata/sf0.001'
 
@@ -481,6 +481,113 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline: quality gate -> exact dedup on the
+    normalized fingerprint -> near-dup connected components over
+    normalized text -> keep-one-drop-rest, one attributable verdict row
+    per input doc. Oracle recomputes every stage in SQL, including the
+    df-capped blocking and the recursive-CTE closure."""
+    return curation.curate(_docs_plus(spark, sf_dir), quality_threshold=0.45,
+                           n=4, jaccard_threshold=0.5)
+
+
+def _curate_oracle() -> str:
+    stop = ' + '.join(_count_tok_sql(s) for s in textops.STOPWORDS)
+    return f"""
+WITH RECURSIVE {DOCS_PLUS_SQL},
+f AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mean_len,
+         CAST({stop} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS dr
+  FROM docs_plus),
+scored AS (
+  SELECT doc_id, text,
+         floor((0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.3 * dr
+               + 0.2 * LEAST(stop_ratio * 5.0, 1.0)
+               + 0.1 * LEAST(mean_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
+  FROM f),
+nrm AS (
+  SELECT doc_id, score,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM scored),
+surv AS (SELECT doc_id, score, norm_text, {H60.format(x='norm_text')} AS fp
+         FROM nrm WHERE score >= 0.45),
+canon AS (SELECT fp, MIN(doc_id) AS c FROM surv GROUP BY fp),
+jn AS (SELECT s.doc_id, s.score, s.norm_text, c.c FROM surv s JOIN canon c USING (fp)),
+es AS (SELECT doc_id, score, norm_text FROM jn WHERE doc_id = c),
+toks AS (SELECT doc_id, string_split(norm_text, ' ') AS l FROM es),
+sh AS (SELECT doc_id, CASE WHEN len(l) >= 4 THEN
+         list_distinct(list_transform(range(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))
+       ELSE CAST([] AS VARCHAR[]) END AS sset FROM toks),
+ex0 AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+mk AS (SELECT doc_id, s,
+              s IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 100) AS h
+       FROM ex0),
+ky AS (SELECT doc_id, MIN(CASE WHEN NOT h THEN s END) AS nh_min, MIN(s) AS all_min
+       FROM mk GROUP BY doc_id),
+exx AS (SELECT mk.doc_id, mk.s FROM mk JOIN ky USING (doc_id)
+        WHERE NOT h OR (nh_min IS NULL AND s = all_min)),
+cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM exx a JOIN exx b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           floor((CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                 / (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) * 10000 + 0.5) / 10000 AS jaccard
+    FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a JOIN sh sb ON sb.doc_id = cand.doc_b)
+  WHERE jaccard >= 0.5),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+near AS (SELECT doc_id, cluster_id FROM comp WHERE doc_id <> cluster_id)
+SELECT doc_id, 'low_quality' AS verdict, CAST(-1 AS BIGINT) AS cluster_id, score
+FROM nrm WHERE score < 0.45
+UNION ALL
+SELECT doc_id, 'exact_dup' AS verdict, c AS cluster_id, score FROM jn WHERE doc_id <> c
+UNION ALL
+SELECT n.doc_id, 'near_dup' AS verdict, n.cluster_id, es.score
+FROM near n JOIN es USING (doc_id)
+UNION ALL
+SELECT es.doc_id, 'kept' AS verdict, es.doc_id AS cluster_id, es.score
+FROM es WHERE es.doc_id NOT IN (SELECT doc_id FROM near)
+"""
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified token-budget sampler (greedy fill in
+    md5-shuffle-key order, bucket-decomposed prefix sum). The oracle
+    computes the same greedy fill with one flat window per stratum —
+    provably equal because the buckets range-partition the key space."""
+    return curation.token_budget_sample(_t(spark, sf_dir, 'documents'),
+                                        budget_tokens=3000, n_buckets=64)
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {H60.format(x='CAST(doc_id AS VARCHAR)')} AS k
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM base)
+SELECT doc_id, lang, n_tokens, cum_before FROM cum WHERE cum_before < 3000
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs_plus(spark, sf_dir), k=16, bands=4, n=4, min_matches=8)
 
@@ -786,6 +893,53 @@ WITH norm AS (
 SELECT doc_id, CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
        {H60.format(x='norm_text')} AS norm_fingerprint
 FROM norm
+"""
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministically planted PII
+    (the synthetic corpus has none): emails / IPv4 / phone-like runs
+    counted against the original text, redaction applied sequentially.
+    Result carries hash60(redacted_text) so the compare stays slim."""
+    docs = _t(spark, sf_dir, 'documents')
+    m = F.col('doc_id') % 4
+    planted = docs.select(
+        'doc_id',
+        F.concat(
+            F.col('text'),
+            F.when(m == 0, F.lit(' mail bob.smith@example.org now'))
+            .when(m == 1, F.lit(' dial +1 (415) 555-0199 today'))
+            .when(m == 2, F.lit(' host 10.20.30.40 is up'))
+            .otherwise(F.lit('')),
+        ).alias('text'),
+    )
+    red = textops.redact_pii(planted)
+    return red.select('doc_id', 'n_emails', 'n_ipv4', 'n_phones',
+                      hash60(F.col('redacted_text')).alias('redacted_hash'))
+
+
+def _redact_oracle() -> str:
+    pats = {name: pat for name, pat, _ in textops.PII_PATTERNS}
+    chain = 'text'
+    for name, pat, tok in textops.PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id, text || CASE doc_id % 4
+    WHEN 0 THEN ' mail bob.smith@example.org now'
+    WHEN 1 THEN ' dial +1 (415) 555-0199 today'
+    WHEN 2 THEN ' host 10.20.30.40 is up'
+    ELSE '' END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{pats['email']}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{pats['ipv4']}')) AS BIGINT) AS n_ipv4,
+    CAST(len(regexp_extract_all(text, '{pats['phone']}')) AS BIGINT) AS n_phones,
+    {chain} AS rt
+  FROM planted)
+SELECT doc_id, n_emails, n_ipv4, n_phones, {H60.format(x='rt')} AS redacted_hash
+FROM red
 """
 
 
@@ -1265,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
         'dedup_cluster_canonical': q_dedup_cluster_canonical,
+        'pipeline_curate': q_pipeline_curate,
+        'sample_token_budget': q_sample_token_budget,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_cosine': q_dedup_embedding_cosine,
@@ -1278,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_token_counts': q_text_token_counts,
         'text_normalize': q_text_normalize,
         'text_fingerprints': q_text_fingerprints,
+        'text_redact_pii': q_text_redact_pii,
         'events_sessionize': q_events_sessionize,
         'crawl_golden_http': q_crawl_golden_http,
         'crawl_golden_statistics': q_crawl_golden_statistics,
@@ -1312,6 +1469,8 @@ def oracle_sql() -> dict[str, str]:
         'dedup_exact': ORACLE_DEDUP_EXACT,
         'dedup_ngram_jaccard': ORACLE_JACCARD,
         'dedup_cluster_canonical': ORACLE_CLUSTERS,
+        'pipeline_curate': _curate_oracle(),
+        'sample_token_budget': ORACLE_TOKEN_BUDGET,
         'dedup_minhash_lsh': ORACLE_MINHASH,
         'dedup_simhash': _simhash_oracle(),
         'dedup_embedding_cosine': ORACLE_EMB_DUP,
@@ -1325,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         'text_token_counts': ORACLE_TOKEN_COUNTS,
         'text_normalize': ORACLE_TEXT_NORMALIZE,
         'text_fingerprints': ORACLE_FINGERPRINTS,
+        'text_redact_pii': _redact_oracle(),
         'events_sessionize': ORACLE_SESSIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

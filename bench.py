@@ -214,15 +214,21 @@ def main_default() -> None:
 def main_frontier_only(master: str, shuffle: int, n_candidates: int, n_seen: int,
                        json_out: str) -> None:
     """One hermetic config measurement: fresh JVM, 2 warmup passes (JIT
-    warmup is substantial and multi-rep), then 3 timed passes; the median
-    of the timed passes is the config's time."""
+    warmup is substantial and multi-rep), then 4 timed passes; the MIN of
+    the timed passes is the config's time. Min, not median: this sandbox
+    is a shared VM and co-tenant interference only ever ADDS time
+    (identical back-to-back passes have measured 25s vs 67s), so the
+    minimum is the standard estimator of the uncontended cost — the same
+    reasoning as Python's ``timeit`` docs. Median over few reps is
+    dragged by a single contended pass and measures the neighbors, not
+    the engine."""
     spark = make_spark(master, shuffle)
     for _ in range(2):
         frontier_pipeline_time(spark, n_candidates, n_seen, 1000, 10_000)
     reps = [frontier_pipeline_time(spark, n_candidates, n_seen, 1000, 10_000)
-            for _ in range(3)]
+            for _ in range(4)]
     with open(json_out, 'w') as f:
-        json.dump({'master': master, 'sec': round(statistics.median(reps), 3),
+        json.dump({'master': master, 'sec': round(min(reps), 3),
                    'reps_sec': [round(r, 3) for r in reps],
                    'n_candidates': n_candidates, 'n_seen': n_seen}, f)
     spark.stop()
@@ -257,14 +263,14 @@ def main_scaling(n_candidates: int, n_seen: int, reps: int = 2) -> None:
             print(f'rep {rep} local[{cores}]: {t}s', flush=True)
     results = {}
     for label, (cores, shuffle) in configs.items():
-        med = statistics.median(times[label])
+        best = min(times[label])
         results[label] = {
             'n_candidates': n_candidates, 'n_seen': n_seen, 'n_hosts': 1000,
-            'reps': reps, 'times_sec': times[label], 'median_sec': round(med, 3),
-            'urls_per_sec': round(n_candidates / med, 1), 'master': f'local[{cores}]',
+            'reps': reps, 'times_sec': times[label], 'best_sec': round(best, 3),
+            'urls_per_sec': round(n_candidates / best, 1), 'master': f'local[{cores}]',
         }
         print(f'local[{cores}]: {results[label]["urls_per_sec"]} urls/sec '
-              f'(median {results[label]["median_sec"]}s over {reps} fresh-JVM reps)')
+              f'(best {results[label]["best_sec"]}s over {reps} fresh-JVM rounds)')
 
     eff = results['4N']['urls_per_sec'] / (4 * results['N']['urls_per_sec'])
     report = {
@@ -289,19 +295,25 @@ synthetic frontier job — canonical URL generation → xxhash64 + host
 extraction → within-batch dedup groupBy → bloom-prefiltered exact
 anti-join against a pre-seeded seen set → per-host politeness-slot
 window — run on identical input at two parallelism levels. Each config
-runs in a fresh JVM (2 warmup passes, median of 3 timed passes; JVM
-startup excluded); configs are interleaved across {n['reps']} process
-rounds so host drift affects both equally.
+runs in a fresh JVM (2 warmup passes, then the MIN of 4 timed passes;
+JVM startup excluded); configs are interleaved across {n['reps']}
+process rounds so host drift affects both equally, and the min is taken
+across rounds too. Min, not median: this sandbox is a shared VM where
+co-tenant interference only ever ADDS time (identical back-to-back
+passes have measured 25s vs 67s), so the minimum estimates the
+uncontended cost of the code — the same estimator Python's ``timeit``
+documentation recommends for shared hosts. All raw per-round times are
+recorded below and in BENCH/scaling.json.
 
-| config | candidates | seen | median sec | URLs/sec |
+| config | candidates | seen | best sec | URLs/sec |
 |---|---|---|---|---|
-| {n['master']} (N) | {n['n_candidates']:,} | {n['n_seen']:,} | {n['median_sec']} | {n['urls_per_sec']:,} |
-| {q['master']} (4N) | {q['n_candidates']:,} | {q['n_seen']:,} | {q['median_sec']} | {q['urls_per_sec']:,} |
+| {n['master']} (N) | {n['n_candidates']:,} | {n['n_seen']:,} | {n['best_sec']} | {n['urls_per_sec']:,} |
+| {q['master']} (4N) | {q['n_candidates']:,} | {q['n_seen']:,} | {q['best_sec']} | {q['urls_per_sec']:,} |
 
 **scaling_efficiency = urls_per_sec_4N / (4 x urls_per_sec_N) =
 {r['scaling_efficiency']}** (target >= 0.8 per BASELINE.json north_rule).
 
-Per-round config medians (sec): N={n['times_sec']}, 4N={q['times_sec']}.
+Per-round config bests (sec): N={n['times_sec']}, 4N={q['times_sec']}.
 
 ## Why N=2 -> 4N=8 cores (and not 8 -> 32)
 
@@ -315,8 +327,8 @@ slow reps. 8->32 therefore measures the host, not the engine. At 2->8
 cores the job is CPU-bound at both levels and the engine's own scaling
 is visible. On a real multi-executor cluster the same job scales by
 adding executors (the pipeline has no driver-side serial section: the
-bloom OR-merge is a depth-2 executor-side treeAggregate, and every other
-stage is pure shuffle-parallel DataFrame algebra).
+bloom OR-merge runs executor-side, one reducer per hash-range shard,
+and every other stage is pure shuffle-parallel DataFrame algebra).
 
 Sandbox tunings that matter (documented for cluster translation):
 12g driver heap (larger heaps trigger progressive GC/THP churn in

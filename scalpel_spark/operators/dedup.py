@@ -291,42 +291,50 @@ def embedding_duplicates(emb: DataFrame, threshold: float = 0.98) -> DataFrame:
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25,
+                       algorithm: str = 'label') -> DataFrame:
     """Connected components over a near-dup pair list: the transitive
     closure the pair operators deliberately do not compute. A
     keep-one-drop-rest dedup decision needs *clusters*, not pairs —
     A~B and B~C must land in ONE cluster even when the A~C pair was never
     emitted (chained near-dups are the norm under boilerplate drift).
 
-    Algorithm: min-label propagation to fixpoint. Every doc starts
-    labelled with its own id; each round every doc takes the min of its
-    own label and its neighbors' labels. Converges to cluster_id = min
-    doc_id of the component in O(component diameter) rounds — near-dup
-    graphs are dense blobs with tiny diameters (a c-doc duplicate
-    cluster is a near-clique, diameter ~1-2), so the round count is
-    small and data-independent in practice. For adversarial long-path
-    graphs the O(log n)-round alternating large-star/small-star
-    transform (Kiveris et al., "Connected Components in MapReduce")
-    drops in behind the same signature.
+    Two interchangeable algorithms (identical output):
+
+    * ``'label'`` (default) — min-label propagation to fixpoint. Every doc
+      starts labelled with its own id; each round every doc takes the min
+      of its own label and its neighbors' labels. Converges in
+      O(component diameter) rounds — near-dup graphs are dense blobs with
+      tiny diameters (a c-doc duplicate cluster is a near-clique,
+      diameter ~1-2), so the round count is small in practice.
+    * ``'star'`` — the alternating large-star/small-star edge transform
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+      which contracts the graph toward stars in O(log n) rounds
+      regardless of diameter — the safe choice when the pair graph may
+      contain adversarial long chains.
 
     Scale shape (100 TB corpus, 1000 executors): the loop runs over the
     *pair graph*, which is orders of magnitude smaller than the corpus
-    (only near-dup docs appear). Per round: one shuffle join
-    (edges ⋈ labels on src) + one min-aggregation — both on the edge
-    list, which is persisted once up front. ``localCheckpoint`` after
-    every round truncates lineage so the plan stays O(1) deep instead of
-    O(rounds); convergence is detected with a ``limit(1).count()`` probe
-    (early-exits executor-side, no full scan collected).
+    (only near-dup docs appear). Per round: one shuffle join + one
+    min-aggregation ('label'), or two groupBy+join star transforms
+    ('star') — all on the edge list. ``localCheckpoint`` after every
+    round truncates lineage so the plan stays O(1) deep instead of
+    O(rounds); convergence is detected with ``limit(1).count()`` probes
+    (early-exit executor-side, no full scan collected).
 
-    Returns (doc_id, cluster_id) for every doc that appears in a pair.
-    Raises ``RuntimeError`` if not converged within ``max_iter`` — an
-    unconverged labelling silently under-merges, which for dedup means
-    shipping duplicates into a training set.
+    Returns (doc_id, cluster_id = min doc_id of the component) for every
+    doc that appears in a pair. Raises ``RuntimeError`` if not converged
+    within ``max_iter`` — an unconverged labelling silently under-merges,
+    which for dedup means shipping duplicates into a training set.
 
     Reference parity note: the reference dedups URLs only, with an
     in-memory set (``scalpel/any_io/static_spider.py:100-106``); content
     clustering is part of the LLM-pipeline layer this engine adds.
     """
+    if algorithm == 'star':
+        return _star_components(pairs, max_iter)
+    if algorithm != 'label':
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     edges = (
         pairs.select(F.col(pairs.columns[0]).alias('src'), F.col(pairs.columns[1]).alias('dst'))
         .union(pairs.select(F.col(pairs.columns[1]), F.col(pairs.columns[0])))
@@ -364,15 +372,78 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         raise RuntimeError(
             f'duplicate_clusters did not converge in {max_iter} rounds; '
             'the pair graph has a longer path than expected — raise max_iter '
-            'or switch to large-star/small-star'
+            "or switch to algorithm='star'"
         )
     return labels
 
 
-def cluster_canonical(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _star_components(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components over directed
+    large→small edges (Kiveris et al.). Each round:
+
+    * large-star — for every node u with m(u) = min(Γ(u) ∪ {u}), rewire
+      every *larger* neighbor v > u to m(u);
+    * small-star — for every node u over its smaller neighbors
+      Γ⁻(u), with m = min(Γ⁻(u)), rewire u and each v ∈ Γ⁻(u) \\ {m}
+      to m.
+
+    Both transforms preserve connectivity and strictly contract toward
+    star graphs rooted at the component minimum; the edge set is a
+    fixpoint exactly when the graph is a union of stars, so convergence
+    is checked as set equality (two ``exceptAll … limit(1)`` probes).
+    Rounds are O(log n) in the component size, independent of diameter.
+    """
+    a, b = (F.col(pairs.columns[0]), F.col(pairs.columns[1]))
+    cur = (
+        pairs.select(F.greatest(a, b).alias('src'), F.least(a, b).alias('dst'))
+        .filter(F.col('src') != F.col('dst'))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col('dst').alias('src'), F.col('src').alias('dst')))
+        m_large = sym.groupBy('src').agg(F.min('dst').alias('mn'))
+        large = (
+            sym.join(m_large, 'src')
+            .filter(F.col('dst') > F.col('src'))
+            .select(F.col('dst').alias('src'),
+                    F.least('src', 'mn').alias('dst'))
+            .distinct()
+        )
+        m_small = large.groupBy('src').agg(F.min('dst').alias('m'))
+        small = (
+            large.join(m_small, 'src')
+            .filter(F.col('dst') != F.col('m'))
+            .select(F.col('dst').alias('src'), F.col('m').alias('dst'))
+            .union(m_small.select('src', F.col('m').alias('dst')))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (small.exceptAll(cur).limit(1).count()
+                   + cur.exceptAll(small).limit(1).count())
+        cur = small
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f'duplicate_clusters(star) did not converge in {max_iter} rounds')
+    roots = (
+        cur.select('dst').distinct()
+        .join(cur.select(F.col('src').alias('dst')).distinct(), 'dst', 'left_anti')
+    )
+    return (
+        cur.select(F.col('src').alias('doc_id'), F.col('dst').alias('cluster_id'))
+        .union(roots.select(F.col('dst').alias('doc_id'), F.col('dst').alias('cluster_id')))
+    )
+
+
+def cluster_canonical(pairs: DataFrame, max_iter: int = 25,
+                      algorithm: str = 'label') -> DataFrame:
     """Keep-one-drop-rest over near-dup clusters: components from
     :func:`duplicate_clusters`, canonical doc = min doc_id (== cluster_id
-    by construction of min-label propagation).
+    by construction, under either algorithm).
 
     Returns (doc_id, cluster_id, cluster_size, is_canonical) — the
     training-pipeline contract: ``filter(is_canonical = 1)`` keeps exactly
@@ -380,7 +451,7 @@ def cluster_canonical(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     back to the corpus drops the rest. Cluster sizes come from one extra
     aggregation over the (small) label table.
     """
-    labels = duplicate_clusters(pairs, max_iter)
+    labels = duplicate_clusters(pairs, max_iter, algorithm)
     sizes = labels.groupBy('cluster_id').agg(F.count('*').alias('cluster_size'))
     return (
         labels.join(sizes, 'cluster_id')

@@ -61,8 +61,10 @@ def sum_cols(cols: list[Column]) -> Column:
     return out
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Per-doc quality features + composite score (rounded, double):
+def quality_feature_cols(text: Column) -> dict[str, Column]:
+    """The quality feature expressions over a text column, unrounded —
+    shared by :func:`quality_scores` and the curation pipeline so the
+    composite score is one definition, not two.
 
     * n_tokens — whitespace token count
     * mean_token_len — avg token length
@@ -71,10 +73,10 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     * score = 0.4*min(n_tokens/100,1) + 0.3*distinct_ratio
               + 0.2*min(stopword_ratio*5,1) + 0.1*min(mean_token_len/8,1)
     """
-    toks = tokens(F.col('text'))
+    toks = tokens(text)
     n = F.size(toks).cast('double')
-    mean_len = (F.length('text') - (F.size(toks) - 1)).cast('double') / n
-    stop = sum_cols([_count_token(F.col('text'), s) for s in STOPWORDS]).cast('double')
+    mean_len = (F.length(text) - (F.size(toks) - 1)).cast('double') / n
+    stop = sum_cols([_count_token(text, s) for s in STOPWORDS]).cast('double')
     distinct_ratio = F.size(F.array_distinct(toks)).cast('double') / n
     stop_ratio = stop / n
     score = (
@@ -83,13 +85,26 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + F.lit(0.2) * F.least(stop_ratio * 5.0, F.lit(1.0))
         + F.lit(0.1) * F.least(mean_len / 8.0, F.lit(1.0))
     )
+    return {
+        'n_tokens': F.size(toks).cast('long'),
+        'mean_token_len': mean_len,
+        'stopword_ratio': stop_ratio,
+        'distinct_ratio': distinct_ratio,
+        'score': score,
+    }
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score (rounded, double); see
+    :func:`quality_feature_cols` for the feature definitions."""
+    feats = quality_feature_cols(F.col('text'))
     return docs.select(
         'doc_id',
-        F.size(toks).cast('long').alias('n_tokens'),
-        pround(mean_len, 4).alias('mean_token_len'),
-        pround(stop_ratio, 4).alias('stopword_ratio'),
-        pround(distinct_ratio, 4).alias('distinct_ratio'),
-        pround(score, 4).alias('score'),
+        feats['n_tokens'].alias('n_tokens'),
+        pround(feats['mean_token_len'], 4).alias('mean_token_len'),
+        pround(feats['stopword_ratio'], 4).alias('stopword_ratio'),
+        pround(feats['distinct_ratio'], 4).alias('distinct_ratio'),
+        pround(feats['score'], 4).alias('score'),
     )
 
 
@@ -144,23 +159,68 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
     return tok_df.select('doc_id', weighted.alias('fp_weighted'), xored.alias('fp_xor'))
 
 
-def normalize_text(docs: DataFrame) -> DataFrame:
-    """Canonical text normalization for dedup/quality pipelines: lowercase,
-    strip non-alphanumeric characters to spaces, collapse whitespace runs,
-    trim. Map-side only (JVM regexp, whole-stage codegen); the usual first
-    stage before exact-dup fingerprinting so cosmetic variants (case,
-    punctuation, spacing) collapse to one fingerprint.
+# PII patterns: RE2-compatible (no lookahead/backrefs) so the Java-regex
+# Spark side and the RE2 DuckDB oracle match byte-for-byte. Order matters:
+# emails first (their local part could otherwise be chewed up as a phone),
+# then IPv4 (dotted quads must not be half-eaten by the phone pattern),
+# then phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ('email', r'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>'),
+    ('ipv4', r'\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>'),
+    ('phone', r'\+?[0-9][0-9 ()\-]{7,}[0-9]', '<PHONE>'),
+)
 
-    Returns (doc_id, norm_text, n_chars_norm).
-    DuckDB twin: ``trim(regexp_replace(regexp_replace(lower(text),
-    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``.
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Scrub common PII (emails, IPv4 addresses, phone-like digit runs)
+    before a corpus ships to training. Counts are matched against the
+    ORIGINAL text per pattern; the redaction itself applies the patterns
+    sequentially in ``PII_PATTERNS`` order, so a phone number inside an
+    already-redacted email never double-counts. Pure JVM regexp
+    (whole-stage codegen), zero shuffles — at 100 TB this is a map-only
+    pass.
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, redacted_text).
+    DuckDB twin: counts via ``len(regexp_extract_all(text, pat))``,
+    redaction via chained ``regexp_replace(..., 'g')``.
     """
-    norm = F.trim(
+    counts = {name: F.regexp_count(F.col('text'), F.lit(pat)).cast('long')
+              for name, pat, _ in PII_PATTERNS}
+    redacted = F.col('text')
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return docs.select(
+        'doc_id',
+        counts['email'].alias('n_emails'),
+        counts['ipv4'].alias('n_ipv4'),
+        counts['phone'].alias('n_phones'),
+        redacted.alias('redacted_text'),
+    )
+
+
+def norm_col(text: Column) -> Column:
+    """Canonical normalization expression: lowercase, strip non-alphanumeric
+    characters to spaces, collapse whitespace runs, trim. Pure JVM regexp
+    (whole-stage codegen). DuckDB twin:
+    ``trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',
+    'g'), ' +', ' ', 'g'))``."""
+    return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col('text')), '[^a-z0-9 ]', ' '),
+            F.regexp_replace(F.lower(text), '[^a-z0-9 ]', ' '),
             ' +', ' ',
         )
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization for dedup/quality pipelines (see
+    :func:`norm_col`). Map-side only; the usual first stage before
+    exact-dup fingerprinting so cosmetic variants (case, punctuation,
+    spacing) collapse to one fingerprint.
+
+    Returns (doc_id, norm_text, n_chars_norm).
+    """
+    norm = norm_col(F.col('text'))
     return docs.select(
         'doc_id',
         norm.alias('norm_text'),

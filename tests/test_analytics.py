@@ -227,3 +227,22 @@ def test_normalize_text(spark):
     # cosmetic variants collapse to the same normalized form
     assert rows[0]['norm_text'] == rows[1]['norm_text']
     assert rows[0]['n_chars_norm'] == 22
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [(0, 'write to alice.j+spam@mail.example.com or bob@x.io today', 'en', 's', 1),
+         (1, 'call +1 (415) 555-0199 or 020 7946-0958 now', 'en', 's', 1),
+         (2, 'hosts 10.0.0.1 and 192.168.255.254 are up', 'en', 's', 1),
+         (3, 'no pii here at all', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    rows = {r['doc_id']: r for r in textops.redact_pii(df).collect()}
+    assert (rows[0]['n_emails'], rows[0]['n_ipv4'], rows[0]['n_phones']) == (2, 0, 0)
+    assert rows[0]['redacted_text'] == 'write to <EMAIL> or <EMAIL> today'
+    assert rows[1]['n_phones'] == 2
+    assert rows[1]['redacted_text'] == 'call <PHONE> or <PHONE> now'
+    assert (rows[2]['n_ipv4'], rows[2]['n_phones']) == (2, 0)
+    assert rows[2]['redacted_text'] == 'hosts <IPV4> and <IPV4> are up'
+    assert rows[3]['redacted_text'] == 'no pii here at all'
+    assert (rows[3]['n_emails'], rows[3]['n_ipv4'], rows[3]['n_phones']) == (0, 0, 0)

@@ -1,0 +1,121 @@
+"""End-to-end curation pipeline: quality gate -> exact dedup -> near-dup
+clustering -> keep-one-drop-rest, plus the deterministic token-budget
+sampler. The sampler tests recompute the greedy fill in plain Python
+(md5-derived shuffle keys) as an independent oracle."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_spark.operators import curation, textops
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _verdicts(df):
+    return {r['doc_id']: (r['verdict'], r['cluster_id']) for r in df.collect()}
+
+
+def _corpus(spark):
+    t1 = ' '.join(f'w{i}' for i in range(30))
+    t2 = ' '.join(f'W{i},' for i in range(30))  # normalizes to t1 exactly
+    t3 = ' '.join([f'w{i}' for i in range(26)] + [f'x{i}' for i in range(4)])
+    t5 = ' '.join(f'y{i}' for i in range(30))
+    return spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3), (5, t5)], 'doc_id long, text string')
+
+
+def test_curate_dedup_stages(spark):
+    # threshold 0 disables the quality gate so only the dedup stages fire:
+    # doc 2 is a cosmetic (case/punct) variant of 1 -> exact_dup; doc 3
+    # shares 23 of its 27 4-gram shingles with 1 (j = 23/31 = 0.74) ->
+    # near_dup; doc 5 is unrelated -> kept
+    out = _verdicts(curation.curate(_corpus(spark), quality_threshold=0.0))
+    assert out[1] == ('kept', 1)
+    assert out[2] == ('exact_dup', 1)
+    assert out[3] == ('near_dup', 1)
+    assert out[5] == ('kept', 5)
+
+
+def test_curate_quality_gate_runs_first(spark):
+    # threshold strictly between doc 1's score and doc 2's (doc 2's longer
+    # comma-suffixed tokens raise mean_token_len, so it scores higher):
+    # doc 1 drops at the gate and never reaches the dedup stages, making
+    # its cosmetic twin doc 2 the exact-canonical and the near-dup anchor
+    docs = _corpus(spark)
+    scores = {r['doc_id']: r['score'] for r in textops.quality_scores(docs).collect()}
+    lower = max(scores[1], scores[3], scores[5])
+    assert lower < scores[2]
+    thr = (lower + scores[2]) / 2
+    out = _verdicts(curation.curate(docs, quality_threshold=thr))
+    assert out[1] == ('low_quality', -1)
+    assert out[3][0] == 'low_quality' and out[5][0] == 'low_quality'
+    # doc 2 was an exact_dup in the other test; with its twin gone at the
+    # gate it is now the canonical survivor
+    assert out[2] == ('kept', 2)
+    # every input doc gets exactly one verdict row
+    assert set(out) == {1, 2, 3, 5}
+
+
+def test_curate_all_kept_when_no_dups(spark):
+    docs = spark.createDataFrame(
+        [(i, ' '.join(f'z{i}_{j}' for j in range(25))) for i in range(4)],
+        'doc_id long, text string')
+    out = _verdicts(curation.curate(docs, quality_threshold=0.0))
+    assert out == {d: ('kept', d) for d in range(4)}
+
+
+def _sample_corpus(spark):
+    rows = []
+    for i in range(40):
+        lang = 'en' if i % 2 == 0 else 'fr'
+        n_tok = 5 + (i * 7) % 23
+        rows.append((i, ' '.join(f't{i}_{j}' for j in range(n_tok)), lang))
+    return spark.createDataFrame(rows, 'doc_id long, text string, lang string')
+
+
+def _expected_greedy(rows, budget):
+    # independent Python oracle: greedy fill per lang in (md5 key, doc_id)
+    # order, keep while the running total BEFORE the doc is under budget
+    by_lang: dict[str, list] = {}
+    for doc_id, text, lang in rows:
+        by_lang.setdefault(lang, []).append((_h60(str(doc_id)), doc_id, len(text.split(' '))))
+    kept = {}
+    for lang, docs in by_lang.items():
+        cum = 0
+        for _, doc_id, nt in sorted(docs):
+            if cum < budget:
+                kept[doc_id] = (lang, nt, cum)
+            cum += nt
+    return kept
+
+
+def test_token_budget_sample_matches_python_oracle(spark):
+    docs = _sample_corpus(spark)
+    rows = [(r['doc_id'], r['text'], r['lang']) for r in docs.collect()]
+    expected = _expected_greedy(rows, budget=100)
+    got = {r['doc_id']: (r['lang'], r['n_tokens'], r['cum_before'])
+           for r in curation.token_budget_sample(docs, 100).collect()}
+    assert got == expected
+    # a meaningful split: something kept, something dropped, both langs hit
+    assert 0 < len(got) < len(rows)
+    assert {v[0] for v in got.values()} == {'en', 'fr'}
+
+
+def test_token_budget_bucket_count_invariance(spark):
+    # buckets range-partition the key space, so the kept set must be
+    # identical at any power-of-two bucket count
+    docs = _sample_corpus(spark)
+    a = {tuple(r) for r in curation.token_budget_sample(docs, 120, n_buckets=4).collect()}
+    b = {tuple(r) for r in curation.token_budget_sample(docs, 120, n_buckets=64).collect()}
+    assert a == b and a
+
+
+def test_token_budget_rejects_bad_bucket_count(spark):
+    with pytest.raises(ValueError, match='power of two'):
+        curation.token_budget_sample(_sample_corpus(spark), 100, n_buckets=48)

@@ -19,16 +19,23 @@ def _labels(df):
     return {(r['doc_id'], r['cluster_id']) for r in df.collect()}
 
 
-def test_path_graph_merges_transitively(spark):
+ALGOS = ['label', 'star']
+
+
+@pytest.mark.parametrize('algo', ALGOS)
+def test_path_graph_merges_transitively(spark, algo):
     # 1-2-3-4-5 chain: no (1,5) pair was ever emitted, yet all five must
     # land in cluster 1 — takes multiple propagation rounds (diameter 4)
-    comp = dedup.duplicate_clusters(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    comp = dedup.duplicate_clusters(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]), algorithm=algo)
     assert _labels(comp) == {(i, 1) for i in range(1, 6)}
 
 
-def test_separate_components_stay_separate(spark):
+@pytest.mark.parametrize('algo', ALGOS)
+def test_separate_components_stay_separate(spark, algo):
     comp = dedup.duplicate_clusters(
-        _pairs(spark, [(10, 11), (20, 21), (21, 22), (5, 9), (5, 7), (5, 6)]))
+        _pairs(spark, [(10, 11), (20, 21), (21, 22), (5, 9), (5, 7), (5, 6)]),
+        algorithm=algo)
     assert _labels(comp) == {
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
@@ -36,11 +43,28 @@ def test_separate_components_stay_separate(spark):
     }
 
 
-def test_unordered_pairs_and_cycles(spark):
+@pytest.mark.parametrize('algo', ALGOS)
+def test_unordered_pairs_and_cycles(spark, algo):
     # pair order must not matter (edges are symmetrized) and a cycle must
     # terminate at the fixpoint, not loop forever
-    comp = dedup.duplicate_clusters(_pairs(spark, [(3, 1), (2, 3), (1, 2)]))
+    comp = dedup.duplicate_clusters(_pairs(spark, [(3, 1), (2, 3), (1, 2)]),
+                                    algorithm=algo)
     assert _labels(comp) == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_star_beats_label_on_adversarial_chain(spark):
+    # a 30-node path has diameter 29: min-label propagation cannot finish
+    # in 12 rounds, while the star transform contracts it in O(log n)
+    chain = _pairs(spark, [(i, i + 1) for i in range(1, 30)])
+    with pytest.raises(RuntimeError, match='did not converge'):
+        dedup.duplicate_clusters(chain, max_iter=12, algorithm='label')
+    comp = dedup.duplicate_clusters(chain, max_iter=12, algorithm='star')
+    assert _labels(comp) == {(i, 1) for i in range(1, 31)}
+
+
+def test_bad_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="'label' or 'star'"):
+        dedup.duplicate_clusters(_pairs(spark, [(1, 2)]), algorithm='bogus')
 
 
 def test_nonconvergence_raises(spark):

@@ -22,6 +22,7 @@ sys.path.insert(0, '.')
 PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
+        'pipeline_curate',  # same fixpoint loop inside curate()
         'crawl_golden_http', 'crawl_synthetic_politeness',
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
         'crawl_politeness_budget', 'crawl_green_file_bypass',
