@@ -435,7 +435,7 @@ class CrawlEngine:
         # falls back — exactness always wins. Bloom mode is also
         # incremental within a run: built ONCE with 4x headroom, then
         # OR-merged with a per-wave mini-bloom over just the wave's new
-        # rows (executor-side treeAggregate) — O(seen) scanned once per
+        # rows (executor-side per-shard OR-merge) — O(seen) scanned once per
         # run instead of O(waves × seen).
         t0 = time.time()
         if self._cuckoo is not None and not self._cuckoo_saturated:
