@@ -62,6 +62,12 @@ def curate(docs: DataFrame, quality_threshold: float = 0.45, n: int = 4,
     gate runs on every doc independently, mirroring how per-stage filters
     compose in a real pipeline.
 
+    Cost note: the raw corpus is scanned twice (once for the low-quality
+    branch, once for the survivor branch) — deliberate: persisting the
+    enriched corpus would halve scans but cache ~corpus-size bytes;
+    everything downstream of the gate reads the persisted
+    quality-surviving subset only.
+
     Returns (doc_id, verdict, cluster_id, score).
     """
     feats = quality_feature_cols(F.col('text'))
@@ -122,7 +128,11 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     the buckets are key *ranges*, bucket-major order equals global key
     order — the kept set is provably independent of ``n_buckets`` (must
     be a power of two). Size ``n_buckets`` so one bucket of one stratum
-    fits an executor's sort buffer: ~4096 for a 100 TB corpus.
+    fits an executor's sort buffer: ~4096 for a 100 TB corpus. The slim
+    (id, stratum, tokens, key) projection is computed twice — once for
+    the per-doc window, once for the per-bucket totals; both are map-side
+    token counts off the pruned column scan, cheaper than caching the
+    projection corpus-wide.
 
     Returns (doc_id, <strata_col>, n_tokens, cum_before) for kept docs.
     """
