@@ -317,6 +317,22 @@ class CrawlEngine:
         if cuckoo_deletes is not None:
             self._cuckoo.delete_df(cuckoo_deletes.select('url_hash'))
 
+    def expire_snapshots(self, retain_last: int = 1) -> list[str]:
+        """Table maintenance for an always-on crawl: every wave commits a
+        snapshot, so a 10^10-URL crawl's manifest and data directories grow
+        without bound. Runs the Iceberg maintenance trio over the store —
+        checkpoint-compact the accumulated state into one snapshot
+        (``rewrite_data_files``), expire the fully superseded history
+        prefix beyond ``retain_last`` (``expire_snapshots``), and delete
+        orphan data dirs (``remove_orphan_files``). Current state is
+        bit-identical before and after (tests/test_expire.py); expired
+        snapshot ids are no longer time-travelable, exactly like Iceberg.
+        Returns the expired ids."""
+        self.store.checkpoint(self.spark)
+        expired = self.store.expire_snapshots(retain_last)
+        self.store.remove_orphan_files()
+        return expired
+
     # -- public API ---------------------------------------------------------
 
     def run(self, seeds: Sequence[str]) -> CrawlResult:

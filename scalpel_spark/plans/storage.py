@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 from typing import Optional
 
@@ -50,6 +52,16 @@ class SnapshotStore:
         with open(self._manifest_path) as f:
             return json.load(f)
 
+    @staticmethod
+    def _next_seq(manifest: dict) -> int:
+        """Monotone snapshot sequence: max numeric prefix of existing ids
+        plus one — NOT ``len(snapshots)``, which collides with a retained
+        snapshot's id (and silently overwrites its data directory) after
+        :meth:`expire_snapshots` shrinks the list."""
+        seqs = [int(m.group(1)) for s in manifest['snapshots']
+                if (m := re.match(r's(\d+)-', s['id']))]
+        return max(seqs, default=-1) + 1
+
     def commit(self, tables: dict[str, DataFrame], wave: int, metadata: Optional[dict] = None) -> str:
         """Atomically commit one snapshot containing all ``tables``.
 
@@ -62,7 +74,7 @@ class SnapshotStore:
         from concurrent.futures import ThreadPoolExecutor
 
         manifest = self._read_manifest()
-        snapshot_id = f's{len(manifest["snapshots"]):06d}-w{wave}'
+        snapshot_id = f's{self._next_seq(manifest):06d}-w{wave}'
         entry: dict = {'id': snapshot_id, 'wave': wave, 'ts': time.time(), 'tables': {}, 'metadata': metadata or {}}
 
         def write_one(item):
@@ -134,3 +146,122 @@ class SnapshotStore:
             if table in snap['tables']:
                 return self.load(spark, snap, table)
         return None
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots /
+    #    remove_orphan_files parity) ------------------------------------------
+
+    def _table_bases(self) -> tuple[set[str], set[str]]:
+        """(delta-table base names, full-table names) across the whole
+        manifest history — derived, never hardcoded, so new engine tables
+        are maintained automatically."""
+        deltas: set[str] = set()
+        fulls: set[str] = set()
+        for snap in self.snapshots():
+            for name in snap['tables']:
+                if name.endswith('_delta'):
+                    deltas.add(name[: -len('_delta')])
+                elif name.endswith('_compacted'):
+                    deltas.add(name[: -len('_compacted')])
+                else:
+                    fulls.add(name)
+        return deltas, fulls
+
+    def live_paths(self) -> set[str]:
+        """Every data path that contributes to the CURRENT state: the
+        accumulated paths of each delta table (compaction-aware, via
+        :meth:`state_paths`) plus the latest copy of each full table.
+        A snapshot none of whose paths is live is fully superseded."""
+        deltas, fulls = self._table_bases()
+        live: set[str] = set()
+        for base in deltas:
+            live.update(self.state_paths(f'{base}_delta'))
+        for name in fulls:
+            for snap in reversed(self.snapshots()):
+                if name in snap['tables']:
+                    live.add(snap['tables'][name])
+                    break
+        return live
+
+    def checkpoint(self, spark: SparkSession) -> str:
+        """Iceberg ``rewrite_data_files``: commit ONE snapshot holding the
+        full accumulated state of every table in the manifest — each delta
+        table rewritten as ``<base>_compacted``, each full table carried
+        forward — so every earlier snapshot becomes fully superseded and
+        therefore expirable. State before == state after (pinned by
+        tests/test_expire.py). Returns the checkpoint snapshot id."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError('nothing to checkpoint: no committed snapshot')
+        deltas, fulls = self._table_bases()
+        tables: dict[str, DataFrame] = {}
+        for base in sorted(deltas):
+            paths = self.state_paths(f'{base}_delta')
+            if paths:
+                tables[f'{base}_compacted'] = spark.read.parquet(*paths)
+        for name in sorted(fulls):
+            df = self.load_current(spark, name)
+            if df is not None:
+                tables[name] = df
+        # carry the current metadata (next_priority, ...) forward: resume()
+        # reads it from the LATEST snapshot, which this one becomes
+        return self.commit(tables, cur['wave'],
+                           metadata={**cur.get('metadata', {}),
+                                     'compaction': True, 'checkpoint': True})
+
+    def expire_snapshots(self, retain_last: int = 1) -> list[str]:
+        """Iceberg ``expire_snapshots``: drop the longest PREFIX of history
+        whose snapshots are fully superseded (no live path), keeping at
+        least the last ``retain_last`` entries and always the current one.
+
+        Prefix-only on purpose: expiring a superseded snapshot that sits
+        *below* a retained one would silently truncate the retained
+        snapshot's time-travel view (``state_paths_at`` unions every delta
+        up to it) — stopping at the first keeper guarantees every retained
+        snapshot still reconstructs exactly. Run :meth:`checkpoint` first
+        to supersede history; without it everything stays live and this is
+        a no-op.
+
+        The manifest rewrite is the commit point; data directories are
+        deleted after it, so a crash in between leaves orphans (cleaned by
+        :meth:`remove_orphan_files`), never a manifest pointing at deleted
+        data. Returns the expired snapshot ids."""
+        manifest = self._read_manifest()
+        snaps = manifest['snapshots']
+        live = self.live_paths()
+        cutoff = max(len(snaps) - max(retain_last, 1), 0)
+        expired: list[dict] = []
+        for snap in snaps[:cutoff]:
+            if snap['id'] == manifest['current']:
+                break
+            if any(p in live for p in snap['tables'].values()):
+                break
+            expired.append(snap)
+        if not expired:
+            return []
+        manifest['snapshots'] = snaps[len(expired):]
+        tmp = self._manifest_path + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path)
+        for snap in expired:
+            shutil.rmtree(os.path.join(self.root, 'data', snap['id']),
+                          ignore_errors=True)
+        return [s['id'] for s in expired]
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete ``data/<id>`` directories no manifest entry references —
+        leftovers of a crash between data write and manifest commit (or
+        between expiry's manifest rewrite and its directory deletes).
+        Returns the removed snapshot-directory names."""
+        data_dir = os.path.join(self.root, 'data')
+        if not os.path.isdir(data_dir):
+            return []
+        known = {s['id'] for s in self.snapshots()}
+        removed = []
+        for d in sorted(os.listdir(data_dir)):
+            if d not in known:
+                shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
+                removed.append(d)
+        return removed

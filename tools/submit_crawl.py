@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument('--max-waves', type=int, default=5)
     ap.add_argument('--seed', type=int, default=42)
     ap.add_argument('--checkpoint-dir', default=None)
+    ap.add_argument('--expire-snapshots', type=int, default=None, metavar='RETAIN_LAST',
+                    help='after the crawl, compact state and expire superseded '
+                         'snapshot history down to the last RETAIN_LAST entries '
+                         '(Iceberg rewrite_data_files + expire_snapshots)')
     args = ap.parse_args()
 
     # spark-submit provides the session; build via getOrCreate so the
@@ -74,8 +78,11 @@ def main() -> None:
     ]
 
     t0 = time.time()
-    result = CrawlEngine(spark, corpus, robots, cfg, store).run(seeds)
+    engine = CrawlEngine(spark, corpus, robots, cfg, store)
+    result = engine.run(seeds)
     wall = time.time() - t0
+    n_expired = len(engine.expire_snapshots(args.expire_snapshots)) \
+        if args.expire_snapshots is not None else None
     # aggregate-only statistics (<= 3 rows to the driver); the set-returning
     # result.statistics() is the reference-parity surface, test-scale only
     stats = {r['status']: r for r in result.statistics_agg().collect()}
@@ -93,6 +100,9 @@ def main() -> None:
         'wall_sec': round(wall, 2),
         'urls_per_sec': round(n_seen / wall, 1),
         'checkpoint_dir': store.root,
+        **({'snapshots_expired': n_expired,
+            'snapshots_retained': len(store.snapshots())}
+           if n_expired is not None else {}),
     }))
     spark.stop()
 
