@@ -959,6 +959,92 @@ FROM ex GROUP BY doc_id
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_scores(_t(spark, sf_dir, 'documents'), n=3)
+
+
+ORACLE_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+gr AS (SELECT doc_id, CASE WHEN len(l) >= 3 THEN
+         list_transform(range(1, len(l) - 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+       ELSE CAST([] AS VARCHAR[]) END AS grams FROM toks),
+mapside AS (
+  SELECT doc_id, CASE WHEN len(grams) > 0 THEN
+    floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000 + 0.5) / 10000
+  ELSE 0.0 END AS dup_ngram_frac FROM gr),
+cnt AS (SELECT doc_id, s, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(l) AS s FROM toks) GROUP BY doc_id, s),
+top AS (SELECT doc_id, MAX(c) AS max_tok, SUM(c) AS n_tokens FROM cnt GROUP BY doc_id)
+SELECT t.doc_id,
+       floor((CAST(max_tok AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS top_token_frac,
+       m.dup_ngram_frac,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM top t JOIN mapside m ON t.doc_id = m.doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out set is docs 0-4 (their own
+    rows flag themselves, proving the overlap join); any other doc sharing
+    an 8-gram with them is flagged with attribution."""
+    docs = _t(spark, sf_dir, 'documents')
+    bench = docs.filter(F.col('doc_id') < 5).select(
+        F.col('doc_id').alias('bench_id'), 'text')
+    return curation.decontaminate(docs, bench, n=8)
+
+
+def _decon_shingle_sql(n: int = 8) -> str:
+    parts = ' || \' \' || '.join(f'l[i+{k}]' if k else 'l[i]' for k in range(n))
+    return (
+        f"CASE WHEN len(l) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len(l) - {n - 2}), i -> {parts})) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (SELECT doc_id, {_decon_shingle_sql(8)} AS sset FROM toks),
+bx AS (SELECT doc_id AS bench_id, UNNEST(sset) AS s FROM sh WHERE doc_id < 5),
+bg AS (SELECT s, MIN(bench_id) AS first_bench_id FROM bx GROUP BY s),
+dx AS (SELECT doc_id, UNNEST(sset) AS s FROM sh)
+SELECT dx.doc_id, COUNT(*) AS n_matched_shingles, MIN(bg.first_bench_id) AS first_bench_id
+FROM dx JOIN bg USING (s)
+GROUP BY dx.doc_id
+"""
+
+
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.source_reputation(_t(spark, sf_dir, 'documents'))
+
+
+def _source_reputation_oracle() -> str:
+    stop = ' + '.join(_count_tok_sql(s) for s in textops.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+            / len(string_split(text, ' ')) AS mean_len,
+         CAST({stop} AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS dr
+  FROM documents),
+s AS (
+  SELECT source,
+         floor((0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.3 * dr
+               + 0.2 * LEAST(stop_ratio * 5.0, 1.0)
+               + 0.1 * LEAST(mean_len / 8.0, 1.0)) * 10000 + 0.5) / 10000 AS score
+  FROM f)
+SELECT source, COUNT(*) AS n_docs,
+       floor((AVG(score)) * 10000 + 0.5) / 10000 AS mean_score,
+       CAST(SUM(CASE WHEN score < 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       floor((CAST(SUM(CASE WHEN score < 0.45 THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) * 10000 + 0.5) / 10000 AS low_quality_frac
+FROM s GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # 6. sessionization (streaming-semantics batch twin, SURVEY.md §2.9)
 # ---------------------------------------------------------------------------
@@ -1435,6 +1521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_normalize': q_text_normalize,
         'text_fingerprints': q_text_fingerprints,
         'text_redact_pii': q_text_redact_pii,
+        'text_repetition': q_text_repetition,
+        'pipeline_decontaminate': q_decontaminate,
+        'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
         'crawl_golden_http': q_crawl_golden_http,
         'crawl_golden_statistics': q_crawl_golden_statistics,
@@ -1485,6 +1574,9 @@ def oracle_sql() -> dict[str, str]:
         'text_normalize': ORACLE_TEXT_NORMALIZE,
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'text_redact_pii': _redact_oracle(),
+        'text_repetition': ORACLE_REPETITION,
+        'pipeline_decontaminate': ORACLE_DECONTAMINATE,
+        'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

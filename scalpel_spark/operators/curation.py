@@ -113,6 +113,71 @@ def curate(docs: DataFrame, quality_threshold: float = 0.45, n: int = 4,
     return lowq.unionByName(exact_dup).unionByName(near_dup).unionByName(kept)
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  bench_id_col: str = 'bench_id') -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any n-word
+    shingle with a held-out evaluation set (the standard 8/13-gram overlap
+    check run before LLM training so test data never leaks into the mix).
+
+    ``benchmark`` is (bench_id, text). Returns one row per *contaminated*
+    corpus doc: (doc_id, n_matched_shingles, first_bench_id) where
+    ``n_matched_shingles`` counts distinct overlapping shingles and
+    ``first_bench_id`` is the lowest-id benchmark doc hit (attribution).
+    ``docs.join(result, 'doc_id', 'left_anti')`` is the clean corpus.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus (millions of
+    shingles at most), so the benchmark side collapses to a distinct
+    shingle dimension that broadcast-joins — the corpus side is one
+    map-side shingle explode, a broadcast hash join (no shuffle of corpus
+    data on the join), and a partial-aggregated groupBy(doc_id). No
+    all-pairs anything; cost is O(corpus shingles).
+    """
+    bsh = dedup._shingled(
+        benchmark.select(F.col(bench_id_col).alias('doc_id'), 'text'), n)
+    bench_grams = (
+        bsh.select(F.col('doc_id').alias('bench_id'), F.explode('shingle_set').alias('s'))
+        .groupBy('s').agg(F.min('bench_id').alias('first_bench_id'))
+    )
+    dx = dedup._shingled(docs, n).select('doc_id', F.explode('shingle_set').alias('s'))
+    # shingle_set is per-doc distinct, so count(*) == distinct matched shingles
+    return (
+        dx.join(F.broadcast(bench_grams), 's')
+        .groupBy('doc_id')
+        .agg(
+            F.count('*').alias('n_matched_shingles'),
+            F.min('first_bench_id').alias('first_bench_id'),
+        )
+    )
+
+
+def source_reputation(docs: DataFrame, quality_threshold: float = 0.45) -> DataFrame:
+    """Per-source (domain/crawl-feed) reputation rollup: document count,
+    mean composite quality score, and the low-quality share. Feeds
+    source-level curation decisions (drop a spam domain wholesale instead
+    of per-document) — the same two-level pattern a 100 TB pipeline uses
+    because per-source verdicts amortize over millions of documents.
+
+    Per-doc scores round at 4 digits first (same definition as
+    :func:`textops.quality_scores`, one rounding boundary for engine
+    parity), then aggregate. One map-side scoring pass + one partial-agg
+    groupBy(source); join the (tiny) result back broadcast-wise to flag
+    documents. Returns (source, n_docs, mean_score, n_low_quality,
+    low_quality_frac).
+    """
+    feats = quality_feature_cols(F.col('text'))
+    scored = docs.select('source', pround(feats['score'], 4).alias('score'))
+    return scored.groupBy('source').agg(
+        F.count('*').alias('n_docs'),
+        pround(F.avg('score'), 4).alias('mean_score'),
+        F.sum(F.when(F.col('score') < quality_threshold, 1).otherwise(0))
+        .cast('long').alias('n_low_quality'),
+        pround(
+            F.sum(F.when(F.col('score') < quality_threshold, 1).otherwise(0))
+            .cast('double') / F.count('*'), 4,
+        ).alias('low_quality_frac'),
+    )
+
+
 def token_budget_sample(docs: DataFrame, budget_tokens: int,
                         strata_col: str = 'lang',
                         n_buckets: int = 64) -> DataFrame:

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround, tokens
+from scalpel_spark.functions.texthash import (
+    MERSENNE31,
+    hash60,
+    pround,
+    tokens,
+    word_shingles,
+)
 
 # stopword marker sets for the n-gram/stopword language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -105,6 +111,53 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         pround(feats['stopword_ratio'], 4).alias('stopword_ratio'),
         pround(feats['distinct_ratio'], 4).alias('distinct_ratio'),
         pround(feats['score'], 4).alias('score'),
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style repetitious-text
+    rules): documents dominated by one token or by repeated n-grams are
+    boilerplate/spam and get filtered before training.
+
+    * ``top_token_frac`` — occurrences of the most frequent token / total
+      tokens (rounded at 4 digits);
+    * ``dup_ngram_frac`` — 1 − distinct n-grams / total n-grams, i.e. the
+      share of n-gram slots occupied by a repeat (0.0 when the doc has
+      fewer than ``n`` tokens);
+    * ``n_tokens`` — whitespace token count.
+
+    Scale shape: ``dup_ngram_frac`` is pure map-side array algebra; the
+    token mode needs a (doc_id, token) count — explode + two partial-agg
+    groupBys, then a co-partitioned join on doc_id. No all-pairs work,
+    both shuffles carry slim (id, token/count) projections.
+    """
+    tok_df = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    grams = word_shingles(F.col('toks'), n)
+    mapside = tok_df.select(
+        'doc_id',
+        F.when(
+            F.size(grams) > 0,
+            pround(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)).cast('double') / F.size(grams),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)).alias('dup_ngram_frac'),
+    )
+    counts = (
+        tok_df.select('doc_id', F.explode('toks').alias('tok'))
+        .groupBy('doc_id', 'tok').agg(F.count('*').alias('c'))
+    )
+    top = counts.groupBy('doc_id').agg(
+        F.max('c').alias('max_tok'),
+        F.sum('c').alias('n_tokens'),
+    )
+    return top.join(mapside, 'doc_id').select(
+        'doc_id',
+        pround(F.col('max_tok').cast('double') / F.col('n_tokens'), 4)
+        .alias('top_token_frac'),
+        'dup_ngram_frac',
+        F.col('n_tokens').cast('long').alias('n_tokens'),
     )
 
 

@@ -246,3 +246,19 @@ def test_redact_pii(spark):
     assert rows[2]['redacted_text'] == 'hosts <IPV4> and <IPV4> are up'
     assert rows[3]['redacted_text'] == 'no pii here at all'
     assert (rows[3]['n_emails'], rows[3]['n_ipv4'], rows[3]['n_phones']) == (0, 0, 0)
+
+
+def test_repetition_scores(spark):
+    docs = spark.createDataFrame(
+        [(0, 'a a a b', 'en', 's', 1),
+         (1, 'x y x y x y', 'en', 's', 1),
+         (2, 'q w', 'en', 's', 1),
+         (3, 'z z z z z', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    rows = {r['doc_id']: r for r in textops.repetition_scores(docs, n=3).collect()}
+    assert rows[0]['top_token_frac'] == 0.75 and rows[0]['dup_ngram_frac'] == 0.0
+    assert rows[1]['top_token_frac'] == 0.5 and rows[1]['dup_ngram_frac'] == 0.5
+    assert rows[2]['top_token_frac'] == 0.5 and rows[2]['dup_ngram_frac'] == 0.0
+    assert rows[3]['top_token_frac'] == 1.0 and rows[3]['dup_ngram_frac'] == 0.6667
+    assert rows[1]['n_tokens'] == 6

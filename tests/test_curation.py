@@ -119,3 +119,39 @@ def test_token_budget_bucket_count_invariance(spark):
 def test_token_budget_rejects_bad_bucket_count(spark):
     with pytest.raises(ValueError, match='power of two'):
         curation.token_budget_sample(_sample_corpus(spark), 100, n_buckets=48)
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, 'one two three four five six seven eight nine')],
+        'bench_id long, text string',
+    )
+    docs = spark.createDataFrame(
+        [(0, 'one two three four five six seven eight tail', 'en', 's', 1),
+         (1, 'zzz one two three four five six seven eight nine', 'en', 's', 1),
+         (2, 'completely different words with no overlap at all here', 'en', 's', 1),
+         (3, 'short doc', 'en', 's', 1)],
+        'doc_id long, text string, lang string, source string, n_chars long',
+    )
+    rows = {r['doc_id']: r for r in curation.decontaminate(docs, bench, n=8).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]['n_matched_shingles'] == 1
+    assert rows[1]['n_matched_shingles'] == 2
+    assert rows[0]['first_bench_id'] == 100
+    # the clean corpus is the anti-join complement
+    clean = docs.join(curation.decontaminate(docs, bench, n=8), 'doc_id', 'left_anti')
+    assert sorted(r['doc_id'] for r in clean.collect()) == [2, 3]
+
+
+def test_source_reputation_separates_spam_source(spark):
+    good = 'the quick brown fox jumps over the lazy dog'
+    docs = spark.createDataFrame(
+        [(0, good, 'en', 'good', 1), (1, good + ' again today', 'en', 'good', 1),
+         (2, 'a a', 'en', 'bad', 1), (3, 'a a', 'en', 'bad', 1), (4, 'a a', 'en', 'bad', 1)],
+        'doc_id long, text string, lang string, source string, n_chars long',
+    )
+    rows = {r['source']: r for r in curation.source_reputation(docs).collect()}
+    assert rows['good']['n_docs'] == 2 and rows['bad']['n_docs'] == 3
+    assert rows['bad']['mean_score'] < rows['good']['mean_score']
+    assert rows['bad']['n_low_quality'] == 3 and rows['bad']['low_quality_frac'] == 1.0
+    assert rows['good']['n_low_quality'] == 0 and rows['good']['low_quality_frac'] == 0.0
