@@ -622,6 +622,41 @@ WHERE matches >= 8
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the planted-duplicate batch (doc_id >= 1e6)
+    checked against the signature index of the base corpus — each planted
+    doc must hit its original with a full 16/16 match, and the base corpus
+    is never self-paired."""
+    docs = _t(spark, sf_dir, 'documents')
+    new = dedup.with_planted_duplicates(docs).filter(F.col('doc_id') >= 1000000)
+    index = dedup.minhash_signatures(docs, k=16, n=4)
+    return dedup.minhash_pairs_against_index(new, index, k=16, bands=4, n=4,
+                                             min_matches=8)
+
+
+ORACLE_MINHASH_INCREMENTAL = f"""
+WITH {DOCS_PLUS_SQL}, {_shingle_sql(4)}, {_minhash_consts_sql(16)},
+ex AS (SELECT doc_id, unnest(sset) AS s FROM sh WHERE len(sset) > 0),
+based AS (SELECT doc_id, ({H60.format(x='s')}) % {MERSENNE31} AS hb FROM ex),
+hashed AS (SELECT doc_id, i, (a * hb + b) % {MERSENNE31} AS h
+           FROM based CROSS JOIN consts),
+mh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, band,
+                  array_to_string(sig[band*4+1 : band*4+4], ',') AS bucket
+           FROM sig CROSS JOIN range(4) t(band)),
+cand AS (SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS index_doc_id,
+                a.sig AS sig_a, b.sig AS sig_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000)
+SELECT new_doc_id, index_doc_id, matches FROM (
+  SELECT new_doc_id, index_doc_id,
+         len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i])) AS matches
+  FROM cand)
+WHERE matches >= 8
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(_docs_plus(spark, sf_dir))
 
@@ -1508,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pipeline_curate': q_pipeline_curate,
         'sample_token_budget': q_sample_token_budget,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
+        'dedup_minhash_incremental': q_dedup_incremental,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_cosine': q_dedup_embedding_cosine,
         'similarity_topk_bruteforce': q_similarity_topk_bruteforce,
@@ -1561,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         'pipeline_curate': _curate_oracle(),
         'sample_token_budget': ORACLE_TOKEN_BUDGET,
         'dedup_minhash_lsh': ORACLE_MINHASH,
+        'dedup_minhash_incremental': ORACLE_MINHASH_INCREMENTAL,
         'dedup_simhash': _simhash_oracle(),
         'dedup_embedding_cosine': ORACLE_EMB_DUP,
         'similarity_topk_bruteforce': ORACLE_SIM_TOPK,

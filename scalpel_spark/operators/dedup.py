@@ -218,6 +218,55 @@ def minhash_lsh_pairs(docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     )
 
 
+def minhash_pairs_against_index(new_docs: DataFrame, index_sigs: DataFrame,
+                                k: int = 16, bands: int = 4, n: int = 3,
+                                min_matches: int = 8, hash_fn=hash60) -> DataFrame:
+    """Incremental near-dup detection: candidates between a NEW document
+    batch and a persisted signature index (``minhash_signatures`` output of
+    the already-ingested corpus), WITHOUT re-pairing the index against
+    itself — the daily-crawl → training-corpus flow, where re-running the
+    full self-join over 10^10 historical docs per increment is the classic
+    scale mistake.
+
+    Returns (new_doc_id, index_doc_id, matches) with
+    ``matches >= min_matches`` equal minhash positions. Same banding and
+    affine family as :func:`minhash_lsh_pairs`, so a signature table
+    written once keeps serving every future increment; append the new
+    batch's signatures to the index afterwards.
+
+    Scale shape: signatures are slim (k BIGINTs), the band join shuffles
+    on (band, bucket) with partial filtering before the pair-dedup
+    exchange (same 20 B/row discipline as the self-join variant). Index
+    re-signing cost: zero — only the new batch is shingled/hashed.
+    """
+    rows = k // bands
+
+    def banded(sigs: DataFrame, id_alias: str, sig_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col('doc_id').alias(id_alias), F.col('sig').alias(sig_alias),
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias('band'),
+        ).select(
+            id_alias, sig_alias, 'band',
+            F.concat_ws(',', F.slice(sig_alias, F.col('band') * rows + 1, rows)).alias('bucket'),
+        )
+
+    a = banded(minhash_signatures(new_docs, k, n, hash_fn), 'new_doc_id', 'sig_a')
+    b = banded(index_sigs, 'index_doc_id', 'sig_b')
+    matches = F.size(
+        F.filter(
+            F.zip_with('sig_a', 'sig_b', lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(b, ['band', 'bucket'])
+        .select('new_doc_id', 'index_doc_id', matches.alias('matches'))
+        .filter(F.col('matches') >= min_matches)
+        .groupBy('new_doc_id', 'index_doc_id')
+        .agg(F.max('matches').alias('matches'))
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = SIMHASH_BITS, hash_fn=hash60) -> DataFrame:
     """32-bit SimHash per doc over distinct whitespace tokens.
 

@@ -262,3 +262,23 @@ def test_repetition_scores(spark):
     assert rows[2]['top_token_frac'] == 0.5 and rows[2]['dup_ngram_frac'] == 0.0
     assert rows[3]['top_token_frac'] == 1.0 and rows[3]['dup_ngram_frac'] == 0.6667
     assert rows[1]['n_tokens'] == 6
+
+
+def test_minhash_incremental_against_index(spark):
+    base = spark.createDataFrame(
+        [(0, 'alpha beta gamma delta epsilon zeta eta theta iota kappa', 'en', 's', 1),
+         (1, 'one two three four five six seven eight nine ten', 'en', 's', 1),
+         (2, 'red orange yellow green blue indigo violet pink brown black', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [(100, 'one two three four five six seven eight nine ten', 'en', 's', 1),
+         (101, 'totally unrelated fresh words appearing nowhere else at all ok', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    index = dedup.minhash_signatures(base, k=16, n=3)
+    out = dedup.minhash_pairs_against_index(new, index, k=16, bands=4, n=3,
+                                            min_matches=8).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row['new_doc_id'], row['index_doc_id'], row['matches']) == (100, 1, 16)
