@@ -1254,6 +1254,41 @@ def q_crawl_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_priority_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-queue frontier (beyond reference): a JVM-side score
+    expression decides which URLs win the per-host budget slots; ties and
+    the default fall back to FIFO. Budget 1/wave on one host with an
+    explicit score inversion → the seeds dispatch in reverse seed order.
+    Deterministic → VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=150, n_hosts=12, seed=11)
+    seeds = [f'http://h8.example.com/p{p}.html' for p in range(3)]
+    score = ("CASE WHEN url LIKE '%/p2.html' THEN 100 "
+             "WHEN url LIKE '%/p1.html' THEN 50 ELSE 0 END")
+    cfg = CrawlConfig(max_dispatch_per_host_per_wave=1, max_waves=3,
+                      frontier_priority=score)
+    result = CrawlEngine(spark, corpus, config=cfg).run(seeds)
+    return (
+        result.seen.filter(F.col('url').isin(seeds))
+        .select('url', F.col('wave').cast('long').alias('wave'),
+                F.col('priority').cast('long').alias('priority'))
+    )
+
+
+# seeds dispatch in score order (p2, p1, p0) while keeping their FIFO
+# discovery priorities (0, 1, 2)
+ORACLE_PRIORITY_FRONTIER = """
+SELECT * FROM (VALUES
+  ('http://h8.example.com/p0.html', CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+  ('http://h8.example.com/p1.html', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+  ('http://h8.example.com/p2.html', CAST(0 AS BIGINT), CAST(2 AS BIGINT))
+) AS t(url, wave, priority)
+"""
+
+
 # pinned from the deterministic run (corpus seed=11, robots policy table):
 # h4 = 5/wave (Crawl-delay 2), h5 = 4/wave (Request-rate 2/5), delay-0
 # hosts = 8 in wave 0 (max_dispatch); h0/h2/h3 excluded entirely
@@ -1565,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_golden_statistics': q_crawl_golden_statistics,
         'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
         'crawl_politeness_budget': q_crawl_politeness_budget,
+        'crawl_priority_frontier': q_crawl_priority_frontier,
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
         'crawl_green_file_bypass': q_crawl_green_file_bypass,
         'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
@@ -1621,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,
+        'crawl_priority_frontier': ORACLE_PRIORITY_FRONTIER,
         'spans_fingerprint_golden': ORACLE_SPANS_GOLDEN,
         'spans_media_stats': ORACLE_SPANS_STATS,
         'spans_parity_check': ORACLE_SPANS_PARITY,

@@ -97,6 +97,18 @@ class CrawlConfig:
     # identity by definition), and forget() canonicalizes its inputs the
     # same way so recrawl targeting stays consistent.
     canonicalize_urls: bool = False
+    # priority-queue frontier (beyond reference — the reference's queue is
+    # strictly FIFO): a SQL expression over the frontier columns
+    # (url, host, scheme, wave, priority) computing a dispatch score.
+    # Within each host, higher scores win the politeness-budget slots
+    # first; ties (and None, the default) fall back to FIFO discovery
+    # order, so the default is bit-identical to reference dispatch.
+    # Scoring only reorders dispatch WITHIN a wave's per-host window —
+    # discovery priorities, dedup, and robots semantics are untouched, and
+    # URLs that lose a slot defer to the next wave exactly as under FIFO.
+    # Evaluated JVM-side (F.expr), e.g. "-length(url)" (shallow pages
+    # first) or "CASE WHEN url LIKE '%/product/%' THEN 1 ELSE 0 END".
+    frontier_priority: Optional[str] = None
     seed: int = 42
 
     def __post_init__(self):

@@ -571,6 +571,16 @@ class CrawlEngine:
                                F.floor(F.lit(float(cfg.wave_duration)) / delay).cast('long')),
                 )
                 budget = delay_budget if budget is None else F.least(budget, delay_budget)
+            # priority-queue frontier (beyond reference): an optional
+            # JVM-side score reorders dispatch within each host's window —
+            # higher scores win slots first, ties fall back to FIFO, so
+            # frontier_priority=None is bit-identical to reference order.
+            # Map-side expression; the window shuffle is unchanged.
+            if cfg.frontier_priority is not None:
+                allowed = allowed.withColumn('_score', F.expr(cfg.frontier_priority))
+                slot_order = [F.desc('_score'), F.asc('priority')]
+            else:
+                slot_order = [F.asc('priority')]
             if cfg.hot_host_threshold is not None:
                 hot = detect_hot_keys(allowed, 'host', cfg.hot_host_threshold)
                 marked = allowed.join(F.broadcast(hot.withColumn('_hot', F.lit(True))), 'host', 'left')
@@ -580,7 +590,7 @@ class CrawlEngine:
                         F.lit(0)
                     ),
                 )
-                w = Window.partitionBy('host', 'salt').orderBy('priority')
+                w = Window.partitionBy('host', 'salt').orderBy(*slot_order)
                 slot = F.row_number().over(w) - 1
                 # hot hosts: interleave salt buckets → dispatch slots stay unique per host
                 salted = salted.withColumn(
@@ -589,7 +599,7 @@ class CrawlEngine:
                 )
                 allowed = salted.drop('_hot', 'salt')
             else:
-                w = Window.partitionBy('host').orderBy('priority')
+                w = Window.partitionBy('host').orderBy(*slot_order)
                 allowed = allowed.withColumn('_slot', F.row_number().over(w) - 1)
             # NULL budget (both knobs unbounded for this host) → never over
             over = F.coalesce(F.col('_slot') >= budget, F.lit(False))
@@ -597,7 +607,7 @@ class CrawlEngine:
                 allowed.filter(over)
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
-            allowed = allowed.filter(~over).drop('_slot')
+            allowed = allowed.filter(~over).drop('_slot', '_score')
         allowed = allowed.drop('delay')
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response

@@ -20,6 +20,7 @@ spec of the engine's wave loop.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from scalpel_spark.config import CrawlConfig
 from scalpel_spark.plans.engine import CrawlEngine
@@ -160,3 +161,23 @@ def test_engine_crawl_delay_host_fewer_dispatches(spark):
     assert counts[('h8.example.com', 0)] == 8      # delay 0 → max_dispatch
     # the deferred overflow drains in wave 1 (5 remaining of 10 seeds)
     assert counts[('h4.example.com', 1)] == 5
+
+
+def test_frontier_priority_reorders_dispatch_within_budget(spark):
+    """Opt-in priority-queue frontier: a score expression reorders which
+    URLs win the per-host budget slots; default None keeps FIFO parity."""
+    corpus_df = synthetic_corpus(spark, n_pages=N_PAGES, n_hosts=N_HOSTS, seed=11)
+    seeds = [f'http://h8.example.com/p{p}.html' for p in range(3)]
+    score = ("CASE WHEN url LIKE '%/p2.html' THEN 100 "
+             "WHEN url LIKE '%/p1.html' THEN 50 ELSE 0 END")
+
+    def waves_of(cfg):
+        result = CrawlEngine(spark, corpus_df, config=cfg).run(seeds)
+        rows = result.seen.filter(F.col('url').isin(seeds)).select('url', 'wave').collect()
+        return {r['url']: r['wave'] for r in rows}
+
+    prio = waves_of(CrawlConfig(max_dispatch_per_host_per_wave=1, max_waves=3,
+                                frontier_priority=score))
+    assert prio[seeds[2]] == 0 and prio[seeds[1]] == 1 and prio[seeds[0]] == 2
+    fifo = waves_of(CrawlConfig(max_dispatch_per_host_per_wave=1, max_waves=3))
+    assert fifo[seeds[0]] == 0 and fifo[seeds[1]] == 1 and fifo[seeds[2]] == 2

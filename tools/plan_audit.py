@@ -25,7 +25,8 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'pipeline_curate',  # same fixpoint loop inside curate()
         'crawl_golden_http', 'crawl_synthetic_politeness',
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
-        'crawl_politeness_budget', 'crawl_green_file_bypass',
+        'crawl_politeness_budget', 'crawl_priority_frontier',
+        'crawl_green_file_bypass',
         'crawl_canonicalized_seen'}
 
 CHECKS = {
