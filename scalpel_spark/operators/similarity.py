@@ -88,13 +88,26 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000,
     broadcast beyond. ``dim`` defaults to the corpus-wide max array length
     (one scalar aggregate — metadata-scale, not a data collect).
     """
+    return _with_buckets(emb, n_planes, quant, dim, broadcast_planes,
+                         keep_embedding=False)
+
+
+def _with_buckets(emb: DataFrame, n_planes: int, quant: int,
+                  dim: int | None, broadcast_planes: bool | None,
+                  keep_embedding: bool) -> DataFrame:
+    """Shared bucket computation for :func:`lsh_buckets` (vec_id, bucket)
+    and :func:`lsh_bucket_topk` (vec_id, e, bucket). Keeping the embedding
+    column here means the top-k path buckets in the SAME row it re-ranks —
+    no self-join of the corpus against its own derived buckets, so the
+    corpus is scanned once and the vec_id exchange disappears."""
     if dim is None:
         dim = emb.select(F.max(F.size('embedding')).alias('d')).first()['d']
     if broadcast_planes is None:
         broadcast_planes = n_planes * dim > 1024
     v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e'))
     qv = F.transform('e', lambda x: F.floor(x * quant + 0.5).cast('long'))
-    v = v.select('vec_id', qv.alias('q'))
+    carry = ['e'] if keep_embedding else []
+    v = v.select('vec_id', *carry, qv.alias('q'))
 
     if broadcast_planes:
         rows = [(1 << p, [_plane_sign_py(p, d) for d in range(dim)])
@@ -112,7 +125,7 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000,
         )
         return (
             v.crossJoin(F.broadcast(pl))
-            .select('vec_id', bucket.cast('long').alias('bucket'))
+            .select('vec_id', *carry, bucket.cast('long').alias('bucket'))
         )
 
     bucket = None
@@ -124,7 +137,7 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000,
         )
         bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return v.select('vec_id', bucket.cast('long').alias('bucket'))
+    return v.select('vec_id', *carry, bucket.cast('long').alias('bucket'))
 
 
 def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
@@ -132,8 +145,8 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     """ANN top-k: candidates = same LSH bucket, exact cosine re-rank within.
     Returns (query_id, neighbor_id, rank, cosine). Recall < 1 by design —
     the point is the bucket join replaces the full cross product."""
-    buckets = lsh_buckets(emb, n_planes, quant)
-    v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e')).join(buckets, 'vec_id')
+    v = _with_buckets(emb, n_planes, quant, dim=None, broadcast_planes=None,
+                      keep_embedding=True)
     q = v.filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('query_id'), F.col('e').alias('eq'), 'bucket'
     )
