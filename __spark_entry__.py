@@ -994,6 +994,42 @@ FROM ex GROUP BY doc_id
 """
 
 
+def q_text_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.corpus_freq_scores(_t(spark, sf_dir, 'documents'))
+
+
+ORACLE_CORPUS_FREQ = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT SUM(cnt) AS total_toks FROM counts),
+per AS (SELECT doc_id, (cnt * 1000000) // total_toks AS freq_ppm
+        FROM tok JOIN counts USING (tok) CROSS JOIN total)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(freq_ppm) // COUNT(*) AS BIGINT) AS avg_token_freq_ppm,
+       CAST(MIN(freq_ppm) AS BIGINT) AS min_token_freq_ppm
+FROM per GROUP BY doc_id
+"""
+
+
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.tfidf_keywords(_t(spark, sf_dir, 'documents'), k=3)
+
+
+ORACLE_TFIDF = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, tok, tf * ((n_docs * 1000000) // df) AS score
+           FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+ranked AS (SELECT doc_id, tok, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank
+           FROM scored)
+SELECT doc_id, tok AS keyword, CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(_t(spark, sf_dir, 'documents'), n=3)
 
@@ -1593,6 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_fingerprints': q_text_fingerprints,
         'text_redact_pii': q_text_redact_pii,
         'text_repetition': q_text_repetition,
+        'text_corpus_freq': q_text_corpus_freq,
+        'text_tfidf_keywords': q_text_tfidf_keywords,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1648,6 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'text_redact_pii': _redact_oracle(),
         'text_repetition': ORACLE_REPETITION,
+        'text_corpus_freq': ORACLE_CORPUS_FREQ,
+        'text_tfidf_keywords': ORACLE_TFIDF,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,

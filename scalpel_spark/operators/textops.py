@@ -11,7 +11,7 @@ shuffles except the final (tiny) per-language aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scalpel_spark.functions.texthash import (
@@ -179,6 +179,70 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.sum('nt').alias('total_tokens'),
         F.sum('ns').alias('total_subwords'),
         pround(F.avg('nt'), 4).alias('avg_tokens'),
+    )
+
+
+def corpus_freq_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity scores — the integer-exact proxy for the
+    CCNet-style LM-perplexity quality filter: documents whose tokens are
+    rare corpus-wide (low mean frequency) are either high-information or
+    gibberish; both ends get human/classifier review in a real pipeline.
+
+    All arithmetic is integer (parts-per-million via ``div``) so rankings
+    are bit-identical across engines — no float log whose last ulp could
+    differ between libm implementations.
+
+    * ``avg_token_freq_ppm`` — mean over the doc's token occurrences of
+      floor(corpus_count(token) * 1e6 / total_tokens)
+    * ``min_token_freq_ppm`` — the doc's rarest token's ppm
+    * ``n_tokens``
+
+    Scale shape: one explode + token-count aggregation (partial-agg
+    collapses within-doc repeats map-side), a shuffle join back on the
+    token (both sides token-partitioned), a broadcast of the single-row
+    total, and a final groupBy(doc_id). No driver collects — the corpus
+    total rides a broadcast cross join.
+    """
+    tok = docs.select('doc_id', F.explode(tokens(F.col('text'))).alias('tok'))
+    counts = tok.groupBy('tok').agg(F.count('*').alias('cnt'))
+    total = counts.agg(F.sum('cnt').alias('total_toks'))
+    per = (
+        tok.join(counts, 'tok')
+        .crossJoin(F.broadcast(total))
+        .withColumn('freq_ppm', F.expr('(cnt * 1000000) div total_toks'))
+    )
+    return per.groupBy('doc_id').agg(
+        F.count('*').alias('n_tokens'),
+        F.expr('sum(freq_ppm) div count(*)').alias('avg_token_freq_ppm'),
+        F.min('freq_ppm').alias('min_token_freq_ppm'),
+    )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k keywords per document by an integer tf-idf variant:
+    score = tf × ((n_docs × 1e6) div df) — the unlogged inverse document
+    frequency in ppm, kept in int64 so ranking is engine-exact (ties break
+    on the token string). At web scale swap the score expression for
+    log-idf doubles — the plan (two partial-agg shuffles, one token join,
+    one per-doc window) is identical.
+
+    Returns (doc_id, keyword, rank, score).
+    """
+    tok = docs.select('doc_id', F.explode(tokens(F.col('text'))).alias('tok'))
+    tf = tok.groupBy('doc_id', 'tok').agg(F.count('*').alias('tf'))
+    dfreq = tf.groupBy('tok').agg(F.count('*').alias('df'))
+    ndocs = docs.agg(F.count('*').alias('n_docs'))
+    scored = (
+        tf.join(dfreq, 'tok')
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn('score', F.expr('tf * ((n_docs * 1000000) div df)'))
+    )
+    w = Window.partitionBy('doc_id').orderBy(F.col('score').desc(), F.col('tok').asc())
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('doc_id', F.col('tok').alias('keyword'),
+                F.col('rank').cast('long').alias('rank'), 'score')
     )
 
 

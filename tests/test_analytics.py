@@ -282,3 +282,37 @@ def test_minhash_incremental_against_index(spark):
     assert len(out) == 1
     row = out[0]
     assert (row['new_doc_id'], row['index_doc_id'], row['matches']) == (100, 1, 16)
+
+
+def test_corpus_freq_scores(spark):
+    # corpus: 'a' x4, 'b' x2, 'z' x1, 'q' x1 -> total 8 tokens
+    docs = spark.createDataFrame(
+        [(0, 'a a a b', 'en', 's', 1), (1, 'a b z q', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    rows = {r['doc_id']: r for r in textops.corpus_freq_scores(docs).collect()}
+    # ppm: a=500000, b=250000, z=q=125000
+    assert rows[0]['n_tokens'] == 4
+    assert rows[0]['avg_token_freq_ppm'] == (3 * 500000 + 250000) // 4
+    assert rows[0]['min_token_freq_ppm'] == 250000
+    assert rows[1]['avg_token_freq_ppm'] == (500000 + 250000 + 125000 + 125000) // 4
+    assert rows[1]['min_token_freq_ppm'] == 125000
+
+
+def test_tfidf_keywords(spark):
+    docs = spark.createDataFrame(
+        [(0, 'apple apple banana common', 'en', 's', 1),
+         (1, 'banana cherry common common', 'en', 's', 1),
+         (2, 'common plain words here', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    out = textops.tfidf_keywords(docs, k=2).collect()
+    top = {r['doc_id']: [] for r in out}
+    for r in sorted(out, key=lambda r: (r['doc_id'], r['rank'])):
+        top[r['doc_id']].append(r['keyword'])
+    # doc 0: apple tf=2 df=1 -> 2*3e6; banana tf=1 df=2 -> 1.5e6; common 1e6
+    assert top[0] == ['apple', 'banana']
+    # doc 1: cherry 3e6; common tf=2 df=3 -> 2e6; banana 1.5e6
+    assert top[1] == ['cherry', 'common']
+    # doc 2: here/plain/words all 3e6, tie -> token asc; common 1e6
+    assert top[2] == ['here', 'plain']
