@@ -24,7 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround
-from scalpel_spark.operators import curation, dedup, sessions, similarity, textops
+from scalpel_spark.operators import (
+    curation,
+    dedup,
+    lineops,
+    sessions,
+    similarity,
+    textops,
+)
 
 SF_DEFAULT = '/root/testdata/sf0.001'
 
@@ -1030,6 +1037,60 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineops.line_dedup(_t(spark, sf_dir, 'documents'), line_tokens=8, min_docs=2)
+
+
+# Shared CTE: regroup the whitespace tokens into deterministic 8-token
+# lines — the DuckDB twin of lineops.split_token_lines.
+_LINES_CTE = """
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+lines AS (SELECT doc_id, (pos - 1) // 8 AS line_no,
+                 string_agg(tok, ' ' ORDER BY pos) AS line
+          FROM toks GROUP BY doc_id, (pos - 1) // 8)
+"""
+
+ORACLE_LINE_DEDUP = f"""
+WITH {_LINES_CTE},
+heavy AS (
+  SELECT {H60.format(x='line')} AS line_hash
+  FROM lines GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (
+  SELECT l.doc_id, l.line_no, l.line, (h.line_hash IS NOT NULL) AS is_heavy
+  FROM lines l LEFT JOIN heavy h ON {H60.format(x='l.line')} = h.line_hash)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT is_heavy THEN line END,
+                           chr(10) ORDER BY line_no), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN is_heavy THEN 1 ELSE 0 END) AS n_lines_removed
+FROM marked GROUP BY doc_id
+"""
+
+
+def q_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineops.line_quality_filter(
+        _t(spark, sf_dir, 'documents'), line_tokens=8, min_line_tokens=3
+    )
+
+
+ORACLE_LINE_QUALITY = f"""
+WITH {_LINES_CTE},
+flagged AS (
+  SELECT doc_id, line_no, line,
+         (len(string_split(line, ' ')) < 3
+          OR regexp_matches(line, '{lineops.NUMERIC_LINE_RE}')
+          OR regexp_matches(line, '{lineops.BULLET_LINE_RE}')) AS drop_it
+  FROM lines)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT drop_it THEN line END,
+                           chr(10) ORDER BY line_no), '') AS clean_text,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN drop_it THEN 1 ELSE 0 END) AS n_lines_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(_t(spark, sf_dir, 'documents'), n=3)
 
@@ -1631,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_repetition': q_text_repetition,
         'text_corpus_freq': q_text_corpus_freq,
         'text_tfidf_keywords': q_text_tfidf_keywords,
+        'line_dedup': q_line_dedup,
+        'line_quality_filter': q_line_quality_filter,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1688,6 +1751,8 @@ def oracle_sql() -> dict[str, str]:
         'text_repetition': ORACLE_REPETITION,
         'text_corpus_freq': ORACLE_CORPUS_FREQ,
         'text_tfidf_keywords': ORACLE_TFIDF,
+        'line_dedup': ORACLE_LINE_DEDUP,
+        'line_quality_filter': ORACLE_LINE_QUALITY,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,
