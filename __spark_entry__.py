@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround
 from scalpel_spark.operators import (
+    clustering,
     curation,
     dedup,
     lineops,
@@ -1037,6 +1038,54 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.kmeans_assign(_t(spark, sf_dir, 'embeddings'), k=4, iters=2)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.semdedup(_t(spark, sf_dir, 'embeddings'), k=4, iters=2, threshold=0.4)
+
+
+def _kmeans_cte(k: int, iters: int, quant: int = 1000) -> str:
+    """DuckDB twin of clustering.kmeans_assign as a CTE chain ending in
+    asg{iters}: init centroids = the k smallest vec_ids, then per round
+    argmin assignment (quantized squared L2, ties to smaller cell) and
+    rounded-mean centroid recompute."""
+    parts = [f"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+dims AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q),
+cent0 AS (SELECT vec_id AS cell, d, x AS c FROM dims WHERE vec_id < {k})"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""cv{i} AS (SELECT cell, list(c ORDER BY d) AS cvec FROM cent{i - 1} GROUP BY cell),
+scored{i} AS (SELECT q.vec_id, cv{i}.cell,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                                          j -> (qv[j] - cvec[j]) * (qv[j] - cvec[j]))) AS d2
+           FROM q CROSS JOIN cv{i}),
+asg{i} AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+             FROM scored{i}) WHERE rn = 1),
+cent{i} AS (SELECT a.cell, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c
+            FROM dims v JOIN asg{i} a USING (vec_id) GROUP BY a.cell, d)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_KMEANS = f"""
+WITH {_kmeans_cte(4, 2)}
+SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM asg2
+"""
+
+ORACLE_SEMDEDUP = f"""
+WITH {_kmeans_cte(4, 2)},
+v AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, a.cell
+      FROM embeddings e JOIN asg2 a USING (vec_id)),
+dup AS (SELECT DISTINCT a.vec_id FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE floor(list_cosine_similarity(a.ev, b.ev) * 1000000 + 0.5) / 1000000 >= 0.4)
+SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS keep
+FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineops.line_dedup(_t(spark, sf_dir, 'documents'), line_tokens=8, min_docs=2)
 
@@ -1694,6 +1743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_tfidf_keywords': q_text_tfidf_keywords,
         'line_dedup': q_line_dedup,
         'line_quality_filter': q_line_quality_filter,
+        'kmeans_assign': q_kmeans_assign,
+        'semdedup': q_semdedup,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1753,6 +1804,8 @@ def oracle_sql() -> dict[str, str]:
         'text_tfidf_keywords': ORACLE_TFIDF,
         'line_dedup': ORACLE_LINE_DEDUP,
         'line_quality_filter': ORACLE_LINE_QUALITY,
+        'kmeans_assign': ORACLE_KMEANS,
+        'semdedup': ORACLE_SEMDEDUP,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,
