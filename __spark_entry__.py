@@ -596,6 +596,33 @@ SELECT doc_id, lang, n_tokens, cum_before FROM cum WHERE cum_before < 3000
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (2048-token training sequences in
+    md5-shuffle-key order). The oracle computes the same layout with one
+    flat global window — equal because the buckets range-partition the
+    key space, so bucket-major order IS global key order."""
+    return curation.pack_sequences(_t(spark, sf_dir, 'documents'),
+                                   seq_tokens=2048, n_buckets=64)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {H60.format(x='CAST(doc_id AS VARCHAR)')} AS k
+  FROM documents),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM base)
+SELECT doc_id, n_tokens, cum_before,
+       cum_before // 2048 AS seq_id,
+       cum_before % 2048 AS offset,
+       (cum_before % 2048) + n_tokens > 2048 AS spans_boundary
+FROM cum
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs_plus(spark, sf_dir), k=16, bands=4, n=4, min_matches=8)
 
@@ -1723,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_canonical': q_dedup_cluster_canonical,
         'pipeline_curate': q_pipeline_curate,
         'sample_token_budget': q_sample_token_budget,
+        'pack_sequences': q_pack_sequences,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_minhash_incremental': q_dedup_incremental,
         'dedup_simhash': q_dedup_simhash,
@@ -1784,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_cluster_canonical': ORACLE_CLUSTERS,
         'pipeline_curate': _curate_oracle(),
         'sample_token_budget': ORACLE_TOKEN_BUDGET,
+        'pack_sequences': ORACLE_PACK_SEQUENCES,
         'dedup_minhash_lsh': ORACLE_MINHASH,
         'dedup_minhash_incremental': ORACLE_MINHASH_INCREMENTAL,
         'dedup_simhash': _simhash_oracle(),

@@ -234,3 +234,61 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     )
     return out.select('doc_id', F.col('stratum').alias(strata_col),
                       'n_tokens', 'cum_before')
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int,
+                   n_buckets: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out in
+    deterministic md5-shuffle-key order and cut it into consecutive
+    training sequences of exactly ``seq_tokens`` tokens — the standard
+    GPT-style pretraining layout where a document may straddle a sequence
+    boundary rather than waste padding.
+
+    Each document gets the sequence that contains its FIRST token:
+
+    * ``seq_id = cum_before div seq_tokens`` — its training sequence
+    * ``offset`` — token offset inside that sequence
+    * ``spans_boundary`` — True when the doc's tail crosses into the next
+      sequence (the consumer splits it at tokenization time)
+
+    The global running total uses the same bucket-decomposed prefix sum
+    as :func:`token_budget_sample` (range partitioning on the 60-bit key,
+    per-bucket windows in parallel, cross-bucket offsets from an
+    ``n_buckets``-row aggregate), so no single task ever sorts the corpus
+    and the assignment is provably independent of ``n_buckets``.
+
+    Returns (doc_id, n_tokens, cum_before, seq_id, offset, spans_boundary).
+    """
+    if n_buckets & (n_buckets - 1) or n_buckets <= 0:
+        raise ValueError(f'n_buckets must be a power of two, got {n_buckets}')
+    shift = _KEY_BITS - (n_buckets.bit_length() - 1)
+    base = docs.select(
+        'doc_id',
+        F.size(tokens(F.col('text'))).cast('long').alias('n_tokens'),
+        hash60(F.col('doc_id').cast('string')).alias('shuffle_key'),
+    ).withColumn('bucket', F.shiftright('shuffle_key', shift))
+    w_in = (
+        Window.partitionBy('bucket')
+        .orderBy('shuffle_key', 'doc_id')
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    doc_cum = base.withColumn(
+        'in_bucket_before', F.coalesce(F.sum('n_tokens').over(w_in), F.lit(0)))
+    w_b = Window.orderBy('bucket').rowsBetween(Window.unboundedPreceding, -1)
+    bucket_cum = (
+        base.groupBy('bucket').agg(F.sum('n_tokens').alias('bucket_tokens'))
+        .withColumn('bucket_before',
+                    F.coalesce(F.sum('bucket_tokens').over(w_b), F.lit(0)))
+    )
+    out = (
+        doc_cum.join(F.broadcast(bucket_cum.select('bucket', 'bucket_before')),
+                     'bucket')
+        .withColumn('cum_before', F.col('bucket_before') + F.col('in_bucket_before'))
+    )
+    return out.select(
+        'doc_id', 'n_tokens', 'cum_before',
+        F.expr(f'cum_before div {seq_tokens}').alias('seq_id'),
+        (F.col('cum_before') % seq_tokens).alias('offset'),
+        ((F.col('cum_before') % seq_tokens) + F.col('n_tokens') > seq_tokens)
+        .alias('spans_boundary'),
+    )

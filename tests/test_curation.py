@@ -155,3 +155,44 @@ def test_source_reputation_separates_spam_source(spark):
     assert rows['bad']['mean_score'] < rows['good']['mean_score']
     assert rows['bad']['n_low_quality'] == 3 and rows['bad']['low_quality_frac'] == 1.0
     assert rows['good']['n_low_quality'] == 0 and rows['good']['low_quality_frac'] == 0.0
+
+
+def _expected_packing(rows, seq_tokens):
+    import hashlib
+
+    order = sorted(
+        (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16), doc_id, len(text.split(' ')))
+        for doc_id, text, _ in rows
+    )
+    out, cum = {}, 0
+    for _, doc_id, nt in order:
+        out[doc_id] = (nt, cum, cum // seq_tokens, cum % seq_tokens,
+                       cum % seq_tokens + nt > seq_tokens)
+        cum += nt
+    return out
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    docs = _sample_corpus(spark)
+    rows = [(r['doc_id'], r['text'], r['lang']) for r in docs.collect()]
+    expected = _expected_packing(rows, seq_tokens=64)
+    got = {r['doc_id']: (r['n_tokens'], r['cum_before'], r['seq_id'],
+                         r['offset'], r['spans_boundary'])
+           for r in curation.pack_sequences(docs, 64).collect()}
+    assert got == expected
+    # every doc is packed, multiple sequences exist, some doc straddles
+    assert len(got) == len(rows)
+    assert len({v[2] for v in got.values()}) > 1
+    assert any(v[4] for v in got.values())
+
+
+def test_pack_sequences_bucket_count_invariance(spark):
+    docs = _sample_corpus(spark)
+    a = {tuple(r) for r in curation.pack_sequences(docs, 64, n_buckets=1).collect()}
+    b = {tuple(r) for r in curation.pack_sequences(docs, 64, n_buckets=64).collect()}
+    assert a == b and a
+
+
+def test_pack_sequences_rejects_bad_bucket_count(spark):
+    with pytest.raises(ValueError, match='power of two'):
+        curation.pack_sequences(_sample_corpus(spark), 64, n_buckets=12)
