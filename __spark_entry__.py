@@ -28,6 +28,7 @@ from scalpel_spark.operators import (
     clustering,
     curation,
     dedup,
+    graphrank,
     lineops,
     sessions,
     similarity,
@@ -1065,6 +1066,63 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over a deterministic hash-derived host graph
+    (N = |documents| hosts, 3 pseudo-random out-links each, self-loops
+    dropped). Both engines construct the identical graph from the same
+    md5 formula, so the oracle recomputes the ranks independently —
+    no pinned constants."""
+    n = _t(spark, sf_dir, 'documents').count()
+    e = spark.range(n).select(
+        F.col('id').alias('src'),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias('j'),
+    )
+    dst = F.pmod(
+        hash60(F.concat(F.col('src').cast('string'), F.lit('-'),
+                        F.col('j').cast('string'))),
+        F.lit(n),
+    )
+    edges = e.select('src', dst.alias('dst')).filter(F.col('dst') != F.col('src'))
+    return graphrank.host_rank(edges, iters=3)
+
+
+def _host_rank_cte(iters: int, damping_pct: int = 85) -> str:
+    """DuckDB twin of graphrank.host_rank over the hash-derived graph,
+    unrolled: integer ppb arithmetic, mass from dangling hosts and
+    flooring NOT redistributed."""
+    tp = f'({1_000_000_000 * (100 - damping_pct) // 100}) // nn.n'
+    parts = [f"""nh AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (SELECT src, j
+        FROM (SELECT unnest(range((SELECT n FROM nh))) AS src)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+edges AS (SELECT * FROM (
+    SELECT src,
+           {H60.format(x="CAST(src AS VARCHAR) || '-' || CAST(j AS VARCHAR)")}
+             % (SELECT n FROM nh) AS dst
+    FROM raw) WHERE dst != src),
+nodes AS (SELECT DISTINCT host FROM (
+    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT host, 1000000000 // nn.n AS rank_ppb FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""r{i} AS (
+  SELECT nodes.host,
+         CAST(({tp}) + ({damping_pct} * COALESCE(insum.s, 0)) // 100 AS BIGINT) AS rank_ppb
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS host, SUM(r.rank_ppb // o.outdeg) AS s
+             FROM edges e JOIN r{i - 1} r ON e.src = r.host
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) insum ON nodes.host = insum.host)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_HOST_RANK = f"""
+WITH {_host_rank_cte(3)}
+SELECT host, rank_ppb FROM r3
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_assign(_t(spark, sf_dir, 'embeddings'), k=4, iters=2)
 
@@ -1773,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'line_quality_filter': q_line_quality_filter,
         'kmeans_assign': q_kmeans_assign,
         'semdedup': q_semdedup,
+        'host_rank': q_host_rank,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1835,6 +1894,7 @@ def oracle_sql() -> dict[str, str]:
         'line_quality_filter': ORACLE_LINE_QUALITY,
         'kmeans_assign': ORACLE_KMEANS,
         'semdedup': ORACLE_SEMDEDUP,
+        'host_rank': ORACLE_HOST_RANK,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,

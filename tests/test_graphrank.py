@@ -1,0 +1,55 @@
+"""Integer PageRank over host edge lists (crawl-prioritization signal)."""
+
+from __future__ import annotations
+
+from scalpel_spark.operators import graphrank
+
+EDGE_SCHEMA = 'src LONG, dst LONG'
+
+
+def test_host_rank_one_iteration_hand_computed(spark):
+    # A<->B plus C->A; N=3, rank0 = 333333333 each, teleport = 50000000
+    edges = spark.createDataFrame([(0, 1), (1, 0), (2, 0)], EDGE_SCHEMA)
+    out = {r['host']: r['rank_ppb'] for r in
+           graphrank.host_rank(edges, iters=1).collect()}
+    # in(0) = r(1) + r(2) = 666666666 -> 50000000 + 85*666666666 div 100
+    assert out[0] == 50_000_000 + (85 * 666_666_666) // 100
+    assert out[1] == 50_000_000 + (85 * 333_333_333) // 100
+    assert out[2] == 50_000_000  # dangling-in: nothing links to C
+
+
+def test_host_rank_ordering_stable_over_iterations(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0), (2, 0)], EDGE_SCHEMA)
+    out = {r['host']: r['rank_ppb'] for r in
+           graphrank.host_rank(edges, iters=3).collect()}
+    assert out[0] > out[1] > out[2]
+
+
+def test_host_rank_duplicate_edges_double_authority(spark):
+    # two parallel edges 0->1 vs one edge 0->2: outdeg(0)=3, so host 1
+    # receives twice host 2's share
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], EDGE_SCHEMA)
+    out = {r['host']: r['rank_ppb'] for r in
+           graphrank.host_rank(edges, iters=1).collect()}
+    share = 333_333_333 // 3
+    assert out[1] == 50_000_000 + (85 * 2 * share) // 100
+    assert out[2] == 50_000_000 + (85 * share) // 100
+
+
+def test_host_rank_mass_conserved_within_flooring(spark):
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], EDGE_SCHEMA)  # 5-cycle
+    out = graphrank.host_rank(edges, iters=4).collect()
+    total = sum(r['rank_ppb'] for r in out)
+    # cycle: no dangling loss; only integer flooring (< 100 ppb/host/iter)
+    assert abs(total - 1_000_000_000) < 5 * 4 * 100
+    # symmetric cycle -> identical ranks
+    assert len({r['rank_ppb'] for r in out}) == 1
+
+
+def test_host_rank_plan_stays_jvm(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], EDGE_SCHEMA)
+    plan = graphrank.host_rank(edges, iters=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert 'Python' not in plan and 'BatchEvalPython' not in plan
