@@ -1451,6 +1451,44 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank over the link lineage a real crawl
+    persisted (links_delta, host-aggregated per wave): run a deterministic
+    3-wave crawl, then rank its observed host graph — the signal the
+    priority frontier consumes on the next crawl. Deterministic end to end
+    (seed-stable corpus, integer ppb rank arithmetic) → pinned VALUES
+    oracle."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=200, n_hosts=8, seed=13)
+    cfg = CrawlConfig(follow_robots_txt=False, max_waves=3)
+    seeds = [r['doc_id'] for r in corpus.orderBy('doc_id').limit(5).collect()]
+    res = CrawlEngine(spark, corpus, config=cfg,
+                      store=SnapshotStore(tempfile.mkdtemp())).run(seeds)
+    return res.host_ranks(iters=3)
+
+
+# pinned from the deterministic run (seed=13 corpus, seeds = 5 smallest
+# doc_ids, 3 waves, 3 rank iterations) — verified identical across runs
+ORACLE_CRAWL_HOST_RANK = """
+SELECT * FROM (VALUES
+  ('h0.example.com', CAST(85538811 AS BIGINT)),
+  ('h1.example.com', CAST(150481859 AS BIGINT)),
+  ('h2.example.com', CAST(143950800 AS BIGINT)),
+  ('h3.example.com', CAST(166752812 AS BIGINT)),
+  ('h4.example.com', CAST(95729729 AS BIGINT)),
+  ('h5.example.com', CAST(132394031 AS BIGINT)),
+  ('h6.example.com', CAST(115763123 AS BIGINT)),
+  ('h7.example.com', CAST(109388759 AS BIGINT))
+) AS t(host, rank_ppb)
+"""
+
+
 def q_crawl_politeness_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delay-derived politeness budget (SURVEY §2.9 T2/W1): per-host budget
     = least(max_dispatch, max(1, floor(wave_duration / robots delay))) —
@@ -1832,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kmeans_assign': q_kmeans_assign,
         'semdedup': q_semdedup,
         'host_rank': q_host_rank,
+        'crawl_host_rank': q_crawl_host_rank,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1895,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         'kmeans_assign': ORACLE_KMEANS,
         'semdedup': ORACLE_SEMDEDUP,
         'host_rank': ORACLE_HOST_RANK,
+        'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,

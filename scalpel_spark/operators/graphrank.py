@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # rank unit: parts-per-billion of total authority
 
 
-def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFrame:
+def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
+              weight: str | None = None) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) host edge list.
 
     rank_0(h)   = SCALE div N
@@ -42,8 +43,14 @@ def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFr
 
     Returns (host, rank_ppb) for every host appearing as src or dst,
     deterministically — duplicate edges count twice (a host linking twice
-    sends twice the authority), matching the oracle.
+    sends twice the authority), matching the oracle. ``weight`` names an
+    edge-multiplicity column (the host-aggregated lineage the engine
+    persists): outdeg = Σ weights and each edge contributes
+    ``(rank div outdeg) * weight`` — bit-identical to replaying the edge
+    ``weight`` times, without exploding the aggregated table.
     """
+    w = F.col(weight).cast('long') if weight else F.lit(1).cast('long')
+    edges = edges.select('src', 'dst', w.alias('w'))
     nodes = (
         edges.select(F.col('src').alias('host'))
         .unionByName(edges.select(F.col('dst').alias('host')))
@@ -53,7 +60,7 @@ def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFr
     # numerator precomputed in Python — SCALE * pct would constant-fold as
     # 32-bit and overflow under ANSI
     teleport = F.expr(f'{SCALE * (100 - damping_pct) // 100} div n')
-    outdeg = edges.groupBy('src').agg(F.count('*').alias('outdeg'))
+    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
     rank = nodes.crossJoin(F.broadcast(n_row)).select(
         'host', F.expr(f'{SCALE} div n').alias('rank_ppb')
     )
@@ -61,7 +68,7 @@ def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFr
         contrib = (
             edges.join(rank.withColumnRenamed('host', 'src'), 'src')
             .join(outdeg, 'src')
-            .select('dst', F.expr('rank_ppb div outdeg').alias('c'))
+            .select('dst', F.expr('(rank_ppb div outdeg) * w').alias('c'))
         )
         incoming = contrib.groupBy('dst').agg(F.sum('c').alias('in_sum'))
         rank = (

@@ -129,6 +129,31 @@ class CrawlResult:
         return self._delta('docs_delta')
 
     @property
+    def links(self) -> Optional[DataFrame]:
+        """Host-level link lineage: (src_host, dst_host, n_links, wave) —
+        one aggregated row per citing/cited host pair per wave. None for
+        stores written before the table existed (or crawls with no
+        follows)."""
+        return self._delta('links_delta')
+
+    def host_ranks(self, iters: int = 3, damping_pct: int = 85) -> Optional[DataFrame]:
+        """Integer PageRank (host, rank_ppb) over the crawl's observed
+        host graph — the authority signal the priority frontier
+        (``frontier_policy='priority'``) consumes on the next crawl.
+        n_links multiplicity is honored exactly (a host citing another
+        10× sends 10 shares). None when no link lineage exists."""
+        from scalpel_spark.operators.graphrank import host_rank
+
+        links = self.links
+        if links is None:
+            return None
+        edges = links.groupBy(
+            F.col('src_host').alias('src'), F.col('dst_host').alias('dst')
+        ).agg(F.sum('n_links').alias('n_links'))
+        return host_rank(edges, iters=iters, damping_pct=damping_pct,
+                         weight='n_links')
+
+    @property
     def metrics(self) -> DataFrame:
         return self._delta('metrics_delta')
 
@@ -716,6 +741,19 @@ class CrawlEngine:
         followed_delta = next_frontier_new.select('url').distinct().join(
             followed_state, 'url', 'left_anti'
         )
+        # host-level link lineage: who cites whom, aggregated before the
+        # commit so the table is host²-bounded, not link-bounded. Feeds
+        # CrawlResult.host_ranks() (graphrank.host_rank) for
+        # priority-frontier scoring. Derived from with_prio (the persisted
+        # dense-sequence intermediate), so no extra pass over outlinks.
+        links_delta = (
+            with_prio.groupBy(
+                host_col(F.col('parent_url')).alias('src_host'),
+                host_col(F.col('abs_url')).alias('dst_host'),
+            )
+            .agg(F.count('*').alias('n_links'))
+            .withColumn('wave', F.lit(wave))
+        )
         next_frontier = next_frontier_new.unionByName(deferred)
 
         # 8. atomic snapshot commit (T4)
@@ -725,6 +763,7 @@ class CrawlEngine:
             'followed_delta': followed_delta,
             'items_delta': items,
             'docs_delta': docs_delta,
+            'links_delta': links_delta,
         }
         if quarantine is not None:
             tables['items_quarantine_delta'] = quarantine

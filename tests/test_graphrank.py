@@ -53,3 +53,36 @@ def test_host_rank_plan_stays_jvm(spark):
     plan = graphrank.host_rank(edges, iters=2)._jdf.queryExecution(
     ).executedPlan().toString()
     assert 'Python' not in plan and 'BatchEvalPython' not in plan
+
+
+def test_host_rank_weighted_equals_replayed_edges(spark):
+    weighted = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1), (1, 0, 1), (2, 0, 1)],
+        'src LONG, dst LONG, n_links LONG')
+    replayed = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], EDGE_SCHEMA)
+    a = sorted(tuple(r) for r in graphrank.host_rank(
+        weighted, iters=2, weight='n_links').collect())
+    b = sorted(tuple(r) for r in graphrank.host_rank(replayed, iters=2).collect())
+    assert a == b
+
+
+def test_engine_links_lineage_and_host_ranks(spark, tmp_path):
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=60, n_hosts=5, seed=11)
+    cfg = CrawlConfig(follow_robots_txt=False, max_waves=3)
+    res = CrawlEngine(spark, corpus, config=cfg,
+                      store=SnapshotStore(str(tmp_path))).run(
+        [r['doc_id'] for r in corpus.limit(3).collect()])
+    links = res.links
+    assert links is not None and links.count() > 0
+    assert set(links.columns) == {'src_host', 'dst_host', 'n_links', 'wave'}
+    ranks = res.host_ranks(iters=2)
+    rows = ranks.collect()
+    assert rows and all(r['rank_ppb'] > 0 for r in rows)
+    # ranks sum to ~1 (ppb), short only by flooring + dangling loss
+    assert sum(r['rank_ppb'] for r in rows) <= 1_000_000_000
