@@ -1451,6 +1451,61 @@ SELECT * FROM (VALUES
 """
 
 
+def q_url_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL rules over a deterministic synthetic frontier derived
+    from documents (both engines build byte-identical URLs, so every flag
+    is recomputed independently): host blocklist (broadcast), length,
+    path depth, query-param traps, spam keywords."""
+    from scalpel_spark.operators import urlfilter
+
+    d = F.col('doc_id')
+    url = F.concat(
+        F.lit('http://h'), (d % 37).cast('string'), F.lit('.example.com/'),
+        F.repeat(F.lit('d/'), (d % 12).cast('int')),
+        F.lit('page'), d.cast('string'),
+        F.when(d % 13 == 0, F.repeat(F.lit('x'), 280)).otherwise(F.lit('')),
+        F.when(d % 5 == 0, F.lit('?a=1&b=2&c=3&d=4&e=5')).otherwise(F.lit('')),
+        F.when(d % 11 == 0, F.lit('&casino')).otherwise(F.lit('')),
+    )
+    frontier = _t(spark, sf_dir, 'documents').select('doc_id', url.alias('url'))
+    bl = spark.range(37).filter(F.col('id') % 7 == 0).select(
+        F.concat(F.lit('h'), F.col('id').cast('string'),
+                 F.lit('.example.com')).alias('host'))
+    return urlfilter.url_quality_flags(frontier, bl).select(
+        'doc_id', 'flag_blocked', 'flag_long', 'flag_deep',
+        'flag_query_heavy', 'flag_spam', 'keep')
+
+
+ORACLE_URL_QUALITY = """
+WITH fr AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/'
+         || repeat('d/', CAST(doc_id % 12 AS INT))
+         || 'page' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 13 = 0 THEN repeat('x', 280) ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '?a=1&b=2&c=3&d=4&e=5' ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN '&casino' ELSE '' END) AS url
+  FROM documents),
+bl AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host
+       FROM (SELECT unnest(range(37)) AS k) WHERE k % 7 = 0),
+flags AS (
+  SELECT doc_id,
+         split_part(split_part(url, '://', 2), '/', 1) IN (SELECT host FROM bl) AS flag_blocked,
+         len(url) > 300 AS flag_long,
+         (len(split_part(url, '?', 1))
+          - len(replace(split_part(url, '?', 1), '/', '')) - 2) > 8 AS flag_deep,
+         (CASE WHEN strpos(url, '?') > 0
+               THEN len(split_part(url, '?', 2))
+                    - len(replace(split_part(url, '?', 2), '&', '')) + 1
+               ELSE 0 END) > 4 AS flag_query_heavy,
+         regexp_matches(lower(url), 'casino|viagra|porn|xxx') AS flag_spam
+  FROM fr)
+SELECT doc_id, flag_blocked, flag_long, flag_deep, flag_query_heavy, flag_spam,
+       NOT (flag_blocked OR flag_long OR flag_deep OR flag_query_heavy OR flag_spam) AS keep
+FROM flags
+"""
+
+
 def q_crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank over the link lineage a real crawl
     persisted (links_delta, host-aggregated per wave): run a deterministic
@@ -1871,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semdedup': q_semdedup,
         'host_rank': q_host_rank,
         'crawl_host_rank': q_crawl_host_rank,
+        'url_quality_filter': q_url_quality_filter,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -1935,6 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         'semdedup': ORACLE_SEMDEDUP,
         'host_rank': ORACLE_HOST_RANK,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
+        'url_quality_filter': ORACLE_URL_QUALITY,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,

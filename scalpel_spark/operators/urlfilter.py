@@ -1,0 +1,93 @@
+"""URL-level quality filtering for the frontier — the C4/RefinedWeb URL
+rules that run BEFORE a fetch is ever scheduled: a crawl at 10^10-URL
+scale wins more capacity by refusing junk URLs than by any fetch-side
+optimization, because a refused URL costs zero requests.
+
+Reference parity note: the reference validates scheme and robots only
+(``scalpel/any_io/static_spider.py:83-95``); content-quality URL rules are
+part of the LLM-pipeline layer this engine adds in front of the frontier.
+
+Rules (all engine-portable string algebra — no parse_url, so the DuckDB
+oracle computes byte-identical flags):
+
+* ``flag_blocked``   — host appears in a blocklist table (broadcast join;
+  blocklists are 10^5-10^7 hosts — trivially broadcastable)
+* ``flag_long``      — URL longer than ``max_len`` chars
+* ``flag_deep``      — path depth beyond ``max_depth`` segments
+* ``flag_query_heavy`` — more than ``max_params`` query parameters
+  (calendar/session/faceted-navigation traps)
+* ``flag_spam``      — spam keyword in the lowercased URL
+
+Everything except the broadcast blocklist join is map-side; ``keep`` is
+the conjunction. Run it on the frontier BEFORE the seen-set anti-join so
+junk never even probes the bloom filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPAM_RE = 'casino|viagra|porn|xxx'
+
+
+def url_host(url: Column) -> Column:
+    """Host between '://' and the next '/' — pure string algebra so the
+    oracle twin (split_part in DuckDB) is byte-identical."""
+    return F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
+                        F.lit('/'), F.lit(1))
+
+
+def _path_depth(url: Column) -> Column:
+    # '/' count minus the two scheme slashes; query stripped first so
+    # slashes inside parameters don't count as path depth
+    base = F.split_part(url, F.lit('?'), F.lit(1))
+    return (F.length(base) - F.length(F.replace(base, F.lit('/'), F.lit('')))
+            - F.lit(2)).cast('long')
+
+
+def _n_params(url: Column) -> Column:
+    q = F.when(F.instr(url, '?') > 0, F.substring_index(url, '?', -1))
+    return F.coalesce(
+        F.length(q) - F.length(F.replace(q, F.lit('&'), F.lit(''))) + 1,
+        F.lit(0),
+    ).cast('long')
+
+
+def url_quality_flags(
+    frontier: DataFrame,
+    blocklist: DataFrame | None = None,
+    url_col: str = 'url',
+    max_len: int = 300,
+    max_depth: int = 8,
+    max_params: int = 4,
+) -> DataFrame:
+    """Per-URL rule flags + ``keep``; input columns pass through.
+    ``blocklist`` is a (host) table, joined with an explicit broadcast."""
+    url = F.col(url_col)
+    out = frontier.withColumn('host', url_host(url))
+    if blocklist is not None:
+        bl = blocklist.select(F.col('host'), F.lit(True).alias('flag_blocked'))
+        out = out.join(F.broadcast(bl), 'host', 'left').withColumn(
+            'flag_blocked', F.coalesce('flag_blocked', F.lit(False)))
+    else:
+        out = out.withColumn('flag_blocked', F.lit(False))
+    out = (
+        out.withColumn('flag_long', F.length(url) > max_len)
+        .withColumn('flag_deep', _path_depth(url) > max_depth)
+        .withColumn('flag_query_heavy', _n_params(url) > max_params)
+        .withColumn('flag_spam', F.lower(url).rlike(SPAM_RE))
+    )
+    return out.withColumn(
+        'keep',
+        ~(F.col('flag_blocked') | F.col('flag_long') | F.col('flag_deep')
+          | F.col('flag_query_heavy') | F.col('flag_spam')),
+    )
+
+
+def filter_frontier(frontier: DataFrame, blocklist: DataFrame | None = None,
+                    url_col: str = 'url', **rule_kwargs) -> DataFrame:
+    """The frontier rows that survive every URL rule, original columns
+    only — drop-in ahead of the seen-set anti-join."""
+    flagged = url_quality_flags(frontier, blocklist, url_col, **rule_kwargs)
+    return flagged.filter('keep').select(*frontier.columns)

@@ -1,0 +1,69 @@
+"""C4/RefinedWeb-style URL quality rules ahead of the frontier."""
+
+from __future__ import annotations
+
+from scalpel_spark.operators import urlfilter
+
+
+def _f(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], 'url STRING')
+
+
+def test_each_rule_fires_independently(spark):
+    urls = [
+        'http://good.example.com/a/b',                       # clean
+        'http://bad.example.com/page',                       # blocked host
+        'http://x.example.com/' + 'a' * 300,                 # too long
+        'http://x.example.com/' + 'd/' * 9 + 'leaf',         # too deep
+        'http://x.example.com/p?a=1&b=2&c=3&d=4&e=5',        # query heavy
+        'http://x.example.com/best-casino-bonus',            # spam word
+    ]
+    bl = spark.createDataFrame([('bad.example.com',)], 'host STRING')
+    rows = {r['url']: r for r in
+            urlfilter.url_quality_flags(_f(spark, urls), bl).collect()}
+    assert rows[urls[0]]['keep'] is True
+    assert rows[urls[1]]['flag_blocked'] and not rows[urls[1]]['keep']
+    assert rows[urls[2]]['flag_long'] and not rows[urls[2]]['keep']
+    assert rows[urls[3]]['flag_deep'] and not rows[urls[3]]['keep']
+    assert rows[urls[4]]['flag_query_heavy'] and not rows[urls[4]]['keep']
+    assert rows[urls[5]]['flag_spam'] and not rows[urls[5]]['keep']
+
+
+def test_query_slashes_do_not_count_as_depth(spark):
+    rows = urlfilter.url_quality_flags(
+        _f(spark, ['http://x.example.com/p?next=/a/b/c/d/e/f/g/h/i'])
+    ).collect()
+    assert rows[0]['flag_deep'] is False
+    assert rows[0]['flag_query_heavy'] is False  # 1 param
+
+
+def test_param_boundaries(spark):
+    rows = {r['url']: r for r in urlfilter.url_quality_flags(
+        _f(spark, ['http://x.example.com/p?a=1&b=2&c=3&d=4',
+                   'http://x.example.com/p'])).collect()}
+    assert rows['http://x.example.com/p?a=1&b=2&c=3&d=4']['flag_query_heavy'] is False
+    assert rows['http://x.example.com/p']['flag_query_heavy'] is False
+
+
+def test_filter_frontier_preserves_columns_and_drops(spark):
+    fr = spark.createDataFrame(
+        [('http://good.example.com/a', 7), ('http://bad.example.com/b', 8)],
+        'url STRING, priority LONG')
+    bl = spark.createDataFrame([('bad.example.com',)], 'host STRING')
+    out = urlfilter.filter_frontier(fr, bl).collect()
+    assert [tuple(r) for r in out] == [('http://good.example.com/a', 7)]
+
+
+def test_no_blocklist_means_nothing_blocked(spark):
+    rows = urlfilter.url_quality_flags(
+        _f(spark, ['http://any.example.com/x'])).collect()
+    assert rows[0]['flag_blocked'] is False and rows[0]['keep'] is True
+
+
+def test_plan_stays_jvm_and_broadcasts_blocklist(spark):
+    fr = _f(spark, ['http://x.example.com/a'])
+    bl = spark.createDataFrame([('bad.example.com',)], 'host STRING')
+    plan = urlfilter.url_quality_flags(fr, bl)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert 'Python' not in plan
+    assert 'BroadcastHashJoin' in plan
