@@ -109,6 +109,14 @@ class CrawlConfig:
     # Evaluated JVM-side (F.expr), e.g. "-length(url)" (shallow pages
     # first) or "CASE WHEN url LIKE '%/product/%' THEN 1 ELSE 0 END".
     frontier_priority: Optional[str] = None
+    # URL quality rules (beyond reference — C4/RefinedWeb front-of-frontier
+    # filtering, operators/urlfilter.py): when enabled, every wave's
+    # candidates pass the rule set (blocklist/length/depth/params/spam)
+    # BEFORE probing the seen set, so junk URLs cost zero requests AND
+    # zero bloom probes. blocklist_hosts is a host tuple (broadcast-joined;
+    # real deployments load 10^5-10^7 hosts — still broadcast-scale).
+    url_rules: bool = False
+    blocklist_hosts: tuple = ()
     seed: int = 42
 
     def __post_init__(self):
@@ -141,8 +149,9 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
                'cuckoo_shards'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
-_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors'}
+_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
+_STR_SEQ_FIELDS = {'blocklist_hosts'}
 
 
 def resolve_callable(path):
@@ -174,6 +183,10 @@ def _coerce(name: str, value):
         if isinstance(value, str):
             value = [v.strip() for v in value.split(',') if v.strip()]
         return tuple(resolve_callable(v) for v in value)
+    if name in _STR_SEQ_FIELDS and value is not None:
+        if isinstance(value, str):
+            value = [v.strip() for v in value.split(',') if v.strip()]
+        return tuple(value)
     if value is None or not isinstance(value, str):
         return value
     if name in _BOOL_FIELDS:

@@ -65,15 +65,19 @@ def url_quality_flags(
     """Per-URL rule flags + ``keep``; input columns pass through.
     ``blocklist`` is a (host) table, joined with an explicit broadcast."""
     url = F.col(url_col)
-    out = frontier.withColumn('host', url_host(url))
+    # internal join key — deliberately NOT named 'host' so a frontier that
+    # already carries an engine-computed host column is never clobbered
+    out = frontier.withColumn('_uf_host', url_host(url))
     if blocklist is not None:
-        bl = blocklist.select(F.col('host'), F.lit(True).alias('flag_blocked'))
-        out = out.join(F.broadcast(bl), 'host', 'left').withColumn(
+        bl = blocklist.select(F.col('host').alias('_uf_host'),
+                              F.lit(True).alias('flag_blocked'))
+        out = out.join(F.broadcast(bl), '_uf_host', 'left').withColumn(
             'flag_blocked', F.coalesce('flag_blocked', F.lit(False)))
     else:
         out = out.withColumn('flag_blocked', F.lit(False))
     out = (
-        out.withColumn('flag_long', F.length(url) > max_len)
+        out.drop('_uf_host')
+        .withColumn('flag_long', F.length(url) > max_len)
         .withColumn('flag_deep', _path_depth(url) > max_depth)
         .withColumn('flag_query_heavy', _n_params(url) > max_params)
         .withColumn('flag_spam', F.lower(url).rlike(SPAM_RE))

@@ -469,6 +469,19 @@ class CrawlEngine:
             F.first('scheme').alias('scheme'),
         ).withColumn('wave', F.lit(wave))
 
+        # 1b. opt-in URL quality rules (beyond reference, C4-style): junk
+        # candidates vanish here — before any seen probe, robots lookup,
+        # or dispatch slot. The blocklist is config-carried (tiny) and
+        # broadcast inside filter_frontier.
+        if cfg.url_rules:
+            from scalpel_spark.operators.urlfilter import filter_frontier
+
+            bl = None
+            if cfg.blocklist_hosts:
+                bl = self.spark.createDataFrame(
+                    [(h,) for h in cfg.blocklist_hosts], 'host string')
+            cand = filter_frontier(cand, bl)
+
         # 2. seen dedup (F1/J1): prefiltered exact anti-join. Cuckoo mode
         # probes the persistent sidecar (updated incrementally, never
         # rescanning seen — and delete-capable for forget()); a saturated

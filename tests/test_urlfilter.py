@@ -67,3 +67,35 @@ def test_plan_stays_jvm_and_broadcasts_blocklist(spark):
     ).executedPlan().toString()
     assert 'Python' not in plan
     assert 'BroadcastHashJoin' in plan
+
+
+def test_engine_url_rules_drop_blocklisted_host(spark, tmp_path):
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=60, n_hosts=4, seed=21)
+    # seeds all live on h0; h1 is only reachable through cross-host links,
+    # so blocking it exercises the rule on DISCOVERED urls, not just seeds
+    seeds = [r['doc_id'] for r in corpus.orderBy('doc_id').limit(6).collect()]
+    base = CrawlConfig(follow_robots_txt=False, max_waves=3)
+    res_plain = CrawlEngine(spark, corpus, config=base,
+                            store=SnapshotStore(str(tmp_path / 'a'))).run(seeds)
+    blocked = 'h1.example.com'
+    # the unfiltered crawl DOES reach the blocked host, so the rule matters
+    assert any(blocked in r['url'] for r in res_plain.seen.collect())
+    cfg = CrawlConfig(follow_robots_txt=False, max_waves=3, url_rules=True,
+                      blocklist_hosts=(blocked,))
+    res = CrawlEngine(spark, corpus, config=cfg,
+                      store=SnapshotStore(str(tmp_path / 'b'))).run(seeds)
+    urls = [r['url'] for r in res.seen.collect()]
+    assert urls and not any(blocked in u for u in urls)
+
+
+def test_config_blocklist_coercion():
+    from scalpel_spark.config import _coerce
+
+    assert _coerce('blocklist_hosts', 'a.com, b.com') == ('a.com', 'b.com')
+    assert _coerce('blocklist_hosts', ['a.com']) == ('a.com',)
+    assert _coerce('url_rules', 'true') is True
