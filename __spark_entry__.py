@@ -1140,7 +1140,8 @@ def _kmeans_cte(k: int, iters: int, quant: int = 1000) -> str:
                                  x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv
            FROM embeddings),
 dims AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q),
-cent0 AS (SELECT vec_id AS cell, d, x AS c FROM dims WHERE vec_id < {k})"""]
+cent0 AS (SELECT vec_id AS cell, d, x AS c FROM dims
+          WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))"""]
     for i in range(1, iters + 1):
         parts.append(f"""cv{i} AS (SELECT cell, list(c ORDER BY d) AS cvec FROM cent{i - 1} GROUP BY cell),
 scored{i} AS (SELECT q.vec_id, cv{i}.cell,
@@ -1490,13 +1491,14 @@ bl AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host
        FROM (SELECT unnest(range(37)) AS k) WHERE k % 7 = 0),
 flags AS (
   SELECT doc_id,
-         split_part(split_part(url, '://', 2), '/', 1) IN (SELECT host FROM bl) AS flag_blocked,
+         lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))
+           IN (SELECT host FROM bl) AS flag_blocked,
          len(url) > 300 AS flag_long,
          (len(split_part(url, '?', 1))
           - len(replace(split_part(url, '?', 1), '/', '')) - 2) > 8 AS flag_deep,
          (CASE WHEN strpos(url, '?') > 0
-               THEN len(split_part(url, '?', 2))
-                    - len(replace(split_part(url, '?', 2), '&', '')) + 1
+               THEN len(substr(url, strpos(url, '?') + 1))
+                    - len(replace(substr(url, strpos(url, '?') + 1), '&', '')) + 1
                ELSE 0 END) > 4 AS flag_query_heavy,
          regexp_matches(lower(url), 'casino|viagra|porn|xxx') AS flag_spam
   FROM fr)
@@ -1532,14 +1534,14 @@ def q_crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doc_ids, 3 waves, 3 rank iterations) — verified identical across runs
 ORACLE_CRAWL_HOST_RANK = """
 SELECT * FROM (VALUES
-  ('h0.example.com', CAST(85538811 AS BIGINT)),
-  ('h1.example.com', CAST(150481859 AS BIGINT)),
-  ('h2.example.com', CAST(143950800 AS BIGINT)),
-  ('h3.example.com', CAST(166752812 AS BIGINT)),
-  ('h4.example.com', CAST(95729729 AS BIGINT)),
-  ('h5.example.com', CAST(132394031 AS BIGINT)),
-  ('h6.example.com', CAST(115763123 AS BIGINT)),
-  ('h7.example.com', CAST(109388759 AS BIGINT))
+  ('h0.example.com', CAST(106254184 AS BIGINT)),
+  ('h1.example.com', CAST(163341584 AS BIGINT)),
+  ('h2.example.com', CAST(167508636 AS BIGINT)),
+  ('h3.example.com', CAST(112794586 AS BIGINT)),
+  ('h4.example.com', CAST(133002450 AS BIGINT)),
+  ('h5.example.com', CAST(88206446 AS BIGINT)),
+  ('h6.example.com', CAST(113913505 AS BIGINT)),
+  ('h7.example.com', CAST(114978527 AS BIGINT))
 ) AS t(host, rank_ppb)
 """
 

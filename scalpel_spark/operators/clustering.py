@@ -64,8 +64,11 @@ def kmeans_assign(
     i.e. the ``iters``-th assignment pass.
     """
     v = _quantized(emb, quant)
-    # init: centroid c = the vector with vec_id == c, exploded to (cell, d, c)
-    cent = v.filter(F.col('vec_id') < k).select(
+    # init: centroids = the k SMALLEST vec_ids' vectors (cell id = vec_id)
+    # — an ordered limit, not `vec_id < k`, so id spaces that don't start
+    # at 0 (hash-derived ids, filtered subsets) still seed k centroids
+    init_ids = emb.select('vec_id').orderBy('vec_id').limit(k)
+    cent = v.join(F.broadcast(init_ids), 'vec_id').select(
         F.col('vec_id').alias('cell'), F.posexplode('q').alias('d', 'c')
     )
     asg = None
@@ -86,18 +89,26 @@ def kmeans_assign(
                 lambda acc, x: acc + x,
             )
 
-        best = F.aggregate(
+        # score every centroid ONCE (transform), then fold an argmin over
+        # the scored structs — HOF lambdas get no common-subexpression
+        # elimination, so folding over d2(cc) directly would evaluate the
+        # O(dim) distance aggregate three times per centroid
+        scored = F.transform(
             'cents',
+            lambda cc: F.struct(
+                d2(cc['cv']).alias('d2'), cc['cell'].cast('long').alias('cell')
+            ),
+        )
+        best = F.aggregate(
+            scored,
             F.struct(
                 F.lit(_BIG).cast('long').alias('d2'),
                 F.lit(-1).cast('long').alias('cell'),
             ),
-            lambda acc, cc: F.when(
-                (d2(cc['cv']) < acc['d2'])
-                | ((d2(cc['cv']) == acc['d2']) & (cc['cell'] < acc['cell'])),
-                F.struct(
-                    d2(cc['cv']).alias('d2'), cc['cell'].cast('long').alias('cell')
-                ),
+            lambda acc, s: F.when(
+                (s['d2'] < acc['d2'])
+                | ((s['d2'] == acc['d2']) & (s['cell'] < acc['cell'])),
+                s,
             ).otherwise(acc),
         )
         asg = v.crossJoin(F.broadcast(cents_row)).select(

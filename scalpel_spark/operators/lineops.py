@@ -46,21 +46,30 @@ def split_token_lines(docs: DataFrame, line_tokens: int = 8) -> DataFrame:
     Real crawled text already has newlines — use :func:`split_lines` there.
     Returns (doc_id, line_no, line); zero shuffles.
     """
-    toks = tokens(F.col('text'))
-    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast('int')
+    # materialize the token array in its own projection first: there is no
+    # common-subexpression elimination inside higher-order-function
+    # lambdas, so slicing the raw split(text) expression would re-tokenize
+    # the document once per line (the measured 7x trap documented at
+    # texthash.word_shingles)
+    with_toks = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    n_lines = F.ceil(F.size('toks') / F.lit(line_tokens)).cast('int')
     lines = F.transform(
         F.sequence(F.lit(0), n_lines - F.lit(1)),
         lambda i: F.array_join(
-            F.slice(toks, i * line_tokens + 1, line_tokens), ' '
+            F.slice('toks', i * line_tokens + 1, line_tokens), ' '
         ),
     )
-    return docs.select('doc_id', F.posexplode(lines).alias('line_no', 'line'))
+    return with_toks.select('doc_id', F.posexplode(lines).alias('line_no', 'line'))
 
 
 def split_lines(docs: DataFrame, delimiter: str = '\n') -> DataFrame:
     """Split document text on a literal delimiter into (doc_id, line_no,
-    line). Map-side; the production splitter for real crawled text."""
-    parts = F.split(F.col('text'), F.lit(delimiter), -1)
+    line). Map-side; the production splitter for real crawled text.
+    The delimiter is regex-escaped — F.split takes a Java regex, so an
+    unescaped '.' or '|' would silently split on every character."""
+    import re
+
+    parts = F.split(F.col('text'), F.lit(re.escape(delimiter)), -1)
     return docs.select('doc_id', F.posexplode(parts).alias('line_no', 'line'))
 
 

@@ -32,10 +32,15 @@ SPAM_RE = 'casino|viagra|porn|xxx'
 
 
 def url_host(url: Column) -> Column:
-    """Host between '://' and the next '/' — pure string algebra so the
-    oracle twin (split_part in DuckDB) is byte-identical."""
-    return F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
-                        F.lit('/'), F.lit(1))
+    """Normalized host: between '://' and the next '/', lowercased, port
+    stripped — pure string algebra so the oracle twin (split_part/lower in
+    DuckDB) is byte-identical. Matches the engine's host identity
+    (``functions/urls.host_col`` = lower(parse_url HOST)) on every URL
+    without userinfo; frontiers that already carry the engine host column
+    should pass it via ``host_col`` instead of re-deriving."""
+    authority = F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
+                             F.lit('/'), F.lit(1))
+    return F.lower(F.split_part(authority, F.lit(':'), F.lit(1)))
 
 
 def _path_depth(url: Column) -> Column:
@@ -47,7 +52,12 @@ def _path_depth(url: Column) -> Column:
 
 
 def _n_params(url: Column) -> Column:
-    q = F.when(F.instr(url, '?') > 0, F.substring_index(url, '?', -1))
+    # everything after the FIRST '?' — a '?' inside a parameter value must
+    # not reset the count (DuckDB twin: substr(url, strpos(url,'?')+1))
+    q = F.when(
+        F.instr(url, '?') > 0,
+        F.substring(url, F.instr(url, '?') + 1, F.length(url)),
+    )
     return F.coalesce(
         F.length(q) - F.length(F.replace(q, F.lit('&'), F.lit(''))) + 1,
         F.lit(0),
@@ -61,15 +71,21 @@ def url_quality_flags(
     max_len: int = 300,
     max_depth: int = 8,
     max_params: int = 4,
+    host_col: str | None = None,
 ) -> DataFrame:
     """Per-URL rule flags + ``keep``; input columns pass through.
-    ``blocklist`` is a (host) table, joined with an explicit broadcast."""
+    ``blocklist`` is a (host) table, joined with an explicit broadcast.
+    ``host_col`` names an existing normalized-host column to use as the
+    blocklist key (the engine passes its parse_url-derived host so the
+    filter and the rest of the pipeline share ONE host identity); when
+    absent the host is derived from the URL string."""
     url = F.col(url_col)
     # internal join key — deliberately NOT named 'host' so a frontier that
     # already carries an engine-computed host column is never clobbered
-    out = frontier.withColumn('_uf_host', url_host(url))
+    key = F.lower(F.col(host_col)) if host_col else url_host(url)
+    out = frontier.withColumn('_uf_host', key)
     if blocklist is not None:
-        bl = blocklist.select(F.col('host').alias('_uf_host'),
+        bl = blocklist.select(F.lower(F.col('host')).alias('_uf_host'),
                               F.lit(True).alias('flag_blocked'))
         out = out.join(F.broadcast(bl), '_uf_host', 'left').withColumn(
             'flag_blocked', F.coalesce('flag_blocked', F.lit(False)))
@@ -92,6 +108,7 @@ def url_quality_flags(
 def filter_frontier(frontier: DataFrame, blocklist: DataFrame | None = None,
                     url_col: str = 'url', **rule_kwargs) -> DataFrame:
     """The frontier rows that survive every URL rule, original columns
-    only — drop-in ahead of the seen-set anti-join."""
+    only — drop-in ahead of the seen-set anti-join. Accepts the same
+    ``host_col``/threshold kwargs as :func:`url_quality_flags`."""
     flagged = url_quality_flags(frontier, blocklist, url_col, **rule_kwargs)
     return flagged.filter('keep').select(*frontier.columns)

@@ -141,15 +141,22 @@ class CrawlResult:
         host graph — the authority signal the priority frontier
         (``frontier_policy='priority'``) consumes on the next crawl.
         n_links multiplicity is honored exactly (a host citing another
-        10× sends 10 shares). None when no link lineage exists."""
+        10× sends 10 shares), but SELF-citations are excluded before
+        ranking — nav/pagination blocks to a host's own pages would
+        otherwise let it inflate its own authority (the lineage table
+        keeps self-edges; only the rank computation drops them). None
+        when no link lineage exists."""
         from scalpel_spark.operators.graphrank import host_rank
 
         links = self.links
         if links is None:
             return None
-        edges = links.groupBy(
-            F.col('src_host').alias('src'), F.col('dst_host').alias('dst')
-        ).agg(F.sum('n_links').alias('n_links'))
+        edges = (
+            links.filter(F.col('src_host') != F.col('dst_host'))
+            .groupBy(F.col('src_host').alias('src'),
+                     F.col('dst_host').alias('dst'))
+            .agg(F.sum('n_links').alias('n_links'))
+        )
         return host_rank(edges, iters=iters, damping_pct=damping_pct,
                          weight='n_links')
 
@@ -480,7 +487,10 @@ class CrawlEngine:
             if cfg.blocklist_hosts:
                 bl = self.spark.createDataFrame(
                     [(h,) for h in cfg.blocklist_hosts], 'host string')
-            cand = filter_frontier(cand, bl)
+            # host_col='host': block on the engine's normalized host
+            # identity (lower(parse_url HOST)) — never a re-derived one
+            # that could disagree on case/port/userinfo
+            cand = filter_frontier(cand, bl, host_col='host')
 
         # 2. seen dedup (F1/J1): prefiltered exact anti-join. Cuckoo mode
         # probes the persistent sidecar (updated incrementally, never
@@ -757,12 +767,20 @@ class CrawlEngine:
         # host-level link lineage: who cites whom, aggregated before the
         # commit so the table is host²-bounded, not link-bounded. Feeds
         # CrawlResult.host_ranks() (graphrank.host_rank) for
-        # priority-frontier scoring. Derived from with_prio (the persisted
-        # dense-sequence intermediate), so no extra pass over outlinks.
+        # priority-frontier scoring. Derived from ALL outlinks — BEFORE
+        # the fresh-links anti-join — so repeat citations of already-
+        # discovered pages still count as authority (an anti-joined
+        # lineage would only ever record first discoveries, skewing rank
+        # toward whichever host was crawled first). Relative links resolve
+        # to the parent host by definition; no absolutize pass needed at
+        # host granularity.
         links_delta = (
-            with_prio.groupBy(
+            outlinks.groupBy(
                 host_col(F.col('parent_url')).alias('src_host'),
-                host_col(F.col('abs_url')).alias('dst_host'),
+                F.when(
+                    F.col('raw_link').contains('://'),
+                    host_col(F.col('raw_link')),
+                ).otherwise(host_col(F.col('parent_url'))).alias('dst_host'),
             )
             .agg(F.count('*').alias('n_links'))
             .withColumn('wave', F.lit(wave))

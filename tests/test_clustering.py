@@ -81,3 +81,17 @@ def test_clustering_plans_stay_jvm(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert 'Python' not in plan and 'BatchEvalPython' not in plan
+
+
+def test_kmeans_init_uses_k_smallest_ids_not_id_range(spark):
+    # vec_ids start at 100 — `vec_id < k` would seed ZERO centroids and
+    # silently assign cell=-1 everywhere; k-smallest must still work
+    rows = [
+        (100, [0.0, 0.0]), (101, [10.0, 0.0]),
+        (102, [0.1, 0.1]), (103, [10.1, 0.2]),
+    ]
+    out = {r['vec_id']: r['cell'] for r in
+           clustering.kmeans_assign(_emb(spark, rows), k=2, iters=2).collect()}
+    assert set(out.values()) == {100, 101}
+    assert out[100] == out[102] == 100
+    assert out[101] == out[103] == 101

@@ -81,6 +81,8 @@ def test_engine_links_lineage_and_host_ranks(spark, tmp_path):
     links = res.links
     assert links is not None and links.count() > 0
     assert set(links.columns) == {'src_host', 'dst_host', 'n_links', 'wave'}
+    # lineage records self-citations (intra-host links are real data) ...
+    assert links.filter('src_host = dst_host').count() > 0
     ranks = res.host_ranks(iters=2)
     rows = ranks.collect()
     assert rows and all(r['rank_ppb'] > 0 for r in rows)

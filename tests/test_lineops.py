@@ -106,3 +106,14 @@ def test_lineops_plans_stay_jvm(spark, op):
     docs = _docs(spark, [(0, 'a b c d e f g h i j')])
     plan = op(docs)._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan and 'BatchEvalPython' not in plan
+
+
+def test_split_lines_regex_metachar_delimiter_is_literal(spark):
+    docs = _docs(spark, [(0, 'a|b|c')])
+    rows = sorted(lineops.split_lines(docs, delimiter='|').collect(),
+                  key=lambda r: r['line_no'])
+    assert [r['line'] for r in rows] == ['a', 'b', 'c']
+    docs2 = _docs(spark, [(0, 'x.y')])
+    rows2 = sorted(lineops.split_lines(docs2, delimiter='.').collect(),
+                   key=lambda r: r['line_no'])
+    assert [r['line'] for r in rows2] == ['x', 'y']

@@ -99,3 +99,27 @@ def test_config_blocklist_coercion():
     assert _coerce('blocklist_hosts', 'a.com, b.com') == ('a.com', 'b.com')
     assert _coerce('blocklist_hosts', ['a.com']) == ('a.com',)
     assert _coerce('url_rules', 'true') is True
+
+
+def test_question_mark_in_param_value_does_not_reset_count(spark):
+    rows = urlfilter.url_quality_flags(
+        _f(spark, ['http://x.example.com/p?a=1&b=2&c=3&d=4&e=5&next=?y'])
+    ).collect()
+    assert rows[0]['flag_query_heavy'] is True
+
+
+def test_blocklist_matches_despite_case_and_port(spark):
+    bl = spark.createDataFrame([('Tracker.example.com',)], 'host STRING')
+    rows = {r['url']: r for r in urlfilter.url_quality_flags(
+        _f(spark, ['http://TRACKER.example.com/x',
+                   'http://tracker.example.com:8080/x']), bl).collect()}
+    assert all(r['flag_blocked'] for r in rows.values())
+
+
+def test_host_col_passthrough_uses_engine_identity(spark):
+    fr = spark.createDataFrame(
+        [('http://ignored.example.com/x', 'blocked.example.com')],
+        'url STRING, host STRING')
+    bl = spark.createDataFrame([('blocked.example.com',)], 'host STRING')
+    rows = urlfilter.url_quality_flags(fr, bl, host_col='host').collect()
+    assert rows[0]['flag_blocked'] is True
