@@ -1172,6 +1172,50 @@ FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
 """
 
 
+def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = textops.classifier_weights(spark, n_buckets=1024, seed=7)
+    return textops.classifier_scores(_t(spark, sf_dir, 'documents'), w,
+                                     n_buckets=1024)
+
+
+ORACLE_CLASSIFIER = f"""
+WITH w AS (
+  SELECT k AS bucket,
+         ({H60.format(x="'7-' || CAST(k AS VARCHAR)")}) % 2001 - 1000 AS weight
+  FROM (SELECT unnest(range(1024)) AS k)),
+tok AS (
+  SELECT doc_id, ({H60.format(x='t')}) % 1024 AS bucket
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents))
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST((SUM(weight) * 1000) // COUNT(*) AS BIGINT) AS score_ppm,
+       SUM(weight) > 0 AS pred_keep
+FROM tok JOIN w USING (bucket)
+GROUP BY doc_id
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota via histogram decomposition; the flat
+    ROW_NUMBER-per-source oracle is equal by construction (only the
+    straddling score bucket ranks rows)."""
+    return curation.domain_cap(_t(spark, sf_dir, 'documents'),
+                               max_per_source=30)
+
+
+def _domain_cap_oracle() -> str:
+    return f"""
+WITH q AS ({_quality_oracle()}),
+nrm AS (SELECT q.doc_id, d.source, q.score
+        FROM q JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM nrm)
+SELECT doc_id, source, score, rn <= 30 AS keep FROM ranked
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lineops.line_dedup(_t(spark, sf_dir, 'documents'), line_tokens=8, min_docs=2)
 
@@ -1924,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_tfidf_keywords': q_text_tfidf_keywords,
         'line_dedup': q_line_dedup,
         'line_quality_filter': q_line_quality_filter,
+        'classifier_scores': q_classifier_scores,
+        'domain_cap': q_domain_cap,
         'kmeans_assign': q_kmeans_assign,
         'semdedup': q_semdedup,
         'host_rank': q_host_rank,
@@ -1989,6 +2035,8 @@ def oracle_sql() -> dict[str, str]:
         'text_tfidf_keywords': ORACLE_TFIDF,
         'line_dedup': ORACLE_LINE_DEDUP,
         'line_quality_filter': ORACLE_LINE_QUALITY,
+        'classifier_scores': ORACLE_CLASSIFIER,
+        'domain_cap': _domain_cap_oracle(),
         'kmeans_assign': ORACLE_KMEANS,
         'semdedup': ORACLE_SEMDEDUP,
         'host_rank': ORACLE_HOST_RANK,

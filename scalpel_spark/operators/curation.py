@@ -292,3 +292,62 @@ def pack_sequences(docs: DataFrame, seq_tokens: int,
         ((F.col('cum_before') % seq_tokens) + F.col('n_tokens') > seq_tokens)
         .alias('spans_boundary'),
     )
+
+
+def domain_cap(docs: DataFrame, max_per_source: int,
+               digits: int = 4) -> DataFrame:
+    """Per-domain quota — keep at most ``max_per_source`` documents per
+    source, best quality first (the anti-spam rule that stops one domain
+    from dominating a training mixture). Deterministic order: (rounded
+    quality score DESC, doc_id ASC).
+
+    NOT a per-source sort: a spam domain with 10^9 documents would
+    serialize a ``Window.partitionBy(source)`` into one task. Instead the
+    rounded score (10^digits distinct values) acts as a histogram:
+
+    1. one groupBy(source, score_r) builds per-bucket counts — bounded by
+       sources × 10^digits, metadata-scale;
+    2. a window over that SMALL histogram computes how many strictly
+       better docs each bucket has → whole buckets are kept or dropped
+       wholesale;
+    3. only the single straddling bucket per source (the one where the
+       quota runs out) ranks its rows by doc_id — a window over one score
+       bucket, not one domain.
+
+    The flat ROW_NUMBER-per-source oracle is equal by construction, the
+    same decomposition argument as :func:`token_budget_sample`.
+
+    Returns (doc_id, source, score, keep).
+    """
+    scale = 10 ** digits
+    feats = quality_feature_cols(F.col('text'))
+    base = docs.select(
+        'doc_id', 'source',
+        pround(feats['score'], digits).alias('score'),
+    ).withColumn('score_r', F.floor(F.col('score') * scale + 0.5).cast('long'))
+    hist = base.groupBy('source', 'score_r').agg(F.count('*').alias('cnt'))
+    w_h = (
+        Window.partitionBy('source').orderBy(F.col('score_r').desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn(
+        'better', F.coalesce(F.sum('cnt').over(w_h), F.lit(0)))
+    marked = base.join(hist, ['source', 'score_r'])
+    straddling = (F.col('better') < max_per_source) & (
+        F.col('better') + F.col('cnt') > max_per_source)
+    # whole buckets decided without ranking a single row
+    wholesale = marked.filter(~straddling).select(
+        'doc_id', 'source', 'score',
+        (F.col('better') + F.col('cnt') <= max_per_source).alias('keep'))
+    # ONLY the straddling bucket's rows get a window — one score bucket
+    # per source, not one domain. (Degenerate caveat: if a domain's docs
+    # all share one rounded score, that bucket IS the domain; raise
+    # ``digits`` for finer buckets.)
+    w_tie = Window.partitionBy('source', 'score_r').orderBy('doc_id')
+    ranked = marked.filter(straddling).select(
+        'doc_id', 'source', 'score', 'better',
+        F.row_number().over(w_tie).alias('rn'),
+    ).select(
+        'doc_id', 'source', 'score',
+        (F.col('rn') <= max_per_source - F.col('better')).alias('keep'))
+    return wholesale.unionByName(ranked)

@@ -343,3 +343,46 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         norm.alias('norm_text'),
         F.length(norm).cast('long').alias('n_chars_norm'),
     )
+
+
+def classifier_weights(spark, n_buckets: int = 1024, seed: int = 7) -> DataFrame:
+    """Deterministic pseudo-weights for :func:`classifier_scores` — one
+    integer weight per hash bucket in [-1000, 1000], derived from the same
+    md5 hash60 family as everything else so the DuckDB oracle recomputes
+    them. Real deployments replace this with trained weights loaded from a
+    (bucket, weight) table; the scoring plan is identical."""
+    return spark.range(n_buckets).select(
+        F.col('id').alias('bucket'),
+        (F.pmod(hash60(F.concat(F.lit(f'{seed}-'), F.col('id').cast('string'))),
+                F.lit(2001)) - 1000).alias('weight'),
+    )
+
+
+def classifier_scores(docs: DataFrame, weights: DataFrame,
+                      n_buckets: int = 1024) -> DataFrame:
+    """Hashed bag-of-words linear quality classifier — the fasttext-style
+    stage every production curation pipeline runs (CCNet / GPT-3 quality
+    filtering): feature = hash60(token) mod n_buckets, document score =
+    integer mean bucket weight over token occurrences, predict keep when
+    positive.
+
+    Integer end to end (weights are ints, mean uses ``div``) so the
+    ranking is engine-exact. Scale shape: one map-side explode, one
+    BROADCAST join against the n_buckets-row weight table (never a
+    corpus shuffle), one partial-agg groupBy(doc_id). A trained model
+    swaps the weights table; nothing else changes.
+
+    Returns (doc_id, n_tokens, score_ppm, pred_keep).
+    """
+    tok = docs.select(
+        'doc_id', F.explode(tokens(F.col('text'))).alias('tok')
+    ).select(
+        'doc_id',
+        F.pmod(hash60(F.col('tok')), F.lit(n_buckets)).alias('bucket'),
+    )
+    scored = tok.join(F.broadcast(weights), 'bucket')
+    return scored.groupBy('doc_id').agg(
+        F.count('*').alias('n_tokens'),
+        F.expr('(sum(weight) * 1000) div count(*)').alias('score_ppm'),
+        (F.sum('weight') > 0).alias('pred_keep'),
+    )

@@ -316,3 +316,45 @@ def test_tfidf_keywords(spark):
     assert top[1] == ['cherry', 'common']
     # doc 2: here/plain/words all 3e6, tie -> token asc; common 1e6
     assert top[2] == ['here', 'plain']
+
+
+def test_classifier_scores_mean_weight_and_sign(spark):
+    from scalpel_spark.operators import textops as t
+
+    docs = spark.createDataFrame(
+        [(0, 'aa bb aa', 'en', 's', 1)], DOC_SCHEMA)
+    # tiny injectable model: every bucket weight +5 except bucket of 'bb'
+    w = t.classifier_weights(spark, n_buckets=8, seed=3)
+    out = t.classifier_scores(docs, w, n_buckets=8).collect()[0]
+    assert out['n_tokens'] == 3
+    # recompute expected from the same deterministic weights
+    import hashlib
+
+    def h60(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    weights = {b: h60(f'3-{b}') % 2001 - 1000 for b in range(8)}
+    toks = ['aa', 'bb', 'aa']
+    total = sum(weights[h60(tok) % 8] for tok in toks)
+    assert out['score_ppm'] == (total * 1000) // 3
+    assert out['pred_keep'] == (total > 0)
+
+
+def test_classifier_scores_trained_weights_injectable(spark):
+    from scalpel_spark.operators import textops as t
+
+    docs = spark.createDataFrame(
+        [(0, 'good good', 'en', 's', 1), (1, 'bad bad', 'en', 's', 1)],
+        DOC_SCHEMA)
+    import hashlib
+
+    def bucket(tok, n=16):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+    w = spark.createDataFrame(
+        [(bucket('good'), 10), (bucket('bad'), -10)]
+        + [(b, 0) for b in range(16) if b not in (bucket('good'), bucket('bad'))],
+        'bucket LONG, weight LONG')
+    out = {r['doc_id']: r['pred_keep'] for r in
+           t.classifier_scores(docs, w, n_buckets=16).collect()}
+    assert out == {0: True, 1: False}

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from scalpel_spark.operators import curation, textops
 
+DOC_SCHEMA_SRC = 'doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG'
+
 
 def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -196,3 +198,54 @@ def test_pack_sequences_bucket_count_invariance(spark):
 def test_pack_sequences_rejects_bad_bucket_count(spark):
     with pytest.raises(ValueError, match='power of two'):
         curation.pack_sequences(_sample_corpus(spark), 64, n_buckets=12)
+
+
+def test_domain_cap_keeps_top_k_per_source(spark):
+    # quality score rises with length/diversity: make doc 3 clearly worst
+    rows = [
+        (0, 'the quick brown fox jumps of a tree', 'en', 'src_a', 1),
+        (1, 'a different and rather unique sentence of words', 'en', 'src_a', 1),
+        (2, 'yet another perfectly normal document of text', 'en', 'src_a', 1),
+        (3, 'spam spam spam spam', 'en', 'src_a', 1),
+        (4, 'only doc of source b stays whatever happens', 'en', 'src_b', 1),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA_SRC)
+    out = {r['doc_id']: r['keep'] for r in
+           curation.domain_cap(docs, max_per_source=3).collect()}
+    assert len(out) == 5
+    assert sum(out[i] for i in (0, 1, 2, 3)) == 3  # exactly K kept in src_a
+    assert out[3] is False                          # the worst one dropped
+    assert out[4] is True
+
+
+def test_domain_cap_tie_break_by_doc_id(spark):
+    # identical text -> identical score: quota fills by ascending doc_id
+    rows = [(i, 'same text here really', 'en', 's', 1) for i in range(5)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA_SRC)
+    out = {r['doc_id']: r['keep'] for r in
+           curation.domain_cap(docs, max_per_source=2).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: False}
+
+
+def test_domain_cap_matches_flat_window(spark):
+    # decomposed verdicts == flat ROW_NUMBER per source on a mixed corpus
+    import random
+
+    rng = random.Random(5)
+    words = ['alpha', 'beta', 'gamma', 'delta', 'the', 'a', 'of']
+    rows = [(i, ' '.join(rng.choices(words, k=rng.randint(3, 12))),
+             'en', f'src_{i % 3}', 1) for i in range(60)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA_SRC)
+    got = {(r['doc_id']): r['keep'] for r in
+           curation.domain_cap(docs, max_per_source=7).collect()}
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.functions.texthash import pround
+    from scalpel_spark.operators.textops import quality_feature_cols
+    feats = quality_feature_cols(F.col('text'))
+    flat = docs.select('doc_id', 'source', pround(feats['score'], 4).alias('s'))
+    w = Window.partitionBy('source').orderBy(F.col('s').desc(), F.col('doc_id'))
+    exp = {r['doc_id']: r['rn'] <= 7 for r in
+           flat.withColumn('rn', F.row_number().over(w)).collect()}
+    assert got == exp
