@@ -249,3 +249,42 @@ def test_stateful_politeness_empty_carryover_roundtrip(spark, tmp_path):
     rows = out.collect()
     assert all(r['admitted'] for r in rows) and len(rows) == 3
     assert sorted({r['dispatched_total'] for r in rows}) == [2, 3]
+
+
+def test_curate_stream_gates_then_dedups(spark, tmp_path):
+    """Streaming curation twin: low-quality docs never reach the state
+    store; exact normalized-text dups are dropped across micro-batches."""
+    import time as _time
+
+    from scalpel_spark.streaming.curation_stream import (
+        DOC_EVENT_SCHEMA,
+        curate_stream,
+    )
+
+    base = pd.Timestamp('2024-01-01 00:00:00')
+    d = str(tmp_path / 'docs')
+    good = 'the quick brown fox jumps over a lazy dog of words and more text here'
+    other = 'a completely different document with its own unique set of tokens inside'
+    batch1 = [
+        (0, good, base.to_pydatetime()),
+        (1, 'spam spam spam spam',
+         (base + pd.Timedelta(seconds=1)).to_pydatetime()),  # low quality
+    ]
+    spark.createDataFrame(batch1, DOC_EVENT_SCHEMA).coalesce(1) \
+        .write.mode('append').parquet(d)
+    _time.sleep(1.1)
+    batch2 = [
+        (2, good.upper() + '!',
+         (base + pd.Timedelta(seconds=10)).to_pydatetime()),  # normalized dup of 0
+        (3, other, (base + pd.Timedelta(seconds=11)).to_pydatetime()),
+    ]
+    spark.createDataFrame(batch2, DOC_EVENT_SCHEMA).coalesce(1) \
+        .write.mode('append').parquet(d)
+
+    stream = (spark.readStream.schema(DOC_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    name = 'curate_' + uuid.uuid4().hex[:8]
+    out = _run_stream(spark, curate_stream(stream, quality_threshold=0.45), name)
+    rows = {r['doc_id']: r for r in out.collect()}
+    assert set(rows) == {0, 3}           # 1 gated, 2 deduped vs 0
+    assert rows[0]['fingerprint'] is not None
