@@ -35,6 +35,13 @@ def main() -> None:
                     help='after the crawl, compact state and expire superseded '
                          'snapshot history down to the last RETAIN_LAST entries '
                          '(Iceberg rewrite_data_files + expire_snapshots)')
+    ap.add_argument('--url-rules', action='store_true',
+                    help='enable C4-style URL quality rules ahead of the frontier')
+    ap.add_argument('--blocklist-hosts', default='',
+                    help='comma-separated hosts to refuse (implies --url-rules)')
+    ap.add_argument('--host-ranks', type=int, default=None, metavar='TOP_N',
+                    help='after the crawl, print the TOP_N hosts by link-graph '
+                         'PageRank from the persisted lineage')
     args = ap.parse_args()
 
     # spark-submit provides the session; build via getOrCreate so the
@@ -55,11 +62,14 @@ def main() -> None:
         links_per_page=args.links_per_page,
     )
     robots = synthetic_robots(spark, n_hosts=args.n_hosts)
+    blocklist = tuple(h.strip() for h in args.blocklist_hosts.split(',') if h.strip())
     cfg = CrawlConfig(
         follow_robots_txt=True,
         max_dispatch_per_host_per_wave=args.budget,
         hot_host_threshold=max(args.budget // 2, 16),
         max_waves=args.max_waves,
+        url_rules=args.url_rules or bool(blocklist),
+        blocklist_hosts=blocklist,
     )
     store = SnapshotStore(args.checkpoint_dir or tempfile.mkdtemp(prefix='crawl-submit-'))
     # seeds must exist in the synthetic web; one per host so politeness and
@@ -103,6 +113,12 @@ def main() -> None:
         **({'snapshots_expired': n_expired,
             'snapshots_retained': len(store.snapshots())}
            if n_expired is not None else {}),
+        **({'host_ranks': [
+                {'host': r['host'], 'rank_ppb': int(r['rank_ppb'])}
+                for r in result.host_ranks()
+                .orderBy(F.col('rank_ppb').desc(), 'host')
+                .limit(args.host_ranks).collect()]}
+           if args.host_ranks else {}),
     }))
     spark.stop()
 
