@@ -1123,6 +1123,77 @@ SELECT host, rank_ppb FROM r3
 """
 
 
+def q_plan_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder budget allocation composed over the host_rank
+    query's deterministic graph: 100k fetch slots divided proportionally
+    to rank, allocations integer and summing exactly to the budget."""
+    from scalpel_spark.operators import scheduling
+
+    return scheduling.plan_host_budgets(q_host_rank(spark, sf_dir), 100_000)
+
+
+ORACLE_PLAN_BUDGETS = f"""
+WITH {_host_rank_cte(3)},
+ranks AS (SELECT host, rank_ppb FROM r3),
+tot AS (SELECT SUM(rank_ppb) AS t FROM ranks),
+based AS (SELECT host, rank_ppb,
+                 (100000 * rank_ppb) // t AS base,
+                 (100000 * rank_ppb) % t AS rem
+          FROM ranks CROSS JOIN tot),
+lo AS (SELECT 100000 - SUM(base) AS leftover FROM based),
+rn AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, host ASC) AS rn FROM based)
+SELECT host, rank_ppb,
+       CAST(base + CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+            AS BIGINT) AS budget
+FROM rn
+"""
+
+
+def q_recrawl_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age × authority recrawl picks over a deterministic synthetic seen
+    table (both engines build identical rows, so score and order are
+    recomputed independently)."""
+    from scalpel_spark.operators import scheduling
+
+    d = F.col('doc_id')
+    host = F.concat(F.lit('h'), (d % 37).cast('string'), F.lit('.example.com'))
+    seen = _t(spark, sf_dir, 'documents').select(
+        F.concat(F.lit('http://'), host, F.lit('/page'), d.cast('string')).alias('url'),
+        host.alias('host'),
+        F.when(d % 7 == 0, F.lit('unreachable')).otherwise(F.lit('reachable')).alias('status'),
+        (d % 6).cast('long').alias('wave'),
+    )
+    ranks = spark.range(37).select(
+        F.concat(F.lit('h'), F.col('id').cast('string'), F.lit('.example.com')).alias('host'),
+        F.pmod(hash60(F.concat(F.lit('rank-'), F.col('id').cast('string'))),
+               F.lit(1_000_000)).alias('rank_ppb'),
+    )
+    return scheduling.select_recrawl(seen, ranks, current_wave=6,
+                                     min_age=1, limit=50)
+
+
+ORACLE_RECRAWL = f"""
+WITH seen AS (
+  SELECT 'http://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/page'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+         CASE WHEN doc_id % 7 = 0 THEN 'unreachable' ELSE 'reachable' END AS status,
+         doc_id % 6 AS wave
+  FROM documents),
+ranks AS (
+  SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         ({H60.format(x="'rank-' || CAST(k AS VARCHAR)")}) % 1000000 AS rank_ppb
+  FROM (SELECT unnest(range(37)) AS k)),
+aged AS (
+  SELECT s.url, s.host, 6 - s.wave AS age,
+         CAST((6 - s.wave) * COALESCE(r.rank_ppb, 0) AS BIGINT) AS score
+  FROM seen s LEFT JOIN ranks r USING (host)
+  WHERE s.status = 'reachable' AND 6 - s.wave >= 1)
+SELECT url, host, age, score FROM aged
+ORDER BY score DESC, url ASC LIMIT 50
+"""
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_assign(_t(spark, sf_dir, 'embeddings'), k=4, iters=2)
 
@@ -1975,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_rank': q_host_rank,
         'crawl_host_rank': q_crawl_host_rank,
         'url_quality_filter': q_url_quality_filter,
+        'plan_host_budgets': q_plan_host_budgets,
+        'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
@@ -2042,6 +2115,8 @@ def oracle_sql() -> dict[str, str]:
         'host_rank': ORACLE_HOST_RANK,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
         'url_quality_filter': ORACLE_URL_QUALITY,
+        'plan_host_budgets': ORACLE_PLAN_BUDGETS,
+        'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,

@@ -1,0 +1,78 @@
+"""Crawl capacity planning: turn authority signals into next-crawl
+budgets and recrawl picks.
+
+Two deterministic, integer-exact operators close the loop that
+``graphrank.host_rank`` opens:
+
+* :func:`plan_host_budgets` — divide a global fetch budget across hosts
+  proportionally to rank with the largest-remainder method, so the
+  allocations are integers that sum EXACTLY to the budget (no float
+  shares, no lost slots) and are reproducible on any engine/partitioning.
+* :func:`select_recrawl` — pick the URLs worth re-fetching: staleness
+  (waves since fetch) weighted by host authority, top-N overall. The
+  output feeds ``CrawlEngine.forget()`` which clears them from the seen
+  set for the next run.
+
+Scale shape: both operate on host- or URL-metadata-sized frames (never
+document payloads). The budget planner is host-cardinality (one tiny
+window over hosts); the recrawl selector's global top-N is a TakeOrdered
+(per-partition top-N then merge — no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def plan_host_budgets(ranks: DataFrame, total_budget: int) -> DataFrame:
+    """Largest-remainder proportional allocation of ``total_budget`` fetch
+    slots over (host, rank_ppb) rows: base = floor(budget × rank / Σrank),
+    then the leftover slots (budget − Σbase) go one each to the largest
+    remainders (ties → host ASC). Integer arithmetic throughout; the
+    allocations always sum to exactly ``total_budget``.
+
+    Returns (host, rank_ppb, budget).
+    """
+    tot = ranks.agg(F.sum('rank_ppb').alias('tot'))
+    based = ranks.crossJoin(F.broadcast(tot)).select(
+        'host', 'rank_ppb',
+        F.expr(f'({total_budget} * rank_ppb) div tot').alias('base'),
+        F.expr(f'({total_budget} * rank_ppb) % tot').alias('rem'),
+    )
+    leftover = based.agg(
+        (F.lit(total_budget) - F.sum('base')).alias('leftover'))
+    w = Window.orderBy(F.col('rem').desc(), F.col('host').asc())
+    return (
+        based.withColumn('rn', F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            'host', 'rank_ppb',
+            (F.col('base') + F.when(F.col('rn') <= F.col('leftover'), 1)
+             .otherwise(0)).cast('long').alias('budget'),
+        )
+    )
+
+
+def select_recrawl(seen: DataFrame, ranks: DataFrame, current_wave: int,
+                   min_age: int = 1, limit: int = 1000) -> DataFrame:
+    """The top-``limit`` URLs to re-fetch next run: reachable URLs at
+    least ``min_age`` waves old, scored age × host rank (stale pages on
+    authoritative hosts first), deterministic ties (score DESC, url ASC).
+
+    ``seen`` needs (url, host, status, wave); ``ranks`` is host_rank
+    output. Hosts absent from the rank table score rank 0 — still
+    eligible, recrawled last. Returns (url, host, age, score).
+    """
+    aged = (
+        seen.filter(F.col('status') == 'reachable')
+        .withColumn('age', F.lit(current_wave) - F.col('wave'))
+        .filter(F.col('age') >= min_age)
+        .join(ranks, 'host', 'left')
+        .select(
+            'url', 'host', 'age',
+            (F.col('age') * F.coalesce('rank_ppb', F.lit(0)))
+            .cast('long').alias('score'),
+        )
+    )
+    return aged.orderBy(F.col('score').desc(), F.col('url').asc()).limit(limit)

@@ -1,0 +1,67 @@
+"""Budget planning (largest remainder) and recrawl selection."""
+
+from __future__ import annotations
+
+from scalpel_spark.operators import scheduling
+
+RANK_SCHEMA = 'host STRING, rank_ppb LONG'
+
+
+def test_plan_host_budgets_sums_exactly_and_ranks_win(spark):
+    ranks = spark.createDataFrame(
+        [('a', 500), ('b', 300), ('c', 200)], RANK_SCHEMA)
+    out = {r['host']: r['budget'] for r in
+           scheduling.plan_host_budgets(ranks, 10).collect()}
+    assert sum(out.values()) == 10
+    assert out == {'a': 5, 'b': 3, 'c': 2}
+
+
+def test_plan_host_budgets_largest_remainder_tiebreak(spark):
+    # budget 10 over equal thirds: base 3 each, 1 leftover -> equal
+    # remainders, tie broken by host ASC
+    ranks = spark.createDataFrame(
+        [('x', 100), ('y', 100), ('z', 100)], RANK_SCHEMA)
+    out = {r['host']: r['budget'] for r in
+           scheduling.plan_host_budgets(ranks, 10).collect()}
+    assert sum(out.values()) == 10
+    assert out == {'x': 4, 'y': 3, 'z': 3}
+
+
+def test_plan_host_budgets_zero_rank_host_gets_zero_before_leftovers(spark):
+    ranks = spark.createDataFrame([('a', 1000), ('b', 0)], RANK_SCHEMA)
+    out = {r['host']: r['budget'] for r in
+           scheduling.plan_host_budgets(ranks, 7).collect()}
+    assert out == {'a': 7, 'b': 0}
+
+
+def test_select_recrawl_age_times_rank_order(spark):
+    seen = spark.createDataFrame(
+        [('http://a/1', 'a', 'reachable', 0),
+         ('http://a/2', 'a', 'reachable', 2),
+         ('http://b/1', 'b', 'reachable', 0),
+         ('http://a/3', 'a', 'unreachable', 0),   # wrong status
+         ('http://a/4', 'a', 'reachable', 3)],    # too young
+        'url STRING, host STRING, status STRING, wave LONG')
+    ranks = spark.createDataFrame([('a', 100), ('b', 900)], RANK_SCHEMA)
+    out = scheduling.select_recrawl(seen, ranks, current_wave=3,
+                                    min_age=1, limit=10).collect()
+    urls = [r['url'] for r in out]
+    # b/1: age 3 * 900 = 2700; a/1: 3*100=300; a/2: 1*100=100
+    assert urls == ['http://b/1', 'http://a/1', 'http://a/2']
+    assert [r['score'] for r in out] == [2700, 300, 100]
+
+
+def test_select_recrawl_unranked_host_scores_zero(spark):
+    seen = spark.createDataFrame(
+        [('http://new/1', 'new', 'reachable', 0)],
+        'url STRING, host STRING, status STRING, wave LONG')
+    ranks = spark.createDataFrame([], RANK_SCHEMA)
+    out = scheduling.select_recrawl(seen, ranks, current_wave=2).collect()
+    assert [(r['url'], r['score']) for r in out] == [('http://new/1', 0)]
+
+
+def test_scheduling_plans_stay_jvm(spark):
+    ranks = spark.createDataFrame([('a', 1)], RANK_SCHEMA)
+    plan = scheduling.plan_host_budgets(ranks, 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert 'Python' not in plan
