@@ -95,3 +95,10 @@ def test_kmeans_init_uses_k_smallest_ids_not_id_range(spark):
     assert set(out.values()) == {100, 101}
     assert out[100] == out[102] == 100
     assert out[101] == out[103] == 101
+
+
+def test_kmeans_k_exceeding_corpus_gives_singleton_cells(spark):
+    rows = [(0, [0.0]), (1, [5.0])]
+    out = {r['vec_id']: r['cell'] for r in
+           clustering.kmeans_assign(_emb(spark, rows), k=5, iters=1).collect()}
+    assert out == {0: 0, 1: 1}

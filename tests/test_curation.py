@@ -249,3 +249,21 @@ def test_domain_cap_matches_flat_window(spark):
     exp = {r['doc_id']: r['rn'] <= 7 for r in
            flat.withColumn('rn', F.row_number().over(w)).collect()}
     assert got == exp
+
+
+def test_pack_sequences_exact_fill_is_not_boundary(spark):
+    # doc 2's 4 tokens end exactly at the capacity: offset+nt == seq_tokens
+    # must NOT flag spans_boundary
+    docs = spark.createDataFrame(
+        [(0, 'a b c d', 'en', 's', 1), (1, 'e f g h', 'en', 's', 1)],
+        DOC_SCHEMA_SRC)
+    out = curation.pack_sequences(docs, seq_tokens=4, n_buckets=1).collect()
+    assert all(not r['spans_boundary'] for r in out)
+    assert sorted(r['offset'] for r in out) == [0, 0]
+
+
+def test_domain_cap_zero_quota_drops_all(spark):
+    docs = spark.createDataFrame(
+        [(0, 'some words here', 'en', 's', 1)], DOC_SCHEMA_SRC)
+    out = curation.domain_cap(docs, max_per_source=0).collect()
+    assert [r['keep'] for r in out] == [False]

@@ -117,3 +117,9 @@ def test_split_lines_regex_metachar_delimiter_is_literal(spark):
     rows2 = sorted(lineops.split_lines(docs2, delimiter='.').collect(),
                    key=lambda r: r['line_no'])
     assert [r['line'] for r in rows2] == ['x', 'y']
+
+
+def test_line_dedup_min_docs_one_strikes_everything(spark):
+    docs = _docs(spark, [(0, 'solo text line')])
+    out = lineops.line_dedup(docs, line_tokens=8, min_docs=1).collect()
+    assert out[0]['clean_text'] == '' and out[0]['n_lines_removed'] == 1

@@ -65,3 +65,13 @@ def test_scheduling_plans_stay_jvm(spark):
     plan = scheduling.plan_host_budgets(ranks, 5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert 'Python' not in plan
+
+
+def test_plan_host_budgets_budget_smaller_than_host_count(spark):
+    ranks = spark.createDataFrame(
+        [('a', 100), ('b', 100), ('c', 100), ('d', 100)], RANK_SCHEMA)
+    out = {r['host']: r['budget'] for r in
+           scheduling.plan_host_budgets(ranks, 2).collect()}
+    assert sum(out.values()) == 2
+    # equal remainders -> host ASC gets the slots
+    assert out == {'a': 1, 'b': 1, 'c': 0, 'd': 0}
