@@ -32,6 +32,7 @@ from scalpel_spark.operators import (
     lineops,
     sessions,
     similarity,
+    substr,
     textops,
 )
 
@@ -1341,6 +1342,62 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def q_substr_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr pass (Lee et al. 2022): corpus-duplicated >=8-token
+    runs detected by window hashing, merged to maximal islands, struck."""
+    return substr.strike_dup_substrings(
+        _t(spark, sf_dir, 'documents'), window_tokens=8, min_count=2)
+
+
+_SUBSTR_W = 8
+# the DuckDB twin of texthash.word_shingles(toks, 8): same output strings
+_SUBSTR_WIN_SQL = (
+    "CASE WHEN len(l) >= 8 THEN list_transform(range(1, len(l) - 6), i -> "
+    + " || ' ' || ".join(f'l[i+{k}]' if k else 'l[i]' for k in range(8))
+    + ") ELSE CAST([] AS VARCHAR[]) END"
+)
+
+ORACLE_SUBSTR_STRIKE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wins AS (
+  SELECT doc_id, pos - 1 AS pos, {H60.format(x='win')} AS h
+  FROM (SELECT doc_id, unnest(w) AS win, generate_subscripts(w, 1) AS pos
+        FROM (SELECT doc_id, {_SUBSTR_WIN_SQL} AS w FROM t))),
+duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+occ AS (SELECT doc_id, pos, pos + {_SUBSTR_W} AS e FROM wins JOIN duph USING (h)),
+flg AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos >= COALESCE(MAX(e) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         THEN 1 ELSE 0 END AS f
+  FROM occ),
+isl AS (SELECT doc_id, pos, e,
+               SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS iid
+        FROM flg),
+runs AS (SELECT doc_id, iid, MIN(pos) AS s, MAX(e) AS e
+         FROM isl GROUP BY doc_id, iid),
+cov AS (SELECT doc_id, SUM(e - s) AS dup_tokens FROM runs GROUP BY doc_id),
+toks AS (SELECT doc_id, unnest(l) AS tok,
+                generate_subscripts(l, 1) - 1 AS pos FROM t),
+kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM toks tk
+         WHERE NOT EXISTS (SELECT 1 FROM runs r
+                           WHERE r.doc_id = tk.doc_id
+                             AND tk.pos >= r.s AND tk.pos < r.e)),
+clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.l) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST((COALESCE(c.dup_tokens, 0) * 1000000) // len(t.l) AS BIGINT)
+         AS dup_ppm,
+       COALESCE(cl.clean_text, '') AS clean_text
+FROM t LEFT JOIN cov c USING (doc_id)
+       LEFT JOIN clean cl ON cl.doc_id = t.doc_id
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.repetition_scores(_t(spark, sf_dir, 'documents'), n=3)
 
@@ -2038,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_corpus_freq': q_text_corpus_freq,
         'text_tfidf_keywords': q_text_tfidf_keywords,
         'line_dedup': q_line_dedup,
+        'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
         'classifier_scores': q_classifier_scores,
         'domain_cap': q_domain_cap,
@@ -2107,6 +2165,7 @@ def oracle_sql() -> dict[str, str]:
         'text_corpus_freq': ORACLE_CORPUS_FREQ,
         'text_tfidf_keywords': ORACLE_TFIDF,
         'line_dedup': ORACLE_LINE_DEDUP,
+        'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,
         'classifier_scores': ORACLE_CLASSIFIER,
         'domain_cap': _domain_cap_oracle(),
