@@ -1680,6 +1680,69 @@ FROM flags
 """
 
 
+def q_url_trap_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap URL-shape signals over a deterministic synthetic
+    frontier (repeated segments, digit mills, deep paths, faceted
+    params) — both engines build byte-identical URLs and recompute every
+    signal independently."""
+    from scalpel_spark.operators import urlfilter
+
+    d = F.col('doc_id')
+    url = F.concat(
+        F.lit('http://h'), (d % 23).cast('string'), F.lit('.example.com/'),
+        F.repeat(F.lit('cal/2024/'), (d % 6).cast('int')),
+        F.lit('id'), d.cast('string'),
+        F.when(d % 9 == 0, F.lit('/9876543210')).otherwise(F.lit('')),
+        F.when(d % 4 == 0, F.lit('?p=1&q=2&r=3&s=4&t=5')).otherwise(F.lit('')),
+    )
+    frontier = _t(spark, sf_dir, 'documents').select('doc_id', url.alias('url'))
+    return urlfilter.trap_scores(frontier).select(
+        'doc_id', 'seg_repeat', 'depth', 'digit_ppm', 'n_params', 'flag_trap')
+
+
+ORACLE_URL_TRAPS = """
+WITH fr AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example.com/'
+         || repeat('cal/2024/', CAST(doc_id % 6 AS INT))
+         || 'id' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 9 = 0 THEN '/9876543210' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?p=1&q=2&r=3&s=4&t=5' ELSE '' END)
+           AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         split_part(CASE WHEN strpos(split_part(url, '://', 2), '/') > 0
+                         THEN substr(split_part(url, '://', 2),
+                                     strpos(split_part(url, '://', 2), '/'))
+                         ELSE '' END, '?', 1) AS path
+  FROM fr),
+segs AS (
+  SELECT doc_id, url, path,
+         list_filter(string_split(path, '/'), s -> s != '') AS sl
+  FROM parts),
+sig AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_max(list_transform(sl,
+              s -> len(list_filter(sl, x -> x = s)))), 0) AS BIGINT)
+           AS seg_repeat,
+         CAST(len(sl) AS BIGINT) AS depth,
+         CAST(CASE WHEN len(path) > 0 THEN floor(
+              (len(path) - len(regexp_replace(path, '[0-9]', '', 'g')))
+              * 1000000.0 / len(path)) ELSE 0 END AS BIGINT) AS digit_ppm,
+         CAST(CASE WHEN strpos(url, '?') > 0
+              THEN len(substr(url, strpos(url, '?') + 1))
+                   - len(replace(substr(url, strpos(url, '?') + 1), '&', ''))
+                   + 1
+              ELSE 0 END AS BIGINT) AS n_params
+  FROM segs)
+SELECT doc_id, seg_repeat, depth, digit_ppm, n_params,
+       (seg_repeat > 2 OR depth > 8 OR digit_ppm > 400000 OR n_params > 4)
+         AS flag_trap
+FROM sig
+"""
+
+
 def q_crawl_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-authority PageRank over the link lineage a real crawl
     persisted (links_delta, host-aggregated per wave): run a deterministic
@@ -2104,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_rank': q_host_rank,
         'crawl_host_rank': q_crawl_host_rank,
         'url_quality_filter': q_url_quality_filter,
+        'url_trap_scores': q_url_trap_scores,
         'plan_host_budgets': q_plan_host_budgets,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -2174,6 +2238,7 @@ def oracle_sql() -> dict[str, str]:
         'host_rank': ORACLE_HOST_RANK,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
         'url_quality_filter': ORACLE_URL_QUALITY,
+        'url_trap_scores': ORACLE_URL_TRAPS,
         'plan_host_budgets': ORACLE_PLAN_BUDGETS,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,

@@ -105,6 +105,78 @@ def url_quality_flags(
     )
 
 
+def _path(url: Column) -> Column:
+    """URL path incl. leading '/', query stripped; '' when there is no
+    path. Pure string algebra (strpos/substr) so the DuckDB twin is
+    byte-identical."""
+    rest = F.split_part(url, F.lit('://'), F.lit(2))
+    full = F.when(F.instr(rest, '/') > 0,
+                  F.substring(rest, F.instr(rest, '/'), F.length(rest))
+                  ).otherwise(F.lit(''))
+    return F.split_part(full, F.lit('?'), F.lit(1))
+
+
+def trap_scores(
+    frontier: DataFrame,
+    url_col: str = 'url',
+    max_repeat: int = 2,
+    max_depth: int = 8,
+    max_digit_ppm: int = 400_000,
+    max_params: int = 4,
+) -> DataFrame:
+    """Crawler-trap heuristics — the URL-shape signals that catch infinite
+    URL spaces (calendars, faceted navigation, session-id mills, symlink
+    loops) BEFORE they eat the host's fetch budget. A trap host serves
+    unbounded *distinct* URLs, so the seen-set never saves you; the only
+    scalable defence is refusing trap-shaped URLs at the frontier.
+
+    Signals (per URL, all map-side array/string algebra — no shuffle, no
+    parse_url, every value reproducible in the DuckDB oracle):
+
+    * ``seg_repeat``  — max multiplicity of any path segment
+      (``/a/b/a/b/a`` → 3): the symlink-loop / recursive-calendar shape.
+      O(segments²) lambda work; paths have ≤ ~20 segments.
+    * ``depth``       — number of path segments.
+    * ``digit_ppm``   — digit share of the path in parts-per-million
+      (session ids, timestamps, pagination mills).
+    * ``n_params``    — query-parameter count (faceted navigation).
+
+    ``flag_trap`` is the disjunction of the thresholds. Input columns
+    pass through. Composes with :func:`url_quality_flags` — that one
+    scores junk *content*, this one scores unbounded *URL spaces*.
+    """
+    url = F.col(url_col)
+    path = _path(url)
+    out = frontier.withColumn('_uf_segs', F.filter(
+        F.split(path, '/'), lambda s: s != F.lit('')))
+    segs = F.col('_uf_segs')
+    seg_repeat = F.coalesce(
+        F.array_max(F.transform(
+            segs, lambda s: F.size(F.filter(segs, lambda x: x == s)))),
+        F.lit(0)).cast('long')
+    n_digits = F.length(path) - F.length(
+        F.regexp_replace(path, '[0-9]', ''))
+    # floor() explicitly: Spark's double->long cast truncates while
+    # DuckDB's rounds — floor first is identical in both engines
+    digit_ppm = F.when(
+        F.length(path) > 0,
+        F.floor((n_digits.cast('long') * 1_000_000) / F.length(path))
+    ).otherwise(F.lit(0)).cast('long')
+    out = (
+        out.withColumn('seg_repeat', seg_repeat)
+        .withColumn('depth', F.size(segs).cast('long'))
+        .withColumn('digit_ppm', digit_ppm)
+        .withColumn('n_params', _n_params(url))
+        .drop('_uf_segs')
+    )
+    return out.withColumn(
+        'flag_trap',
+        (F.col('seg_repeat') > max_repeat) | (F.col('depth') > max_depth)
+        | (F.col('digit_ppm') > max_digit_ppm)
+        | (F.col('n_params') > max_params),
+    )
+
+
 def filter_frontier(frontier: DataFrame, blocklist: DataFrame | None = None,
                     url_col: str = 'url', **rule_kwargs) -> DataFrame:
     """The frontier rows that survive every URL rule, original columns

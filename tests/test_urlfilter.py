@@ -123,3 +123,62 @@ def test_host_col_passthrough_uses_engine_identity(spark):
     bl = spark.createDataFrame([('blocked.example.com',)], 'host STRING')
     rows = urlfilter.url_quality_flags(fr, bl, host_col='host').collect()
     assert rows[0]['flag_blocked'] is True
+
+
+# --------------------------------------------------------------------------
+# trap_scores: crawler-trap URL-shape signals
+# --------------------------------------------------------------------------
+
+
+def _traps(spark, urls, **kw):
+    return {r['url']: r.asDict()
+            for r in urlfilter.trap_scores(_f(spark, urls), **kw).collect()}
+
+
+def test_trap_repeated_segments(spark):
+    out = _traps(spark, ['http://x.example.com/a/b/a/b/a',
+                         'http://x.example.com/a/b/c'])
+    loop = out['http://x.example.com/a/b/a/b/a']
+    assert loop['seg_repeat'] == 3 and loop['flag_trap'] is True
+    clean = out['http://x.example.com/a/b/c']
+    assert clean['seg_repeat'] == 1 and clean['flag_trap'] is False
+
+
+def test_trap_digit_mill_path(spark):
+    out = _traps(spark, ['http://x.example.com/sess/1234567890123456'])
+    r = next(iter(out.values()))
+    assert r['digit_ppm'] > 400_000 and r['flag_trap'] is True
+
+
+def test_trap_depth_and_params(spark):
+    deep = 'http://x.example.com/' + '/'.join(f's{i}' for i in range(9))
+    faceted = 'http://x.example.com/p?a=1&b=2&c=3&d=4&e=5'
+    out = _traps(spark, [deep, faceted])
+    assert out[deep]['depth'] == 9 and out[deep]['flag_trap'] is True
+    assert out[faceted]['n_params'] == 5 and out[faceted]['flag_trap'] is True
+
+
+def test_trap_no_path_is_clean(spark):
+    out = _traps(spark, ['http://x.example.com'])
+    r = next(iter(out.values()))
+    assert r == {'url': 'http://x.example.com', 'seg_repeat': 0, 'depth': 0,
+                 'digit_ppm': 0, 'n_params': 0, 'flag_trap': False}
+
+
+def test_trap_query_digits_do_not_count(spark):
+    # digits live only in the query string -> path digit share is 0
+    out = _traps(spark, ['http://x.example.com/page?id=99999999999999'])
+    assert next(iter(out.values()))['digit_ppm'] == 0
+
+
+def test_trap_thresholds_are_tunable(spark):
+    url = 'http://x.example.com/a/b/a'
+    assert _traps(spark, [url])[url]['flag_trap'] is False
+    assert _traps(spark, [url], max_repeat=1)[url]['flag_trap'] is True
+
+
+def test_trap_plan_stays_jvm(spark):
+    plan = urlfilter.trap_scores(
+        _f(spark, ['http://x.example.com/a'])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
