@@ -1150,6 +1150,54 @@ FROM rn
 """
 
 
+def q_adaptive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-rate budget backoff over a deterministic synthetic fetch log
+    derived from orders (both engines rebuild the same (host, status)
+    rows): 429s demand back-off at full weight, 5xx at half, floor at
+    the minimum budget."""
+    from scalpel_spark.operators import scheduling
+
+    orders = _t(spark, sf_dir, 'orders')
+    k = F.col('o_orderkey')
+    fetches = orders.select(
+        F.concat(F.lit('h'), F.pmod(F.col('o_custkey'), F.lit(20))
+                 .cast('string')).alias('host'),
+        F.when(k % 17 == 0, 429)
+        .when(k % 13 == 0, 503)
+        .when(k % 11 == 0, 500)
+        .otherwise(200).cast('int').alias('http_status'),
+    )
+    return scheduling.adaptive_backoff(fetches, base_budget=100)
+
+
+ORACLE_ADAPTIVE_BACKOFF = """
+WITH fetches AS (
+  SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         CASE WHEN o_orderkey % 17 = 0 THEN 429
+              WHEN o_orderkey % 13 = 0 THEN 503
+              WHEN o_orderkey % 11 = 0 THEN 500
+              ELSE 200 END AS http_status
+  FROM orders),
+agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN http_status = 429 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_throttled,
+         CAST(SUM(CASE WHEN http_status BETWEEN 500 AND 599 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_server_err
+  FROM fetches GROUP BY host)
+SELECT host, n_total, n_throttled, n_server_err,
+       LEAST(1000000,
+             ((2 * n_throttled + n_server_err) * 1000000) // (2 * n_total))
+         AS penalty_ppm,
+       GREATEST(CAST(1 AS BIGINT),
+                (100 * (1000000 - LEAST(1000000,
+                 ((2 * n_throttled + n_server_err) * 1000000)
+                   // (2 * n_total)))) // 1000000) AS budget
+FROM agg
+"""
+
+
 def q_recrawl_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Age × authority recrawl picks over a deterministic synthetic seen
     table (both engines build identical rows, so score and order are
@@ -2169,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_quality_filter': q_url_quality_filter,
         'url_trap_scores': q_url_trap_scores,
         'plan_host_budgets': q_plan_host_budgets,
+        'adaptive_backoff': q_adaptive_backoff,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
@@ -2240,6 +2289,7 @@ def oracle_sql() -> dict[str, str]:
         'url_quality_filter': ORACLE_URL_QUALITY,
         'url_trap_scores': ORACLE_URL_TRAPS,
         'plan_host_budgets': ORACLE_PLAN_BUDGETS,
+        'adaptive_backoff': ORACLE_ADAPTIVE_BACKOFF,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),

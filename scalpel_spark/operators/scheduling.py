@@ -76,3 +76,53 @@ def select_recrawl(seen: DataFrame, ranks: DataFrame, current_wave: int,
         )
     )
     return aged.orderBy(F.col('score').desc(), F.col('url').asc()).limit(limit)
+
+
+def adaptive_backoff(fetches: DataFrame, base_budget: int,
+                     min_budget: int = 1,
+                     throttle_weight: int = 2) -> DataFrame:
+    """Error-rate-driven per-host budget scaling — the feedback half of
+    politeness that robots.txt can't express: a host answering 429/5xx is
+    telling the crawler its current budget is too high, regardless of
+    what its crawl-delay says.
+
+    ``fetches`` is one row per fetch outcome with (host, http_status).
+    Per host, the penalty is the weighted failure share in ppm
+
+        penalty_ppm = min(1e6, (throttle_weight*n_429 + n_5xx) * 1e6
+                                 div (throttle_weight * n_total))
+
+    so an all-429 host hits the full penalty and an all-5xx host hits
+    1/throttle_weight of it (throttling is an explicit back-off demand;
+    server errors may be unrelated). The next budget is
+
+        budget = greatest(min_budget, base_budget*(1e6-penalty) div 1e6)
+
+    Integer arithmetic throughout — reproducible on any engine and
+    partitioning. One hash-shuffle groupBy over (host) carrying three
+    counters; compose with :func:`plan_host_budgets` by using its
+    allocation as ``base_budget`` per host (join + same formula).
+
+    Returns (host, n_total, n_throttled, n_server_err, penalty_ppm,
+    budget).
+    """
+    st = F.col('http_status')
+    agg = fetches.groupBy('host').agg(
+        F.count(F.lit(1)).alias('n_total'),
+        F.sum(F.when(st == 429, 1).otherwise(0)).alias('n_throttled'),
+        F.sum(F.when((st >= 500) & (st <= 599), 1).otherwise(0))
+        .alias('n_server_err'),
+    )
+    penalty = F.least(
+        F.lit(1_000_000),
+        F.expr(f'(({throttle_weight} * n_throttled + n_server_err) * 1000000)'
+               f' div ({throttle_weight} * n_total)'),
+    ).alias('penalty_ppm')
+    return agg.select(
+        'host', 'n_total', 'n_throttled', 'n_server_err', penalty,
+    ).withColumn(
+        'budget',
+        F.greatest(
+            F.lit(min_budget).cast('long'),
+            F.expr(f'({base_budget} * (1000000 - penalty_ppm)) div 1000000')),
+    )

@@ -75,3 +75,48 @@ def test_plan_host_budgets_budget_smaller_than_host_count(spark):
     assert sum(out.values()) == 2
     # equal remainders -> host ASC gets the slots
     assert out == {'a': 1, 'b': 1, 'c': 0, 'd': 0}
+
+
+# --------------------------------------------------------------------------
+# adaptive_backoff: error-rate-driven budget scaling
+# --------------------------------------------------------------------------
+
+FETCH_SCHEMA = 'host STRING, http_status INT'
+
+
+def _backoff(spark, rows, **kw):
+    kw.setdefault('base_budget', 100)
+    df = scheduling.adaptive_backoff(
+        spark.createDataFrame(rows, FETCH_SCHEMA), **kw)
+    return {r['host']: r.asDict() for r in df.collect()}
+
+
+def test_backoff_healthy_host_keeps_full_budget(spark):
+    out = _backoff(spark, [('a', 200)] * 5 + [('a', 404)])
+    assert out['a']['penalty_ppm'] == 0 and out['a']['budget'] == 100
+
+
+def test_backoff_all_throttled_floors_at_min(spark):
+    out = _backoff(spark, [('a', 429)] * 4, min_budget=3)
+    assert out['a']['penalty_ppm'] == 1_000_000
+    assert out['a']['budget'] == 3
+
+
+def test_backoff_server_errors_weigh_half_of_throttles(spark):
+    out = _backoff(spark, [('t', 429), ('t', 200),
+                           ('e', 500), ('e', 200)])
+    assert out['t']['penalty_ppm'] == 500_000   # 2*1e6 / (2*2)
+    assert out['e']['penalty_ppm'] == 250_000   # 1*1e6 / (2*2)
+    assert out['t']['budget'] == 50 and out['e']['budget'] == 75
+
+
+def test_backoff_4xx_other_than_429_is_not_penalized(spark):
+    out = _backoff(spark, [('a', 404), ('a', 403), ('a', 410)])
+    assert out['a']['penalty_ppm'] == 0
+
+
+def test_backoff_plan_stays_jvm(spark):
+    df = scheduling.adaptive_backoff(
+        spark.createDataFrame([('a', 200)], FETCH_SCHEMA), base_budget=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
