@@ -598,6 +598,39 @@ SELECT doc_id, lang, n_tokens, cum_before FROM cum WHERE cum_before < 3000
 """
 
 
+_MIX_BUDGET = 10_000
+_MIX_WEIGHTS = {'en': 500_000, 'fr': 200_000, 'zh': 100_000}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit training-mix sampler: per-language token budgets from
+    ppm mixture weights (en 50% / fr 20% / zh 10%, de+es dropped), each
+    stratum greedy-filled in md5-shuffle-key order. The oracle joins the
+    same weights table onto the flat per-stratum running total."""
+    return curation.mixture_sample(
+        _t(spark, sf_dir, 'documents'), _MIX_BUDGET, _MIX_WEIGHTS)
+
+
+_MIX_VALUES = ', '.join(
+    f"('{s}', CAST({(_MIX_BUDGET * w) // 1_000_000} AS BIGINT))"
+    for s, w in sorted(_MIX_WEIGHTS.items()))
+
+ORACLE_MIXTURE = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {H60.format(x='CAST(doc_id AS VARCHAR)')} AS k
+  FROM documents),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM base),
+w AS (SELECT * FROM (VALUES {_MIX_VALUES}) AS t(lang, stratum_budget))
+SELECT c.doc_id, c.lang, c.n_tokens, c.cum_before, w.stratum_budget
+FROM cum c JOIN w USING (lang) WHERE c.cum_before < w.stratum_budget
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (2048-token training sequences in
     md5-shuffle-key order). The oracle computes the same layout with one
@@ -2186,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'dedup_cluster_canonical': q_dedup_cluster_canonical,
         'pipeline_curate': q_pipeline_curate,
         'sample_token_budget': q_sample_token_budget,
+        'sample_mixture': q_mixture_sample,
         'pack_sequences': q_pack_sequences,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_minhash_incremental': q_dedup_incremental,
@@ -2258,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         'dedup_cluster_canonical': ORACLE_CLUSTERS,
         'pipeline_curate': _curate_oracle(),
         'sample_token_budget': ORACLE_TOKEN_BUDGET,
+        'sample_mixture': ORACLE_MIXTURE,
         'pack_sequences': ORACLE_PACK_SEQUENCES,
         'dedup_minhash_lsh': ORACLE_MINHASH,
         'dedup_minhash_incremental': ORACLE_MINHASH_INCREMENTAL,

@@ -201,6 +201,18 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
 
     Returns (doc_id, <strata_col>, n_tokens, cum_before) for kept docs.
     """
+    out = _stratified_cum(docs, strata_col, n_buckets).filter(
+        F.col('cum_before') < budget_tokens)
+    return out.select('doc_id', F.col('stratum').alias(strata_col),
+                      'n_tokens', 'cum_before')
+
+
+def _stratified_cum(docs: DataFrame, strata_col: str,
+                    n_buckets: int) -> DataFrame:
+    """The bucket-decomposed per-stratum running token total shared by
+    :func:`token_budget_sample` and :func:`mixture_sample`: (doc_id,
+    stratum, n_tokens, cum_before) where ``cum_before`` is the stratum's
+    token count ahead of this doc in md5-shuffle-key order."""
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError(f'n_buckets must be a power of two, got {n_buckets}')
     shift = _KEY_BITS - (n_buckets.bit_length() - 1)
@@ -226,14 +238,48 @@ def token_budget_sample(docs: DataFrame, budget_tokens: int,
     # strata x n_buckets rows — tiny; broadcast into the per-doc join
     bucket_cum = bucket_tot.withColumn(
         'bucket_before', F.coalesce(F.sum('bucket_tokens').over(w_b), F.lit(0)))
+    return (
+        doc_cum.join(
+            F.broadcast(bucket_cum.select('stratum', 'bucket', 'bucket_before')),
+            ['stratum', 'bucket'])
+        .withColumn('cum_before',
+                    F.col('bucket_before') + F.col('in_bucket_before'))
+    )
+
+
+def mixture_sample(docs: DataFrame, budget_tokens: int,
+                   weights_ppm: dict[str, int],
+                   strata_col: str = 'lang',
+                   n_buckets: int = 64) -> DataFrame:
+    """Training-mixture sampler: fill a global token budget according to
+    explicit per-stratum mixture weights (the DoReMi / The-Pile-style
+    recipe where the pretraining mix is a design decision, not the crawl
+    distribution). Each stratum ``s`` gets its own greedy fill of
+
+        budget_s = (budget_tokens * weights_ppm[s]) div 1e6
+
+    in md5-shuffle-key order — same machinery as
+    :func:`token_budget_sample` (bucket-decomposed prefix sum, kept set
+    independent of ``n_buckets``), with the budget joined per stratum
+    from a broadcast weights table. Strata absent from ``weights_ppm``
+    are dropped (weight 0); integer-ppm weights keep every budget exact
+    and engine-portable. Weights need not sum to 1e6 — under-subscribed
+    mixes simply keep less.
+
+    Returns (doc_id, <strata_col>, n_tokens, cum_before, stratum_budget).
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, (budget_tokens * w) // 1_000_000)
+         for s, w in sorted(weights_ppm.items())],
+        'stratum STRING, stratum_budget BIGINT')
     out = (
-        doc_cum.join(F.broadcast(bucket_cum.select('stratum', 'bucket', 'bucket_before')),
-                     ['stratum', 'bucket'])
-        .withColumn('cum_before', F.col('bucket_before') + F.col('in_bucket_before'))
-        .filter(F.col('cum_before') < budget_tokens)
+        _stratified_cum(docs, strata_col, n_buckets)
+        .join(F.broadcast(wdf), 'stratum')
+        .filter(F.col('cum_before') < F.col('stratum_budget'))
     )
     return out.select('doc_id', F.col('stratum').alias(strata_col),
-                      'n_tokens', 'cum_before')
+                      'n_tokens', 'cum_before', 'stratum_budget')
 
 
 def pack_sequences(docs: DataFrame, seq_tokens: int,

@@ -267,3 +267,48 @@ def test_domain_cap_zero_quota_drops_all(spark):
         [(0, 'some words here', 'en', 's', 1)], DOC_SCHEMA_SRC)
     out = curation.domain_cap(docs, max_per_source=0).collect()
     assert [r['keep'] for r in out] == [False]
+
+
+# --------------------------------------------------------------------------
+# mixture_sample: explicit per-stratum training-mix weights
+# --------------------------------------------------------------------------
+
+
+def test_mixture_sample_respects_per_stratum_budgets(spark):
+    docs = _sample_corpus(spark)
+    rows = [(r['doc_id'], r['text'], r['lang']) for r in docs.collect()]
+    budget, weights = 200, {'en': 400_000, 'fr': 100_000}
+    got = curation.mixture_sample(docs, budget, weights).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r['lang'], []).append(r)
+    for lang, members in by_lang.items():
+        cap = budget * weights[lang] // 1_000_000
+        assert all(r['stratum_budget'] == cap for r in members)
+        # greedy fill: every kept doc started under the cap, and the kept
+        # set equals the flat per-lang greedy oracle
+        exp = _expected_greedy(
+            [t for t in rows if t[2] == lang], budget=cap)
+        assert {r['doc_id'] for r in members} == set(exp)
+
+
+def test_mixture_sample_drops_unlisted_strata(spark):
+    docs = _sample_corpus(spark)
+    got = curation.mixture_sample(docs, 1000, {'fr': 1_000_000}).collect()
+    assert got and all(r['lang'] == 'fr' for r in got)
+
+
+def test_mixture_sample_bucket_count_invariance(spark):
+    docs = _sample_corpus(spark)
+    w = {'en': 600_000, 'fr': 300_000}
+    a = {tuple(r) for r in
+         curation.mixture_sample(docs, 150, w, n_buckets=4).collect()}
+    b = {tuple(r) for r in
+         curation.mixture_sample(docs, 150, w, n_buckets=64).collect()}
+    assert a == b and a
+
+
+def test_mixture_sample_zero_weight_keeps_nothing(spark):
+    docs = _sample_corpus(spark)
+    got = curation.mixture_sample(docs, 1000, {'en': 0}).collect()
+    assert got == []
