@@ -1183,6 +1183,65 @@ FROM rn
 """
 
 
+def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-churn revisit planning over a deterministic synthetic
+    3-wave recrawl history (orders keyed by o_orderkey % 3 churn every
+    wave, the rest never change): per-host change rate and the
+    waves-per-change revisit interval."""
+    from scalpel_spark.operators import scheduling
+
+    orders = _t(spark, sf_dir, 'orders')
+    k, c = F.col('o_orderkey'), F.col('o_custkey')
+    hist = orders.select(
+        F.concat(F.lit('http://h'), F.pmod(c, F.lit(20)).cast('string'),
+                 F.lit('.example.com/o/'), k.cast('string')).alias('url'),
+        F.concat(F.lit('h'), F.pmod(c, F.lit(20)).cast('string'))
+        .alias('host'),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias('wave'),
+        'o_orderkey',
+    ).select(
+        'url', 'host', 'wave',
+        (F.col('o_orderkey') * 10
+         + F.when(F.col('o_orderkey') % 3 == 0, F.col('wave'))
+         .otherwise(F.lit(0))).cast('long').alias('content_hash'),
+    )
+    return scheduling.change_rates(hist, max_interval=16)
+
+
+ORACLE_CHANGE_RATES = """
+WITH hist AS (
+  SELECT 'http://h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com/o/'
+           || CAST(o_orderkey AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         w.wave,
+         CAST(o_orderkey * 10 + CASE WHEN o_orderkey % 3 = 0 THEN w.wave
+                                     ELSE 0 END AS BIGINT) AS content_hash
+  FROM orders CROSS JOIN (SELECT unnest([0, 1, 2]) AS wave) w),
+lagged AS (
+  SELECT host, url,
+         CASE WHEN lag(content_hash) OVER
+                (PARTITION BY url ORDER BY wave) IS NULL THEN NULL
+              WHEN content_hash != lag(content_hash) OVER
+                (PARTITION BY url ORDER BY wave) THEN 1
+              ELSE 0 END AS changed
+  FROM hist),
+agg AS (
+  SELECT host,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+         CAST(COUNT(changed) AS BIGINT) AS n_intervals,
+         CAST(COALESCE(SUM(changed), 0) AS BIGINT) AS n_changes
+  FROM lagged GROUP BY host)
+SELECT host, n_urls, n_intervals, n_changes,
+       CAST(CASE WHEN n_intervals > 0
+                 THEN (n_changes * 1000000) // n_intervals
+                 ELSE 0 END AS BIGINT) AS change_ppm,
+       CAST(CASE WHEN n_changes = 0 THEN 16
+                 ELSE LEAST(16, GREATEST(1, n_intervals // n_changes))
+                 END AS BIGINT) AS revisit_waves
+FROM agg
+"""
+
+
 def q_adaptive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-rate budget backoff over a deterministic synthetic fetch log
     derived from orders (both engines rebuild the same (host, status)
@@ -2252,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_trap_scores': q_url_trap_scores,
         'plan_host_budgets': q_plan_host_budgets,
         'adaptive_backoff': q_adaptive_backoff,
+        'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
@@ -2325,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         'url_trap_scores': ORACLE_URL_TRAPS,
         'plan_host_budgets': ORACLE_PLAN_BUDGETS,
         'adaptive_backoff': ORACLE_ADAPTIVE_BACKOFF,
+        'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),

@@ -126,3 +126,58 @@ def adaptive_backoff(fetches: DataFrame, base_budget: int,
             F.lit(min_budget).cast('long'),
             F.expr(f'({base_budget} * (1000000 - penalty_ppm)) div 1000000')),
     )
+
+
+def change_rates(history: DataFrame, max_interval: int = 16) -> DataFrame:
+    """Per-host content-churn estimate and revisit interval — the signal
+    that turns blind recrawling into incremental crawling. A news host
+    whose pages change every visit deserves wave-1 revisits; a static
+    archive deserves ``max_interval``.
+
+    ``history`` is the observation log across recrawls: one row per
+    (url, host, wave, content_hash) fetch, where content_hash is any
+    stable per-document fingerprint (the engine's
+    ``spans.span_signature_col`` — the north-rule span-sequence identity —
+    is the natural choice). Per URL, consecutive observations (wave
+    order) whose hashes differ count as changes; per host
+
+        change_ppm    = 1e6 * n_changes div n_intervals
+        revisit_waves = max_interval                   if no change seen
+                        clamp(1, max_interval,
+                              n_intervals div n_changes)  otherwise
+
+    i.e. the observed mean waves-per-change, integer-exact. One per-URL
+    lag window (parallel across URLs) + one groupBy(host); nothing
+    carries document payloads. Compose with :func:`select_recrawl` by
+    filtering to URLs whose age ≥ their host's ``revisit_waves``.
+
+    Returns (host, n_urls, n_intervals, n_changes, change_ppm,
+    revisit_waves).
+    """
+    w = Window.partitionBy('url').orderBy('wave')
+    prev = F.lag('content_hash').over(w)
+    obs = history.select(
+        'url', 'host', 'wave', 'content_hash',
+        F.when(prev.isNull(), None)
+        .when(F.col('content_hash') != prev, 1).otherwise(0)
+        .alias('changed'),
+    )
+    agg = obs.groupBy('host').agg(
+        F.countDistinct('url').alias('n_urls'),
+        F.count('changed').cast('long').alias('n_intervals'),
+        F.coalesce(F.sum('changed'), F.lit(0)).cast('long')
+        .alias('n_changes'),
+    )
+    change_ppm = F.when(
+        F.col('n_intervals') > 0,
+        F.expr('(n_changes * 1000000) div n_intervals')
+    ).otherwise(F.lit(0)).cast('long')
+    revisit = F.when(
+        F.col('n_changes') == 0, F.lit(max_interval)
+    ).otherwise(
+        F.least(F.lit(max_interval),
+                F.greatest(F.lit(1), F.expr('n_intervals div n_changes')))
+    ).cast('long')
+    return agg.select('host', 'n_urls', 'n_intervals', 'n_changes',
+                      change_ppm.alias('change_ppm'),
+                      revisit.alias('revisit_waves'))

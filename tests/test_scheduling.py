@@ -120,3 +120,60 @@ def test_backoff_plan_stays_jvm(spark):
         spark.createDataFrame([('a', 200)], FETCH_SCHEMA), base_budget=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan
+
+
+# --------------------------------------------------------------------------
+# change_rates: content churn -> revisit interval
+# --------------------------------------------------------------------------
+
+HIST_SCHEMA = 'url STRING, host STRING, wave INT, content_hash LONG'
+
+
+def _rates(spark, rows, **kw):
+    df = scheduling.change_rates(
+        spark.createDataFrame(rows, HIST_SCHEMA), **kw)
+    return {r['host']: r.asDict() for r in df.collect()}
+
+
+def test_change_rates_static_host_gets_max_interval(spark):
+    out = _rates(spark, [('u1', 'a', w, 7) for w in range(4)])
+    a = out['a']
+    assert a['n_intervals'] == 3 and a['n_changes'] == 0
+    assert a['change_ppm'] == 0 and a['revisit_waves'] == 16
+
+
+def test_change_rates_churning_host_gets_wave1(spark):
+    out = _rates(spark, [('u1', 'a', w, w) for w in range(4)])
+    a = out['a']
+    assert a['n_changes'] == 3 and a['change_ppm'] == 1_000_000
+    assert a['revisit_waves'] == 1
+
+
+def test_change_rates_mean_waves_per_change(spark):
+    # changes on 2 of 6 intervals -> revisit every 3 waves
+    hashes = [1, 1, 1, 2, 2, 2, 3]
+    out = _rates(spark, [('u1', 'a', w, h) for w, h in enumerate(hashes)])
+    assert out['a']['revisit_waves'] == 3
+    assert out['a']['change_ppm'] == 2 * 1_000_000 // 6
+
+
+def test_change_rates_single_observation_is_static(spark):
+    out = _rates(spark, [('u1', 'a', 0, 5)])
+    assert out['a'] == {'host': 'a', 'n_urls': 1, 'n_intervals': 0,
+                        'n_changes': 0, 'change_ppm': 0, 'revisit_waves': 16}
+
+
+def test_change_rates_aggregates_across_urls(spark):
+    rows = ([('u1', 'a', w, w) for w in range(3)]        # 2 changes / 2
+            + [('u2', 'a', w, 9) for w in range(3)])     # 0 changes / 2
+    out = _rates(spark, rows, max_interval=8)
+    a = out['a']
+    assert a['n_urls'] == 2 and a['n_intervals'] == 4 and a['n_changes'] == 2
+    assert a['revisit_waves'] == 2
+
+
+def test_change_rates_plan_stays_jvm(spark):
+    df = scheduling.change_rates(
+        spark.createDataFrame([('u', 'a', 0, 1)], HIST_SCHEMA))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
