@@ -1100,6 +1100,27 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM likelihood scores (CCNet-perplexity stand-in), model
+    self-trained on the documents table; integer ppm end to end."""
+    return textops.bigram_lm_scores(_t(spark, sf_dir, 'documents'))
+
+
+ORACLE_BIGRAM_LM = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+       FROM (SELECT doc_id, l, UNNEST(generate_series(1, len(l) - 1)) AS i FROM tk)),
+bgc AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2),
+pfx AS (SELECT w1, SUM(cnt) AS pfx_cnt FROM bgc GROUP BY w1),
+per AS (SELECT doc_id, (cnt * 1000000) // pfx_cnt AS cond_ppm
+        FROM bg JOIN bgc USING (w1, w2) JOIN pfx USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(cond_ppm) // COUNT(*) AS BIGINT) AS avg_cond_ppm,
+       CAST(MIN(cond_ppm) AS BIGINT) AS min_cond_ppm
+FROM per GROUP BY doc_id
+"""
+
+
 def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank over a deterministic hash-derived host graph
     (N = |documents| hosts, 3 pseudo-random out-links each, self-loops
@@ -2298,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_repetition': q_text_repetition,
         'text_corpus_freq': q_text_corpus_freq,
         'text_tfidf_keywords': q_text_tfidf_keywords,
+        'text_bigram_lm': q_text_bigram_lm,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
@@ -2372,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         'text_repetition': ORACLE_REPETITION,
         'text_corpus_freq': ORACLE_CORPUS_FREQ,
         'text_tfidf_keywords': ORACLE_TFIDF,
+        'text_bigram_lm': ORACLE_BIGRAM_LM,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,

@@ -386,3 +386,78 @@ def classifier_scores(docs: DataFrame, weights: DataFrame,
         F.expr('(sum(weight) * 1000) div count(*)').alias('score_ppm'),
         (F.sum('weight') > 0).alias('pred_keep'),
     )
+
+
+def bigram_model(docs: DataFrame) -> DataFrame:
+    """Train a bigram frequency table over a corpus: one row per observed
+    bigram with its count and the prefix-token occurrence count (how many
+    bigrams start with w1). This is the model side of
+    :func:`bigram_lm_scores` — train on a curated reference corpus
+    (CCNet trains KenLM on Wikipedia), score the crawl against it.
+
+    Scale shape: one map-side bigram explode, one (w1, w2) partial-agg
+    shuffle, one (w1) rollup derived from the bigram counts (never a
+    second pass over the corpus). Returns (w1, w2, cnt, pfx_cnt).
+    """
+    bg = _bigrams(docs)
+    bgc = bg.groupBy('w1', 'w2').agg(F.count('*').alias('cnt'))
+    pfx = bgc.groupBy('w1').agg(F.sum('cnt').alias('pfx_cnt'))
+    return bgc.join(pfx, 'w1')
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent whitespace-token pair.
+    The token array is materialized into a column before the slice /
+    transform so the split runs once, not once per higher-order function.
+    """
+    d = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    pairs = F.expr(
+        'transform(slice(toks, 1, greatest(size(toks) - 1, 0)),'
+        ' (w, i) -> struct(w AS w1, toks[i + 1] AS w2))'
+    )
+    return (
+        d.select('doc_id', F.explode(pairs).alias('p'))
+        .select('doc_id', 'p.w1', 'p.w2')
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, model: DataFrame | None = None) -> DataFrame:
+    """Bigram language-model scoring — the Spark-native, integer-exact
+    stand-in for the CCNet KenLM-perplexity quality filter
+    (reference has no equivalent; this is pipeline-side curation).
+
+    Each document is scored by the conditional likelihood of its adjacent
+    token pairs under a bigram model: cond_ppm(w1, w2) =
+    floor(c(w1, w2) * 1e6 / c(w1 ·)). Low mean likelihood = surprising
+    text (gibberish or high-information); high = templated/boilerplate.
+    All arithmetic is integer (ppm via ``div``) so rankings are
+    bit-identical across engines — no float log whose last ulp could
+    differ between libm implementations (swap in log-prob doubles at
+    deployment; the plan is identical).
+
+    ``model`` defaults to self-training on ``docs`` (the right default
+    when no curated LM corpus ships with the engine); pass
+    :func:`bigram_model` output trained elsewhere to score against a
+    reference corpus — unseen bigrams then score 0 ppm (handled by the
+    left join + coalesce).
+
+    Scale shape: one bigram explode, the model's two partial-agg shuffles,
+    one (w1, w2) join back (both sides bigram-partitioned), one final
+    groupBy(doc_id). Docs with < 2 tokens have no bigrams and drop out.
+
+    Returns (doc_id, n_bigrams, avg_cond_ppm, min_cond_ppm).
+    """
+    bg = _bigrams(docs)
+    m = model if model is not None else bigram_model(docs)
+    per = (
+        bg.join(m, ['w1', 'w2'], 'left')
+        .withColumn(
+            'cond_ppm',
+            F.coalesce(F.expr('(cnt * 1000000) div pfx_cnt'), F.lit(0).cast('long')),
+        )
+    )
+    return per.groupBy('doc_id').agg(
+        F.count('*').alias('n_bigrams'),
+        F.expr('sum(cond_ppm) div count(*)').alias('avg_cond_ppm'),
+        F.min('cond_ppm').alias('min_cond_ppm'),
+    )

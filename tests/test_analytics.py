@@ -358,3 +358,33 @@ def test_classifier_scores_trained_weights_injectable(spark):
     out = {r['doc_id']: r['pred_keep'] for r in
            t.classifier_scores(docs, w, n_buckets=16).collect()}
     assert out == {0: True, 1: False}
+
+
+def test_bigram_lm_scores_self_trained(spark):
+    # corpus bigrams: (a,b) x2 from doc0+doc1, (b,a) x1, (a,c) x1
+    # prefix counts: a-> 3, b-> 1
+    docs = spark.createDataFrame(
+        [(0, 'a b a', 'en', 's', 1), (1, 'a b', 'en', 's', 1),
+         (2, 'a c', 'en', 's', 1), (3, 'solo', 'en', 's', 1)],
+        DOC_SCHEMA,
+    )
+    rows = {r['doc_id']: r for r in textops.bigram_lm_scores(docs).collect()}
+    assert 3 not in rows  # single-token doc has no bigrams
+    # cond ppm: (a,b) = 2*1e6//3 = 666666; (b,a) = 1e6; (a,c) = 1e6//3 = 333333
+    assert rows[0]['n_bigrams'] == 2
+    assert rows[0]['avg_cond_ppm'] == (666666 + 1000000) // 2
+    assert rows[0]['min_cond_ppm'] == 666666
+    assert rows[1]['avg_cond_ppm'] == 666666
+    assert rows[2]['avg_cond_ppm'] == 333333
+
+
+def test_bigram_lm_scores_external_model(spark):
+    # model trained on ref; crawl doc with an unseen bigram scores it 0 ppm
+    ref = spark.createDataFrame([(0, 'x y x y', 'en', 's', 1)], DOC_SCHEMA)
+    crawl = spark.createDataFrame([(9, 'x y zz', 'en', 's', 1)], DOC_SCHEMA)
+    model = textops.bigram_model(ref)
+    r = textops.bigram_lm_scores(crawl, model=model).collect()[0]
+    # (x,y): c=2, pfx(x)=2 -> 1e6; (y,zz): unseen -> 0
+    assert r['n_bigrams'] == 2
+    assert r['avg_cond_ppm'] == 500000
+    assert r['min_cond_ppm'] == 0
