@@ -1106,6 +1106,103 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bigram_lm_scores(_t(spark, sf_dir, 'documents'))
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion parity: both engines synthesize identical
+    per-source sitemap XML (CDATA every 5th loc, lastmod every 3rd entry,
+    plus one sitemapindex page over all sources) from the documents
+    table, then parse it back to (sitemap_url, pos, loc, lastmod,
+    is_index) — pinning the block/loc/lastmod/CDATA regex semantics
+    byte-for-byte."""
+    from scalpel_spark.operators import sitemap
+
+    docs = _t(spark, sf_dir, 'documents')
+    u = F.concat(F.lit('https://'), F.col('source'),
+                 F.lit('.example.com/doc/'), F.col('doc_id').cast('string'))
+    frag = F.concat(
+        F.lit('<url><loc>'),
+        F.when(F.col('doc_id') % 5 == 0,
+               F.concat(F.lit('<![CDATA['), u, F.lit(']]>'))).otherwise(u),
+        F.lit('</loc>'),
+        F.when(
+            F.col('doc_id') % 3 == 0,
+            F.concat(F.lit('<lastmod>2026-01-'),
+                     F.lpad((F.col('doc_id') % 28 + 1).cast('string'), 2, '0'),
+                     F.lit('</lastmod>')),
+        ).otherwise(F.lit('')),
+        F.lit('</url>'),
+    )
+    per_source = (
+        docs.select('source', F.struct('doc_id', frag.alias('frag')).alias('s'))
+        .groupBy('source')
+        .agg(F.array_sort(F.collect_list('s')).alias('frags'))
+        .select(
+            F.concat(F.lit('https://'), F.col('source'),
+                     F.lit('.example.com/sitemap.xml')).alias('url'),
+            F.concat(
+                F.lit('<urlset>'),
+                F.concat_ws('', F.transform('frags', lambda s: s['frag'])),
+                F.lit('</urlset>'),
+            ).alias('body'),
+        )
+    )
+    index = (
+        docs.select('source').distinct()
+        .groupBy()
+        .agg(F.array_sort(F.collect_list('source')).alias('srcs'))
+        .select(
+            F.lit('https://index.example.com/sitemap_index.xml').alias('url'),
+            F.concat(
+                F.lit('<sitemapindex>'),
+                F.concat_ws('', F.transform(
+                    'srcs',
+                    lambda s: F.concat(F.lit('<sitemap><loc>https://'), s,
+                                       F.lit('.example.com/sitemap.xml</loc></sitemap>')))),
+                F.lit('</sitemapindex>'),
+            ).alias('body'),
+        )
+    )
+    return sitemap.sitemap_entries(per_source.unionByName(index))
+
+
+ORACLE_SITEMAP = r"""
+WITH d AS (SELECT doc_id, source,
+                  'https://' || source || '.example.com/doc/' || doc_id AS u
+           FROM documents),
+frag AS (SELECT doc_id, source,
+  '<url><loc>' ||
+  CASE WHEN doc_id % 5 = 0 THEN '<![CDATA[' || u || ']]>' ELSE u END ||
+  '</loc>' ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '<lastmod>2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+       ELSE '' END || '</url>' AS f
+  FROM d),
+pages AS (
+  SELECT 'https://' || source || '.example.com/sitemap.xml' AS url,
+         '<urlset>' || string_agg(f, '' ORDER BY doc_id) || '</urlset>' AS body
+  FROM frag GROUP BY source
+  UNION ALL
+  SELECT 'https://index.example.com/sitemap_index.xml',
+         '<sitemapindex>' || string_agg(
+           '<sitemap><loc>https://' || source || '.example.com/sitemap.xml</loc></sitemap>',
+           '' ORDER BY source) || '</sitemapindex>'
+  FROM (SELECT DISTINCT source FROM documents)),
+blocks AS (SELECT url AS sitemap_url,
+                  body LIKE '%<sitemapindex%' AS is_index,
+                  regexp_extract_all(body, '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1) AS bl
+           FROM pages),
+exploded AS (SELECT sitemap_url, is_index, bl,
+                    UNNEST(generate_series(1, len(bl))) AS i
+             FROM blocks),
+parsed AS (SELECT sitemap_url, CAST(i - 1 AS BIGINT) AS pos,
+                  regexp_replace(trim(regexp_extract(bl[i], '(?s)<loc>\s*(.*?)\s*</loc>', 1)),
+                                 '^<!\[CDATA\[|\]\]>$', '', 'g') AS loc,
+                  regexp_extract(bl[i], '<lastmod>\s*([^<]*?)\s*</lastmod>', 1) AS lastmod,
+                  is_index
+           FROM exploded)
+SELECT sitemap_url, pos, loc, lastmod, is_index FROM parsed WHERE loc != ''
+"""
+
+
 ORACLE_BIGRAM_LM = """
 WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
@@ -2320,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_corpus_freq': q_text_corpus_freq,
         'text_tfidf_keywords': q_text_tfidf_keywords,
         'text_bigram_lm': q_text_bigram_lm,
+        'sitemap_extract': q_sitemap_extract,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
@@ -2395,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
         'text_corpus_freq': ORACLE_CORPUS_FREQ,
         'text_tfidf_keywords': ORACLE_TFIDF,
         'text_bigram_lm': ORACLE_BIGRAM_LM,
+        'sitemap_extract': ORACLE_SITEMAP,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,
