@@ -1106,6 +1106,62 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bigram_lm_scores(_t(spark, sf_dir, 'documents'))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization parity, pinned per vector by integer aggregates
+    of the quantized array (L1 and sum-of-squares) plus the ppb scale."""
+    from scalpel_spark.operators import similarity as sim
+
+    qz = sim.quantize_embeddings(_t(spark, sf_dir, 'embeddings'))
+    zero = F.lit(0).cast('long')
+    l1 = F.aggregate(F.transform('qvec', F.abs), zero, lambda a, v: a + v)
+    sq = F.aggregate(F.transform('qvec', lambda v: v * v), zero, lambda a, v: a + v)
+    return qz.select('vec_id', 'scale_ppb', 'dim',
+                     l1.alias('q_l1'), sq.alias('q_sq'))
+
+
+ORACLE_QUANTIZE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+q AS (SELECT vec_id,
+        CASE WHEN mx = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+             ELSE list_transform(x, v -> CAST(floor(v * 127.0 / mx + 0.5) AS BIGINT)) END AS qv,
+        CASE WHEN mx = 0 THEN 0 ELSE CAST(floor(mx * 1000000000 / 127.0) AS BIGINT) END AS scale_ppb,
+        len(x) AS dim
+      FROM m)
+SELECT vec_id, scale_ppb, CAST(dim AS BIGINT) AS dim,
+       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+       CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_sq
+FROM q
+"""
+
+
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalpel_spark.operators import similarity as sim
+
+    return sim.quantized_topk(_t(spark, sf_dir, 'embeddings'), n_queries=10, k=5)
+
+
+ORACLE_QUANTIZED_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+q AS (SELECT vec_id,
+        CASE WHEN mx = 0 THEN list_transform(x, v -> CAST(0 AS BIGINT))
+             ELSE list_transform(x, v -> CAST(floor(v * 127.0 / mx + 0.5) AS BIGINT)) END AS qv,
+        CASE WHEN mx = 0 THEN 0 ELSE CAST(floor(mx * 1000000000 / 127.0) AS BIGINT) END AS scale_ppb
+      FROM m),
+qq AS (SELECT vec_id AS query_id, qv AS a FROM q WHERE vec_id < 10),
+cc AS (SELECT vec_id AS neighbor_id, qv AS b, scale_ppb FROM q),
+dots AS (SELECT query_id, neighbor_id,
+           CAST(list_sum(list_transform(generate_series(1, len(a)), i -> a[i] * b[i])) AS BIGINT)
+             * scale_ppb AS score
+         FROM qq JOIN cc ON query_id != neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM dots)
+WHERE rank <= 5
+"""
+
+
 def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion parity: both engines synthesize identical
     per-source sitemap XML (CDATA every 5th loc, lastmod every 3rd entry,
@@ -2418,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_tfidf_keywords': q_text_tfidf_keywords,
         'text_bigram_lm': q_text_bigram_lm,
         'sitemap_extract': q_sitemap_extract,
+        'embedding_quantize': q_embedding_quantize,
+        'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
@@ -2494,6 +2552,8 @@ def oracle_sql() -> dict[str, str]:
         'text_tfidf_keywords': ORACLE_TFIDF,
         'text_bigram_lm': ORACLE_BIGRAM_LM,
         'sitemap_extract': ORACLE_SITEMAP,
+        'embedding_quantize': ORACLE_QUANTIZE,
+        'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,

@@ -255,3 +255,69 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, quant: int = 1000,
         .filter(F.col('rank') <= k)
         .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'cosine')
     )
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the memory
+    lever that makes billion-vector ANN fit: 4 bytes/dim float32 becomes
+    1 byte/dim plus one scale per vector (~4x smaller shuffles, scans,
+    and broadcast payloads).
+
+    q_i = floor(x_i * 127 / max|x| + 0.5) in [-127, 127];
+    scale_ppb = floor(max|x| * 1e9 / 127) — the integer parts-per-billion
+    dequantization factor, kept integer so downstream rankings (and the
+    DuckDB oracle) are engine-exact. All-zero vectors quantize to zeros
+    with scale 0. IEEE double arithmetic in the same order on both
+    engines makes q bit-identical.
+
+    Map-side only — no shuffle. Returns (vec_id, qvec, scale_ppb, dim).
+    """
+    x = F.col('embedding').cast('array<double>')
+    mx = F.array_max(F.transform(x, F.abs))
+    q = F.when(mx == 0.0, F.transform(x, lambda v: F.lit(0).cast('long'))).otherwise(
+        F.transform(x, lambda v: F.floor(v * 127.0 / mx + 0.5))
+    )
+    return emb.select(
+        'vec_id',
+        q.alias('qvec'),
+        F.when(mx == 0.0, F.lit(0).cast('long'))
+        .otherwise(F.floor(mx * 1e9 / 127.0).cast('long')).alias('scale_ppb'),
+        F.size('embedding').cast('long').alias('dim'),
+    )
+
+
+def quantized_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: integer dot product
+    (zip_with + aggregate over the qvecs) scaled by the corpus vector's
+    integer scale_ppb. Per query the true cosine order is
+    dot_q * scale_q * scale_c / (|q| |c|); with quantized norms roughly
+    constant across candidates, ranking by dot_q * scale_c_ppb is the
+    standard int8 retrieval surrogate — and being pure int64 it is
+    engine-exact (no float accumulation order).
+
+    Same plan shape as :func:`cosine_topk` (broadcast query side, one
+    rank shuffle) at a quarter of the scan bytes. score fits int64:
+    dot_q <= 127^2 * dim ~ 1e6 at dim 64; * scale_ppb (~1e7) ~ 1e13.
+
+    Returns (query_id, neighbor_id, rank, score).
+    """
+    qz = quantize_embeddings(emb)
+    qs = qz.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('query_id'), F.col('qvec').alias('qq'))
+    cs = qz.select(F.col('vec_id').alias('neighbor_id'),
+                   F.col('qvec').alias('qc'), 'scale_ppb')
+    dot_q = F.aggregate(
+        F.zip_with('qq', 'qc', lambda a, b: a * b),
+        F.lit(0).cast('long'), lambda acc, v: acc + v)
+    scored = (
+        F.broadcast(qs).crossJoin(cs)
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+        .select('query_id', 'neighbor_id',
+                (dot_q * F.col('scale_ppb')).alias('score'))
+    )
+    w = Window.partitionBy('query_id').orderBy(F.col('score').desc(), F.col('neighbor_id'))
+    return (
+        scored.withColumn('rank', F.row_number().over(w))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'score')
+    )

@@ -95,3 +95,37 @@ def test_ivf_assignments_rn_filter_matches_legacy_shape(emb):
     assert len(rows) == len(EMB)
     assert {r['vec_id'] for r in rows} == {0, 1, 2, 3, 4}
     assert set(rows[0].asDict()) == {'vec_id', 'label', 'cell'}
+
+
+def test_quantize_embeddings_properties(spark):
+    rows = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0], 0),
+         (1, [0.0, 0.0, 0.0, 0.0], 0),
+         (2, [2.0, 2.0, -2.0, 2.0], 1)],
+        'vec_id long, embedding array<float>, label int')
+    out = {r['vec_id']: r for r in similarity.quantize_embeddings(rows).collect()}
+    # max-|x| component hits +/-127, everything within [-127, 127]
+    assert out[0]['qvec'] == [64, -127, 32, 0]  # floor(.5*127+.5)=64
+    assert out[0]['dim'] == 4
+    assert out[0]['scale_ppb'] == int(1.0 * 1e9 / 127.0)
+    # all-zero vector: zero qvec, zero scale (no div-by-zero)
+    assert out[1]['qvec'] == [0, 0, 0, 0] and out[1]['scale_ppb'] == 0
+    assert out[2]['qvec'] == [127, 127, -127, 127]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)], 0) for i in range(120)]
+    emb_df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>, label int')
+    exact = similarity.cosine_topk(emb_df, n_queries=8, k=5).collect()
+    quant = similarity.quantized_topk(emb_df, n_queries=8, k=5).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r['query_id'], set()).add(r['neighbor_id'])
+    hits = total = 0
+    for r in quant:
+        total += 1
+        hits += r['neighbor_id'] in ex[r['query_id']]
+    # int8 surrogate ranking keeps most of the exact top-5
+    assert hits / total >= 0.6, (hits, total)
