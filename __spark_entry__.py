@@ -23,7 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from scalpel_spark.functions.texthash import MERSENNE31, hash60, pround
+from scalpel_spark.functions.texthash import MERSENNE31, hash60, hash60_sql, pround
 from scalpel_spark.operators import (
     clustering,
     curation,
@@ -1104,6 +1104,26 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM likelihood scores (CCNet-perplexity stand-in), model
     self-trained on the documents table; integer ppm end to end."""
     return textops.bigram_lm_scores(_t(spark, sf_dir, 'documents'))
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic training-shard assignment, pinned by per-shard
+    doc/token/char totals over 16 shards."""
+    from scalpel_spark.operators import curation
+
+    return curation.shard_stats(_t(spark, sf_dir, 'documents'), n_shards=16)
+
+
+ORACLE_SHARD_STATS = f"""
+WITH s AS (SELECT {hash60_sql('CAST(doc_id AS VARCHAR)')} % 16 AS shard,
+                  len(string_split(text, ' ')) AS nt,
+                  length(text) AS nc
+           FROM documents)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(nc) AS BIGINT) AS total_chars
+FROM s GROUP BY shard
+"""
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2475,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_bigram_lm': q_text_bigram_lm,
         'sitemap_extract': q_sitemap_extract,
         'embedding_quantize': q_embedding_quantize,
+        'shard_stats': q_shard_stats,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2553,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         'text_bigram_lm': ORACLE_BIGRAM_LM,
         'sitemap_extract': ORACLE_SITEMAP,
         'embedding_quantize': ORACLE_QUANTIZE,
+        'shard_stats': ORACLE_SHARD_STATS,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

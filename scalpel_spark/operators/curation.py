@@ -397,3 +397,58 @@ def domain_cap(docs: DataFrame, max_per_source: int,
         'doc_id', 'source', 'score',
         (F.col('rn') <= max_per_source - F.col('better')).alias('keep'))
     return wholesale.unionByName(ranked)
+
+
+def assign_shards(docs: DataFrame, n_shards: int) -> DataFrame:
+    """Deterministic output-shard assignment for training-data export:
+    shard = hash60(doc_id) mod n_shards. Hash-based (not round-robin or
+    task-id based) so the assignment is reproducible across runs,
+    cluster sizes, and partition layouts — re-exporting the same corpus
+    always yields byte-identical shard membership, which is what makes
+    training-data versioning and resumable export possible.
+
+    Map-side only (one projection, no shuffle). Returns the input plus
+    ``shard`` (long in [0, n_shards)).
+    """
+    return docs.withColumn(
+        'shard', F.pmod(hash60(F.col('doc_id').cast('string')), F.lit(n_shards)))
+
+
+def shard_stats(docs: DataFrame, n_shards: int) -> DataFrame:
+    """Per-shard balance report for :func:`assign_shards`: document count,
+    token total, and char total per shard — the check that no training
+    shard is pathologically over- or under-filled before a multi-day run
+    reads them. One partial-agg shuffle over n_shards groups.
+
+    Returns (shard, n_docs, total_tokens, total_chars).
+    """
+    return (
+        assign_shards(docs, n_shards)
+        .select('shard',
+                F.size(tokens(F.col('text'))).cast('long').alias('nt'),
+                F.length('text').cast('long').alias('nc'))
+        .groupBy('shard')
+        .agg(F.count('*').alias('n_docs'),
+             F.sum('nt').alias('total_tokens'),
+             F.sum('nc').alias('total_chars'))
+    )
+
+
+def write_training_shards(docs: DataFrame, path: str, n_shards: int,
+                          max_records_per_file: int = 1_000_000) -> None:
+    """Export the corpus as n_shards hash-assigned parquet partitions:
+    ``path/shard=K/part-*.parquet``. One repartition shuffle keyed on the
+    shard column co-locates each shard's rows so every shard directory is
+    written by exactly one task (plus ``maxRecordsPerFile`` splitting for
+    bounded file sizes — readers stream files, so a shard may hold many).
+
+    Readers that want shard K scan only ``shard=K`` via partition pruning.
+    """
+    (
+        assign_shards(docs, n_shards)
+        .repartition(n_shards, 'shard')
+        .write.mode('overwrite')
+        .option('maxRecordsPerFile', max_records_per_file)
+        .partitionBy('shard')
+        .parquet(path)
+    )

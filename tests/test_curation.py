@@ -312,3 +312,36 @@ def test_mixture_sample_zero_weight_keeps_nothing(spark):
     docs = _sample_corpus(spark)
     got = curation.mixture_sample(docs, 1000, {'en': 0}).collect()
     assert got == []
+
+
+def test_assign_shards_deterministic_and_balanced(spark, tmp_path):
+    from scalpel_spark.functions.texthash import hash60
+    docs = spark.createDataFrame(
+        [(i, f'doc {i} text body', 'en', 's', 10) for i in range(200)],
+        'doc_id long, text string, lang string, source string, n_chars long')
+    a1 = {r['doc_id']: r['shard'] for r in curation.assign_shards(docs, 8).collect()}
+    a2 = {r['doc_id']: r['shard'] for r in
+          curation.assign_shards(docs.repartition(7), 8).collect()}
+    assert a1 == a2  # partition-layout independent
+    assert all(0 <= s < 8 for s in a1.values())
+    stats = curation.shard_stats(docs, 8).collect()
+    counts = {r['shard']: r['n_docs'] for r in stats}
+    assert sum(counts.values()) == 200
+    # hash balance: no shard more than 3x the fair share at n=200
+    assert max(counts.values()) <= 3 * 200 / 8
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f'text {i}', 'en', 's', 6) for i in range(50)],
+        'doc_id long, text string, lang string, source string, n_chars long')
+    path = str(tmp_path / 'shards')
+    curation.write_training_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 50
+    expect = {r['doc_id']: r['shard'] for r in curation.assign_shards(docs, 4).collect()}
+    got = {r['doc_id']: int(r['shard']) for r in back.collect()}
+    assert got == expect
+    # partition pruning: reading one shard dir returns exactly its docs
+    one = spark.read.parquet(path).filter('shard = 2')
+    assert {r['doc_id'] for r in one.collect()} == {d for d, s in expect.items() if s == 2}
