@@ -1126,6 +1126,31 @@ FROM s GROUP BY shard
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style fixed-size token chunking with overlap (chunk=24,
+    stride=16): every chunk's offset, length, and exact text pinned."""
+    from scalpel_spark.operators import curation
+
+    return curation.chunk_documents(
+        _t(spark, sf_dir, 'documents'), chunk_tokens=24, overlap=8)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+u AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+      WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, n_tokens, 16)) AS start
+      FROM u)
+SELECT doc_id,
+       CAST(start // 16 AS BIGINT) AS chunk_seq,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(toks[start + 1 : start + 24]) AS BIGINT) AS chunk_len,
+       array_to_string(toks[start + 1 : start + 24], ' ') AS chunk_text
+FROM s
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization parity, pinned per vector by integer aggregates
     of the quantized array (L1 and sum-of-squares) plus the ppb scale."""
@@ -2496,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sitemap_extract': q_sitemap_extract,
         'embedding_quantize': q_embedding_quantize,
         'shard_stats': q_shard_stats,
+        'chunk_documents': q_chunk_documents,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2575,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         'sitemap_extract': ORACLE_SITEMAP,
         'embedding_quantize': ORACLE_QUANTIZE,
         'shard_stats': ORACLE_SHARD_STATS,
+        'chunk_documents': ORACLE_CHUNK_DOCUMENTS,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

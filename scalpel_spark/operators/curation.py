@@ -452,3 +452,43 @@ def write_training_shards(docs: DataFrame, path: str, n_shards: int,
         .partitionBy('shard')
         .parquet(path)
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 64) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG / context-window
+    prep pass: each document becomes ceil(n_tokens / stride) chunks of at
+    most ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens (stride = chunk_tokens - overlap). Chunk k covers
+    token offsets [k*stride, k*stride + chunk_tokens); the final chunk is
+    shorter when the document tail runs out. Empty documents emit no
+    chunks.
+
+    Scale shape: pure map-side column algebra — ``split`` once per doc,
+    ``posexplode`` over the stride sequence, ``slice`` + ``array_join``
+    per chunk. No shuffle, no Python; output size is corpus_tokens/stride
+    rows regardless of document skew, and Catalyst prunes the scan to
+    (doc_id, text). The reference has no chunking (it emits whole pages,
+    ``any_io/static_spider.py:143``); this is LLM-pipeline layer.
+
+    Returns (doc_id, chunk_seq, start, chunk_len, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f'need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}')
+    stride = chunk_tokens - overlap
+    base = docs.select(
+        'doc_id',
+        tokens(F.col('text')).alias('toks'),
+    ).withColumn('n_tokens', F.size('toks').cast('long')).filter(F.col('n_tokens') > 0)
+    starts = F.sequence(F.lit(0).cast('long'), F.col('n_tokens') - 1, F.lit(stride).cast('long'))
+    chunk = F.slice(F.col('toks'), F.col('start').cast('int') + 1, chunk_tokens)
+    return (
+        base.select('doc_id', 'toks', F.posexplode(starts).alias('chunk_seq', 'start'))
+        .select(
+            'doc_id',
+            F.col('chunk_seq').cast('long').alias('chunk_seq'),
+            'start',
+            F.size(chunk).cast('long').alias('chunk_len'),
+            F.array_join(chunk, ' ').alias('chunk_text'),
+        )
+    )

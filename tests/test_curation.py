@@ -345,3 +345,44 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     # partition pruning: reading one shard dir returns exactly its docs
     one = spark.read.parquet(path).filter('shard = 2')
     assert {r['doc_id'] for r in one.collect()} == {d for d, s in expect.items() if s == 2}
+
+
+def _chunk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, 'en', 's', len(t)) for i, t in rows],
+        'doc_id long, text string, lang string, source string, n_chars long')
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    docs = _chunk_docs(spark, [(1, 'a b c')])
+    got = curation.chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r['chunk_seq'], r['start'], r['chunk_len'], r['chunk_text']) == (0, 0, 3, 'a b c')
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunk=6, overlap=2 -> stride 4 -> starts 0,4,8
+    text = ' '.join(f't{i}' for i in range(10))
+    docs = _chunk_docs(spark, [(7, text)])
+    got = sorted(curation.chunk_documents(docs, chunk_tokens=6, overlap=2).collect(),
+                 key=lambda r: r['chunk_seq'])
+    assert [(r['start'], r['chunk_len']) for r in got] == [(0, 6), (4, 6), (8, 2)]
+    # consecutive chunks share exactly the overlap tokens
+    assert got[0]['chunk_text'].split()[-2:] == got[1]['chunk_text'].split()[:2]
+    assert got[2]['chunk_text'] == 't8 t9'
+
+
+def test_chunk_documents_exact_boundary_no_empty_tail(spark):
+    # 8 tokens, chunk=4, overlap=0 -> exactly 2 chunks, no empty third
+    text = ' '.join(f'w{i}' for i in range(8))
+    docs = _chunk_docs(spark, [(3, text)])
+    got = curation.chunk_documents(docs, chunk_tokens=4, overlap=0).collect()
+    assert sorted((r['start'], r['chunk_len']) for r in got) == [(0, 4), (4, 4)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = _chunk_docs(spark, [(1, 'x')])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=4, overlap=4)
