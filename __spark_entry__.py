@@ -1126,6 +1126,72 @@ FROM s GROUP BY shard
 """
 
 
+def q_url_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (pay-level domain) extraction + SURT keys over a
+    deterministic synthetic host mix (multi-label public suffixes, deep
+    subdomains, a suffix-less localhost) — the PLD politeness identity
+    and the web-archive frontier sort key, both recomputed independently
+    by the DuckDB twin."""
+    from scalpel_spark.functions.urls import (
+        registered_domain_col, surt_host_col, surt_key_col)
+
+    d = F.col('doc_id')
+    sub = (F.when(d % 3 == 0, F.lit('www.'))
+           .when(d % 3 == 1, F.lit('a.b.')).otherwise(F.lit('')))
+    suf = (F.when(d % 5 == 0, F.lit('.com'))
+           .when(d % 5 == 1, F.lit('.co.uk'))
+           .when(d % 5 == 2, F.lit('.org'))
+           .when(d % 5 == 3, F.lit('.com.au')).otherwise(F.lit('.de')))
+    host = F.when(d % 11 == 0, F.lit('localhost')).otherwise(
+        F.concat(sub, F.lit('d'), (d % 7).cast('string'), suf))
+    url = F.concat(F.lit('http://'), host, F.lit('/p/'), d.cast('string'), F.lit('/x'))
+    g = (
+        _t(spark, sf_dir, 'documents')
+        .select(host.alias('host'), url.alias('url'))
+        .groupBy('host')
+        .agg(F.count('*').alias('n_urls'), F.min('url').alias('min_url'))
+    )
+    return g.select(
+        'host',
+        registered_domain_col(F.col('host')).alias('registered_domain'),
+        surt_host_col(F.col('host')).alias('surt_host'),
+        surt_key_col(F.col('min_url')).alias('surt_key'),
+        'n_urls',
+    )
+
+
+def _suffix_list_sql() -> str:
+    from scalpel_spark.functions.urls import MULTI_LABEL_SUFFIXES
+
+    return '[' + ', '.join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES) + ']'
+
+
+ORACLE_URL_REGISTERED_DOMAIN = f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN 'localhost' ELSE
+           (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'a.b.' ELSE '' END)
+           || 'd' || CAST(doc_id % 7 AS VARCHAR)
+           || (CASE doc_id % 5 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.org'
+                               WHEN 3 THEN '.com.au' ELSE '.de' END)
+         END AS host, doc_id
+  FROM documents),
+g AS (SELECT host, COUNT(*) AS n_urls,
+             MIN('http://' || host || '/p/' || CAST(doc_id AS VARCHAR) || '/x') AS min_url
+      FROM u GROUP BY host),
+l AS (SELECT host, n_urls, min_url, string_split(host, '.') AS labels FROM g)
+SELECT host,
+       CASE WHEN len(labels) <= 2 THEN host
+            WHEN list_contains({{suffixes}}, labels[-2] || '.' || labels[-1])
+              THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+            ELSE labels[-2] || '.' || labels[-1] END AS registered_domain,
+       array_to_string(list_reverse(labels), ',') AS surt_host,
+       array_to_string(list_reverse(labels), ',') || ')' ||
+         coalesce(regexp_extract(min_url, '^[a-z]+://[^/]+(/[^?#]*)', 1), '/') AS surt_key,
+       n_urls
+FROM l
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style fixed-size token chunking with overlap (chunk=24,
     stride=16): every chunk's offset, length, and exact text pinned."""
@@ -2522,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_quantize': q_embedding_quantize,
         'shard_stats': q_shard_stats,
         'chunk_documents': q_chunk_documents,
+        'url_registered_domain': q_url_registered_domain,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2602,6 +2669,8 @@ def oracle_sql() -> dict[str, str]:
         'embedding_quantize': ORACLE_QUANTIZE,
         'shard_stats': ORACLE_SHARD_STATS,
         'chunk_documents': ORACLE_CHUNK_DOCUMENTS,
+        'url_registered_domain': ORACLE_URL_REGISTERED_DOMAIN.replace(
+            '{suffixes}', _suffix_list_sql()),
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -117,6 +117,19 @@ class CrawlConfig:
     # real deployments load 10^5-10^7 hosts — still broadcast-scale).
     url_rules: bool = False
     blocklist_hosts: tuple = ()
+    # politeness grouping identity (beyond reference — the reference keys
+    # everything by host because it crawls one site at a time,
+    # any_io/robots.py:44-56): 'host' (default, reference parity) counts
+    # the per-wave dispatch budget per exact host; 'domain' counts it per
+    # REGISTERED domain (functions/urls.registered_domain_col — PSL-style
+    # pay-level domain), so a site cannot absorb the whole wave through
+    # thousands of subdomains (blogspot.com, *.github.io, link farms).
+    # Robots evaluation and the recorded per-host delay stay host-keyed
+    # in both scopes (robots.txt IS per host); only the slot-counting
+    # window key widens. Each row's delay-derived budget still comes from
+    # its own host's robots delay — the strictest host in a domain defers
+    # first.
+    politeness_scope: str = 'host'
     seed: int = 42
 
     def __post_init__(self):
@@ -132,6 +145,8 @@ class CrawlConfig:
             raise ValueError('wave_duration must be > 0 seconds')
         if self.seen_filter not in ('bloom', 'cuckoo'):
             raise ValueError(f'unknown seen_filter: {self.seen_filter}')
+        if self.politeness_scope not in ('host', 'domain'):
+            raise ValueError(f'unknown politeness_scope: {self.politeness_scope}')
 
     @property
     def request_delay(self) -> float:

@@ -78,3 +78,73 @@ def url_hash_col(url: Column) -> Column:
 def scheme_col(url: Column) -> Column:
     """Scheme of the URL, JVM-side: text before the first ':'."""
     return F.lower(F.substring_index(url, ':', 1))
+
+
+# Common two-label public suffixes (a pragmatic subset of the Mozilla
+# Public Suffix List — en.wikipedia.org/wiki/Public_Suffix_List). A full
+# PSL deployment swaps this tuple for the published list; the column
+# algebra below is unchanged (the list is a literal array, so Catalyst
+# ships it once in the plan, not per row). Sorted for determinism.
+MULTI_LABEL_SUFFIXES = tuple(sorted({
+    'ac.jp', 'ac.uk', 'co.id', 'co.in', 'co.jp', 'co.kr', 'co.nz',
+    'co.th', 'co.uk', 'co.za', 'com.ar', 'com.au', 'com.bd', 'com.br',
+    'com.cn', 'com.eg', 'com.hk', 'com.mx', 'com.my', 'com.ng',
+    'com.ph', 'com.pk', 'com.sa', 'com.sg', 'com.tr', 'com.tw',
+    'com.vn', 'edu.au', 'go.jp', 'gov.au', 'gov.br', 'gov.cn',
+    'gov.uk', 'me.uk', 'ne.jp', 'net.au', 'net.br', 'net.cn',
+    'net.in', 'net.nz', 'net.uk', 'or.jp', 'or.kr', 'org.au',
+    'org.br', 'org.cn', 'org.in', 'org.nz', 'org.uk', 'org.za',
+    'sch.uk',
+}))
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Registered domain (pay-level domain) of a host, JVM-side:
+    ``news.bbc.co.uk`` → ``bbc.co.uk``, ``www.example.com`` →
+    ``example.com``. Hosts with ≤2 labels (or null) pass through.
+
+    Politeness at PLD granularity is how production crawlers avoid
+    hammering one site through thousands of subdomains (the reference is
+    host-granular because it crawls one site at a time —
+    ``any_io/robots.py:44-56`` keys its cache by host); the engine
+    exposes this via ``CrawlConfig.politeness_scope='domain'``.
+
+    Pure whole-stage-codegen column algebra: one ``split``, two
+    ``element_at`` probes, one literal-array membership scan (~50
+    entries). DuckDB twin: ``string_split`` + ``list_contains`` over the
+    same literal list.
+    """
+    labels = F.split(host, r'\.')
+    n = F.size(labels)
+    last2 = F.concat_ws('.', F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        '.', F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1))
+    is_multi = F.array_contains(
+        F.array(*[F.lit(s) for s in MULTI_LABEL_SUFFIXES]), last2)
+    return (
+        F.when(host.isNull() | (n <= 2), host)
+        .when(is_multi & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def surt_host_col(host: Column) -> Column:
+    """SURT-ordered host key (``www.example.org`` → ``org,example,www``)
+    — the classic web-archive sort key (Heritrix/Common Crawl SURT):
+    range-partitioning or sorting the frontier on it co-locates every
+    host of a registered domain in contiguous key space, so per-domain
+    politeness grouping and prefix scans touch one partition range
+    instead of shuffling. ``reverse(split(host)) |> array_join(',')`` —
+    map-side, codegen."""
+    return F.array_join(F.reverse(F.split(host, r'\.')), ',')
+
+
+def surt_key_col(url: Column) -> Column:
+    """Full SURT key of a URL: ``surt_host(host) || ')' || path`` (query
+    dropped — frontier locality, not identity; the seen key remains the
+    canonicalized full URL). Sorting the frontier by this key is the
+    at-rest layout for 10^10 URLs: same-domain URLs are contiguous, so
+    the per-host politeness window becomes a near-local operation."""
+    raw = F.coalesce(F.parse_url(url, F.lit('PATH')), F.lit(''))
+    path = F.when(raw == '', F.lit('/')).otherwise(raw)
+    return F.concat(surt_host_col(host_col(url)), F.lit(')'), path)

@@ -606,6 +606,18 @@ class CrawlEngine:
         # request_delay, like the reference's _get_request_delay default.
         deferred = self._empty(FRONTIER_SCHEMA)
         if cfg.max_dispatch_per_host_per_wave is not None or cfg.wave_duration is not None:
+            # politeness_scope='domain' widens the slot-counting key from
+            # the exact host to its registered domain (PLD) — one window
+            # per site, not per subdomain. Map-side column; the window
+            # shuffle key changes but its shape doesn't. 'host' (default)
+            # is reference parity.
+            pol_key = 'host'
+            if cfg.politeness_scope == 'domain':
+                from scalpel_spark.functions.urls import registered_domain_col
+
+                allowed = allowed.withColumn(
+                    '_pol_domain', registered_domain_col(F.col('host')))
+                pol_key = '_pol_domain'
             budget = None
             if cfg.max_dispatch_per_host_per_wave is not None:
                 budget = F.lit(cfg.max_dispatch_per_host_per_wave).cast('long')
@@ -630,15 +642,15 @@ class CrawlEngine:
             else:
                 slot_order = [F.asc('priority')]
             if cfg.hot_host_threshold is not None:
-                hot = detect_hot_keys(allowed, 'host', cfg.hot_host_threshold)
-                marked = allowed.join(F.broadcast(hot.withColumn('_hot', F.lit(True))), 'host', 'left')
+                hot = detect_hot_keys(allowed, pol_key, cfg.hot_host_threshold)
+                marked = allowed.join(F.broadcast(hot.withColumn('_hot', F.lit(True))), pol_key, 'left')
                 salted = marked.withColumn(
                     'salt',
                     F.when(F.col('_hot'), F.pmod(F.col('url_hash'), F.lit(cfg.num_salts)).cast('int')).otherwise(
                         F.lit(0)
                     ),
                 )
-                w = Window.partitionBy('host', 'salt').orderBy(*slot_order)
+                w = Window.partitionBy(pol_key, 'salt').orderBy(*slot_order)
                 slot = F.row_number().over(w) - 1
                 # hot hosts: interleave salt buckets → dispatch slots stay unique per host
                 salted = salted.withColumn(
@@ -647,7 +659,7 @@ class CrawlEngine:
                 )
                 allowed = salted.drop('_hot', 'salt')
             else:
-                w = Window.partitionBy('host').orderBy(*slot_order)
+                w = Window.partitionBy(pol_key).orderBy(*slot_order)
                 allowed = allowed.withColumn('_slot', F.row_number().over(w) - 1)
             # NULL budget (both knobs unbounded for this host) → never over
             over = F.coalesce(F.col('_slot') >= budget, F.lit(False))
@@ -655,7 +667,7 @@ class CrawlEngine:
                 allowed.filter(over)
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
-            allowed = allowed.filter(~over).drop('_slot', '_score')
+            allowed = allowed.filter(~over).drop('_slot', '_score', '_pol_domain')
         allowed = allowed.drop('delay')
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response

@@ -181,3 +181,38 @@ def test_frontier_priority_reorders_dispatch_within_budget(spark):
     assert prio[seeds[2]] == 0 and prio[seeds[1]] == 1 and prio[seeds[0]] == 2
     fifo = waves_of(CrawlConfig(max_dispatch_per_host_per_wave=1, max_waves=3))
     assert fifo[seeds[0]] == 0 and fifo[seeds[1]] == 1 and fifo[seeds[2]] == 2
+
+
+def test_engine_domain_scope_shares_budget_across_subdomains(spark):
+    """politeness_scope='domain': every h*.example.com subdomain shares ONE
+    registered-domain budget window, so a wave dispatches max_dispatch URLs
+    across the WHOLE domain; 'host' scope (default) gives each subdomain its
+    own window. Robots stays host-keyed in both scopes."""
+    corpus_df = synthetic_corpus(spark, n_pages=60, n_hosts=6, seed=11)
+    seeds = [f'http://h{h}.example.com/p{p}.html' for h in range(6) for p in range(3)]
+
+    def wave0_total(cfg):
+        result = CrawlEngine(spark, corpus_df, config=cfg).run(seeds)
+        counts = _per_host_wave_counts(result.dispatch_rows())
+        return sum(n for (host, wave), n in counts.items() if wave == 0)
+
+    assert wave0_total(CrawlConfig(max_dispatch_per_host_per_wave=3,
+                                   max_waves=1)) == 18  # 3 x 6 subdomains
+    assert wave0_total(CrawlConfig(max_dispatch_per_host_per_wave=3, max_waves=1,
+                                   politeness_scope='domain')) == 3
+
+    # deferred seeds drain deterministically: 18 seeds at 3/wave = 6 waves
+    full = CrawlEngine(
+        spark, corpus_df,
+        config=CrawlConfig(max_dispatch_per_host_per_wave=3, max_waves=6,
+                           politeness_scope='domain')).run(seeds)
+    counts = _per_host_wave_counts(full.dispatch_rows())
+    per_wave = {}
+    for (host, wave), n in counts.items():
+        per_wave[wave] = per_wave.get(wave, 0) + n
+    assert {w: n for w, n in per_wave.items() if w < 6} == {w: 3 for w in range(6)}
+
+
+def test_config_rejects_unknown_politeness_scope():
+    with pytest.raises(ValueError):
+        CrawlConfig(politeness_scope='tld')

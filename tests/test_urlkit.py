@@ -7,6 +7,8 @@ validation goldens:     /root/reference/tests/core/test_spider.py:24-90
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from scalpel_spark.functions import urlkit
 
 
@@ -105,3 +107,34 @@ def test_canonicalize_for_frontier():
     # idempotent: canon(canon(u)) == canon(u)
     for u in ('http://a.com/p?b=2&a=1&utm_term=t#x', 'file:///w/p.html?ref=nav'):
         assert canon(canon(u)) == canon(u)
+
+
+def test_registered_domain_and_surt(spark):
+    from scalpel_spark.functions.urls import (registered_domain_col,
+                                              surt_host_col, surt_key_col)
+    cases = [
+        ('www.example.com', 'example.com', 'com,example,www'),
+        ('news.bbc.co.uk', 'bbc.co.uk', 'uk,co,bbc,news'),
+        ('a.b.deep.org.au', 'deep.org.au', 'au,org,deep,b,a'),
+        ('example.com', 'example.com', 'com,example'),
+        ('bbc.co.uk', 'bbc.co.uk', 'uk,co,bbc'),
+        ('localhost', 'localhost', 'localhost'),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], 'host string')
+    got = {r['host']: (r['rd'], r['sh']) for r in df.select(
+        'host',
+        registered_domain_col(F.col('host')).alias('rd'),
+        surt_host_col(F.col('host')).alias('sh')).collect()}
+    for host, rd, sh in cases:
+        assert got[host] == (rd, sh), host
+    # full SURT key: query dropped, path kept, missing path -> '/'
+    urls = spark.createDataFrame(
+        [('http://www.example.com/a/b?q=1',), ('http://example.com',)], 'url string')
+    keys = [r['k'] for r in urls.select(surt_key_col(F.col('url')).alias('k')).collect()]
+    assert keys == ['com,example,www)/a/b', 'com,example)/']
+
+
+def test_registered_domain_null_passthrough(spark):
+    from scalpel_spark.functions.urls import registered_domain_col
+    df = spark.createDataFrame([(None,)], 'host string')
+    assert df.select(registered_domain_col(F.col('host')).alias('rd')).collect()[0]['rd'] is None
