@@ -1192,6 +1192,85 @@ FROM l
 """
 
 
+def q_robots_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard robots matching end-to-end: real robots.txt TEXT
+    is parsed + compiled once per host (operators/robots9309.rules_table),
+    then every URL is decided map-side (match_urls — longest pattern wins,
+    allow breaks ties, trailing $ anchors, query string defeats the
+    anchor, missing group/row ⇒ allowed). The DuckDB twin re-makes every
+    decision from the equivalent compiled-rule VALUES with RE2
+    regexp_matches — so parse, translate, precedence, and target
+    normalization are all oracle-checked. Beyond-reference: the
+    reference's stdlib parser (any_io/robots.py:29) predates RFC 9309."""
+    from scalpel_spark.operators.robots9309 import match_urls, rules_table
+
+    d = F.col('doc_id')
+    cls = (d % 3).cast('int')
+    host = F.concat(F.lit('h'), (d % 5).cast('string'), F.lit('.c'),
+                    cls.cast('string'), F.lit('.test'))
+    path = (F.when(d % 7 == 0, F.concat(F.lit('/private/doc'), d.cast('string')))
+            .when(d % 7 == 1, F.concat(F.lit('/private/pub'), d.cast('string')))
+            .when(d % 7 == 2, F.concat(F.lit('/files/x'), d.cast('string'), F.lit('.php')))
+            .when(d % 7 == 3, F.concat(F.lit('/x'), d.cast('string'), F.lit('.php')))
+            .when(d % 7 == 4, F.concat(F.lit('/x'), d.cast('string'), F.lit('.php?v=1')))
+            .when(d % 7 == 5, F.concat(F.lit('/open/'), d.cast('string')))
+            .otherwise(F.lit('')))
+    urls = (_t(spark, sf_dir, 'documents')
+            .select(F.concat(F.lit('http://'), host, path).alias('url'),
+                    host.alias('host')))
+    robots_texts = [
+        'User-agent: *\nDisallow: /private/\nAllow: /private/pub*',
+        'User-agent: *\nDisallow: /*.php$\nAllow: /files/',
+        'User-agent: otherbot\nDisallow: /',
+    ]
+    robots = spark.createDataFrame(
+        [(f'h{h}.c{c}.test', robots_texts[c]) for h in range(5) for c in range(3)],
+        'host string, rules string')
+    rules = rules_table(robots, 'mybot')
+    return (match_urls(urls, rules)
+            .groupBy('host', 'rep_allowed')
+            .agg(F.count('*').alias('n_urls'), F.min('url').alias('min_url')))
+
+
+ORACLE_ROBOTS_RFC9309 = r"""
+WITH u AS (
+  SELECT 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.c'
+           || CAST(doc_id % 3 AS VARCHAR) || '.test' AS base,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.c'
+           || CAST(doc_id % 3 AS VARCHAR) || '.test' AS host,
+         CAST(doc_id % 3 AS INT) AS cls,
+         CASE doc_id % 7
+           WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/files/x' || CAST(doc_id AS VARCHAR) || '.php'
+           WHEN 3 THEN '/x' || CAST(doc_id AS VARCHAR) || '.php'
+           WHEN 4 THEN '/x' || CAST(doc_id AS VARCHAR) || '.php?v=1'
+           WHEN 5 THEN '/open/' || CAST(doc_id AS VARCHAR)
+           ELSE '' END AS path
+  FROM documents),
+rules(cls, rx, allow, plen) AS (VALUES
+  (0, '^/private/', FALSE, 9), (0, '^/private/pub.*', TRUE, 13),
+  (1, '^/.*\.php$', FALSE, 7), (1, '^/files/', TRUE, 7)),
+t AS (
+  SELECT DISTINCT cls, CASE WHEN path = '' THEN '/' ELSE path END AS target
+  FROM u),
+m AS (
+  SELECT t.cls, t.target, r.allow,
+         ROW_NUMBER() OVER (PARTITION BY t.cls, t.target
+                            ORDER BY r.plen DESC, r.allow DESC) AS rn
+  FROM t JOIN rules r ON r.cls = t.cls
+  WHERE regexp_matches(t.target, r.rx)),
+final AS (
+  SELECT u.base || u.path AS url, u.host, COALESCE(m.allow, TRUE) AS rep_allowed
+  FROM u LEFT JOIN m
+    ON m.cls = u.cls
+   AND m.target = (CASE WHEN u.path = '' THEN '/' ELSE u.path END)
+   AND m.rn = 1)
+SELECT host, rep_allowed, COUNT(*) AS n_urls, MIN(url) AS min_url
+FROM final GROUP BY host, rep_allowed
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style fixed-size token chunking with overlap (chunk=24,
     stride=16): every chunk's offset, length, and exact text pinned."""
@@ -2589,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'shard_stats': q_shard_stats,
         'chunk_documents': q_chunk_documents,
         'url_registered_domain': q_url_registered_domain,
+        'robots_rfc9309': q_robots_rfc9309,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2671,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         'chunk_documents': ORACLE_CHUNK_DOCUMENTS,
         'url_registered_domain': ORACLE_URL_REGISTERED_DOMAIN.replace(
             '{suffixes}', _suffix_list_sql()),
+        'robots_rfc9309': ORACLE_ROBOTS_RFC9309,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -19,7 +19,10 @@ import sys
 sys.path.insert(0, '.')
 
 # queries whose plans are allowed to contain Python (Arrow) eval nodes
-PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical'}
+# (url canonicalization, and the once-per-host robots.txt parse of
+# robots_rfc9309 — its per-URL matching is JVM-side)
+PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
+             'robots_rfc9309'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
