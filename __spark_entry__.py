@@ -1271,6 +1271,58 @@ FROM final GROUP BY host, rep_allowed
 """
 
 
+def q_url_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-lifted redirect-chain resolution (operators/redirects.py)
+    over a deterministic synthetic redirect graph: chains up to 15 hops
+    (every doc_id not ≡0 mod 16 redirects to doc_id-1), self-loops at
+    multiples of 19, cap max_hops=6 — so the result mixes direct,
+    resolved, loop-unresolved, and truncated-unresolved URLs with EXACT
+    hop counts at a non-power-of-two cap. DuckDB twin: recursive CTE
+    walking the same graph hop-by-hop."""
+    from scalpel_spark.operators.redirects import resolve_redirects
+
+    d = F.col('doc_id')
+    as_url = lambda c: F.concat(F.lit('http://r.test/u/'), c.cast('string'))  # noqa: E731
+    docs = _t(spark, sf_dir, 'documents')
+    urls = docs.select(as_url(d).alias('url'))
+    edges = (docs.filter((d % 19 == 0) | (d % 16 != 0))
+             .select(as_url(d).alias('src'),
+                     as_url(F.when(d % 19 == 0, d).otherwise(d - 1)).alias('dst')))
+    out = resolve_redirects(urls, edges, max_hops=6)
+    return out.groupBy('redirect_status', 'hops').agg(
+        F.count('*').alias('n_urls'),
+        F.min('url').alias('min_url'),
+        F.min('final_url').alias('min_final'))
+
+
+ORACLE_RESOLVE_REDIRECTS = """
+WITH RECURSIVE
+u AS (SELECT 'http://r.test/u/' || CAST(doc_id AS VARCHAR) AS url, doc_id AS d
+      FROM documents),
+e AS (SELECT 'http://r.test/u/' || CAST(d AS VARCHAR) AS src,
+             'http://r.test/u/' ||
+               CAST(CASE WHEN d % 19 = 0 THEN d ELSE d - 1 END AS VARCHAR) AS dst
+      FROM (SELECT doc_id AS d FROM documents)
+      WHERE d % 19 = 0 OR d % 16 <> 0),
+walk(url, cur, hops) AS (
+  SELECT url, url, 0 FROM u
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < 6),
+last AS (SELECT url, arg_max(cur, hops) AS final_url, MAX(hops) AS hops
+         FROM walk GROUP BY url),
+fin AS (SELECT l.url, l.final_url, l.hops,
+               CASE WHEN EXISTS(SELECT 1 FROM e WHERE e.src = l.final_url)
+                      THEN 'unresolved'
+                    WHEN l.hops = 0 THEN 'direct'
+                    ELSE 'resolved' END AS redirect_status
+        FROM last l)
+SELECT redirect_status, hops, COUNT(*) AS n_urls,
+       MIN(url) AS min_url, MIN(final_url) AS min_final
+FROM fin GROUP BY redirect_status, hops
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style fixed-size token chunking with overlap (chunk=24,
     stride=16): every chunk's offset, length, and exact text pinned."""
@@ -2669,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'chunk_documents': q_chunk_documents,
         'url_registered_domain': q_url_registered_domain,
         'robots_rfc9309': q_robots_rfc9309,
+        'url_resolve_redirects': q_url_resolve_redirects,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2752,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
         'url_registered_domain': ORACLE_URL_REGISTERED_DOMAIN.replace(
             '{suffixes}', _suffix_list_sql()),
         'robots_rfc9309': ORACLE_ROBOTS_RFC9309,
+        'url_resolve_redirects': ORACLE_RESOLVE_REDIRECTS,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
