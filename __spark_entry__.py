@@ -2504,6 +2504,53 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_rfc9309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.robots_matcher through the full engine: under
+    'Disallow: /private/' + 'Disallow: /*.pdf$' with a DENIED first seed,
+    the stdlib matcher (reference parity, any_io/robots.py:82-91 — first
+    URL decides the host) excludes ALL four URLs, while 'rfc9309' excludes
+    exactly the two rule-matched ones (wildcard $ incl.) and fetches the
+    rest. Deterministic VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA, ROBOTS_SCHEMA
+
+    host = 'rep.example.com'
+    paths = ['/private/a', '/public/b', '/private/sub/c', '/docs.pdf']
+    corpus = spark.createDataFrame([
+        {'doc_id': f'http://{host}{p}',
+         'spans': [{'kind': 'text', 'text': f'body{i}', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 2.0}
+        for i, p in enumerate(paths)
+    ], CORPUS_SCHEMA)
+    robots = spark.createDataFrame(
+        [{'host': host, 'fetch_status': 200,
+          'rules': 'User-agent: *\nDisallow: /private/\nDisallow: /*.pdf$'}],
+        ROBOTS_SCHEMA)
+    seeds = [f'http://{host}{p}' for p in paths]
+    out = None
+    for matcher in ('stdlib', 'rfc9309'):
+        cfg = CrawlConfig(follow_robots_txt=True, robots_matcher=matcher, max_waves=2)
+        res = CrawlEngine(spark, corpus, robots, cfg).run(seeds)
+        part = res.seen.select(F.lit(matcher).alias('matcher'), 'url', 'status')
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CRAWL_RFC9309 = """
+SELECT * FROM (VALUES
+  ('stdlib', 'http://rep.example.com/private/a', 'robots_excluded'),
+  ('stdlib', 'http://rep.example.com/public/b', 'robots_excluded'),
+  ('stdlib', 'http://rep.example.com/private/sub/c', 'robots_excluded'),
+  ('stdlib', 'http://rep.example.com/docs.pdf', 'robots_excluded'),
+  ('rfc9309', 'http://rep.example.com/private/a', 'robots_excluded'),
+  ('rfc9309', 'http://rep.example.com/public/b', 'reachable'),
+  ('rfc9309', 'http://rep.example.com/private/sub/c', 'robots_excluded'),
+  ('rfc9309', 'http://rep.example.com/docs.pdf', 'robots_excluded')
+) AS t(matcher, url, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -2722,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_registered_domain': q_url_registered_domain,
         'robots_rfc9309': q_robots_rfc9309,
         'url_resolve_redirects': q_url_resolve_redirects,
+        'crawl_rfc9309': q_crawl_rfc9309,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2806,6 +2854,7 @@ def oracle_sql() -> dict[str, str]:
             '{suffixes}', _suffix_list_sql()),
         'robots_rfc9309': ORACLE_ROBOTS_RFC9309,
         'url_resolve_redirects': ORACLE_RESOLVE_REDIRECTS,
+        'crawl_rfc9309': ORACLE_CRAWL_RFC9309,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

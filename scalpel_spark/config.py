@@ -34,6 +34,17 @@ class CrawlConfig:
     # Robots allow/deny exclusion (incl. the -1 sentinel) is identical in
     # both modes; only the recorded per-host delay differs.
     politeness_mode: str = 'anyio'
+    # robots rule matcher: 'stdlib' (default — reference parity: the
+    # stdlib RobotFileParser decides on the host's FIRST dispatched URL
+    # and that verdict sticks for the whole host, the reference's
+    # _delay_mapping quirk, any_io/robots.py:82-91); 'rfc9309'
+    # (beyond-reference — RFC 9309 wildcard matching PER URL via
+    # operators/robots9309: `*`/`$` patterns, longest-match-wins, allow
+    # breaks ties; only the URLs a rule actually denies are excluded,
+    # the rest of the host proceeds). Host-level state (delay precedence
+    # and the fetch-status deny-all policy: timeout/401/403) is identical
+    # in both modes — robots.txt and crawl-delay ARE host-scoped.
+    robots_matcher: str = 'stdlib'
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded
@@ -147,6 +158,8 @@ class CrawlConfig:
             raise ValueError(f'unknown seen_filter: {self.seen_filter}')
         if self.politeness_scope not in ('host', 'domain'):
             raise ValueError(f'unknown politeness_scope: {self.politeness_scope}')
+        if self.robots_matcher not in ('stdlib', 'rfc9309'):
+            raise ValueError(f'unknown robots_matcher: {self.robots_matcher}')
 
     @property
     def request_delay(self) -> float:

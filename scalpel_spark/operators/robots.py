@@ -38,7 +38,8 @@ HOST_STATE_SCHEMA = T.StructType(
 
 
 def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str,
-                   default_delay: float, mode: str = 'anyio'):
+                   default_delay: float, mode: str = 'anyio',
+                   matcher: str = 'stdlib'):
     """Pure per-host kernel — also the spec used by the simulator.
 
     ``mode='green'`` reproduces the gevent backend's pacing: the config
@@ -46,6 +47,12 @@ def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str,
     request-rate are not honored (green/static_spider.py:192-199 TODO;
     documented at docs/static-spider.md "Good to know"). Exclusion
     (deny-all, -1 sentinel) is identical in both modes.
+
+    ``matcher='rfc9309'`` drops the reference's first-URL-decides-the-host
+    quirk: rules-based denial is decided PER URL downstream
+    (``operators/robots9309``), so here only the fetch-status policy
+    (timeout/401/403 → deny-all) can exclude the host; the delay
+    precedence is unchanged (crawl-delay IS host-scoped).
     """
     if fetch_status is None or fetch_status == -1 or fetch_status in (401, 403):
         return True, -1.0
@@ -53,7 +60,7 @@ def _evaluate_host(fetch_status, rules: str, decision_url: str, user_agent: str,
         return False, float(default_delay)
     parser = RobotFileParser()
     parser.parse((rules or '').splitlines())
-    if not parser.can_fetch(user_agent, decision_url):
+    if matcher == 'stdlib' and not parser.can_fetch(user_agent, decision_url):
         return True, -1.0
     if mode == 'green':
         return False, float(default_delay)
@@ -72,6 +79,7 @@ def evaluate_new_hosts(
     user_agent: str,
     default_delay: float,
     mode: str = 'anyio',
+    matcher: str = 'stdlib',
 ) -> DataFrame:
     """Returns (host, excluded, delay) for hosts not yet in the state table."""
     joined = new_host_first_urls.join(F.broadcast(robots_df), 'host', 'left').select(
@@ -83,7 +91,7 @@ def evaluate_new_hosts(
             out = {'host': [], 'excluded': [], 'delay': []}
             for host, url, status, rules in zip(pdf['host'], pdf['decision_url'], pdf['fetch_status'], pdf['rules']):
                 status = None if pd.isna(status) else int(status)
-                excluded, delay = _evaluate_host(status, rules, url, user_agent, default_delay, mode)
+                excluded, delay = _evaluate_host(status, rules, url, user_agent, default_delay, mode, matcher)
                 out['host'].append(host)
                 out['excluded'].append(excluded)
                 out['delay'].append(delay)

@@ -567,7 +567,8 @@ class CrawlEngine:
             # web scale (10^7-10^8 hosts) a per-wave collect would be
             # O(waves × hosts) serial driver work and an OOM.
             fresh = evaluate_new_hosts(new_hosts, self.robots, cfg.user_agent,
-                                       cfg.request_delay, cfg.politeness_mode).persist()
+                                       cfg.request_delay, cfg.politeness_mode,
+                                       cfg.robots_matcher).persist()
             host_state = host_state.unionByName(fresh)
             n_hosts = host_state.count()
             self._host_state_snapshot = host_state
@@ -585,12 +586,47 @@ class CrawlEngine:
                 # URL regardless of scheme (any_io/static_spider.py:181-184)
                 # — host-keyed schedule-time exclusion, the default here.
                 is_excluded = is_excluded & (F.col('scheme') != 'file')
+            rep_cols = ()
+            if cfg.robots_matcher == 'rfc9309':
+                # per-URL wildcard matching (operators/robots9309): the
+                # wave's hosts' robots.txt parse+compile ONCE per host
+                # (rules_table, Arrow-batched), then every URL decides
+                # map-side against the broadcast one-row-per-host rules
+                # array — no extra shuffle on the URL axis. Host-level
+                # exclusion above is now fetch-status-policy only
+                # (timeout/401/403), so `is_excluded | rep_denied` is the
+                # complete RFC 9309 verdict. A production deployment
+                # would persist compiled rules in host_state instead of
+                # re-deriving them per wave; re-deriving keeps the stored
+                # schema reference-shaped and costs one tiny per-host job.
+                from scalpel_spark.operators.robots9309 import (
+                    match_target_col, rules_table)
+
+                wave_hosts = new.select('host').distinct()
+                applicable = self.robots.join(wave_hosts, 'host', 'left_semi')
+                rep_rules = rules_table(applicable, cfg.user_agent)
+                joined = joined.join(F.broadcast(rep_rules), 'host', 'left')
+                target = match_target_col(F.col('url'))
+                matched = F.filter(
+                    F.coalesce(F.col('rep_rules'), F.array()),
+                    lambda r: F.regexp_like(target, r['rx']),
+                )
+                best = F.array_max(F.transform(
+                    matched,
+                    lambda r: F.struct(r['plen'].alias('plen'), r['allow'].alias('allow')),
+                ))
+                rep_denied = (F.size(matched) > 0) & ~best['allow']
+                is_excluded = is_excluded | (
+                    F.col('scheme').isin('http', 'https') & rep_denied
+                )
+                rep_cols = ('rep_rules',)
             excluded = joined.filter(is_excluded).select(
                 'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
             )
             # keep the per-host `delay` when wave_duration derives the
             # budget from it (step 4); drop it otherwise
             drop_cols = ('excluded',) if cfg.wave_duration is not None else ('excluded', 'delay')
+            drop_cols = drop_cols + rep_cols
             allowed = joined.filter(~is_excluded).drop(*drop_cols)
             metrics_rows.append((wave, 'robots', -1, n_hosts, (time.time() - t0) * 1000))
 

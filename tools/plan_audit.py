@@ -30,6 +30,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
         'crawl_politeness_budget', 'crawl_priority_frontier',
         'crawl_green_file_bypass',
+        'crawl_rfc9309',
         'crawl_canonicalized_seen'}
 
 CHECKS = {
