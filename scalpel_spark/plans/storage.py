@@ -265,3 +265,35 @@ class SnapshotStore:
                 shutil.rmtree(os.path.join(data_dir, d), ignore_errors=True)
                 removed.append(d)
         return removed
+
+
+def write_surt_sorted(
+    urls_df: DataFrame,
+    path: str,
+    url_col: str = 'url',
+    n_partitions: Optional[int] = None,
+) -> None:
+    """Write a URL table range-partitioned AND sorted by its SURT key —
+    the at-rest layout for a 10^10-URL frontier.
+
+    SURT order (``functions/urls.surt_key_col``: ``org,example,www)/path``)
+    is the Heritrix/Common Crawl layout: every host of a registered domain
+    is contiguous in key space, so (a) per-domain politeness grouping
+    reads a contiguous partition range instead of shuffling the world,
+    (b) domain/host prefix scans prune to a handful of files via parquet
+    min/max statistics on ``surt_key``, and (c) same-domain URLs compress
+    together (shared key prefixes). ``repartitionByRange`` samples the
+    keys, so output files stay balanced even when one domain dominates.
+    One shuffle at write time, amortized over every later wave that reads
+    the frontier back.
+    """
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.functions.urls import surt_key_col
+
+    keyed = urls_df.withColumn('surt_key', surt_key_col(F.col(url_col)))
+    if n_partitions is not None:
+        ranged = keyed.repartitionByRange(n_partitions, 'surt_key')
+    else:
+        ranged = keyed.repartitionByRange('surt_key')
+    ranged.sortWithinPartitions('surt_key').write.mode('overwrite').parquet(path)
