@@ -1323,6 +1323,59 @@ FROM fin GROUP BY redirect_status, hops
 """
 
 
+def q_fetch_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-deployment fetch source (sources/fetcher.fetch_frontier):
+    host-partitioned Arrow-batched mapInPandas with the deterministic
+    fake fetcher (body = md5(url), status 404 iff the digest ends in
+    'f', latency = first digest byte % 10 + 1) and per-host pacing slots
+    (dispatch_ms = slot × delay × 1000 in priority order). The DuckDB
+    twin recomputes every value from md5(url) + a per-host ROW_NUMBER —
+    so batching, ordering, and pacing are all oracle-checked."""
+    from scalpel_spark.sources.fetcher import fetch_frontier
+
+    d = F.col('doc_id')
+    frontier = _t(spark, sf_dir, 'documents').select(
+        F.concat(F.lit('http://f'), (d % 7).cast('string'),
+                 F.lit('.test/p/'), d.cast('string')).alias('url'),
+        F.concat(F.lit('f'), (d % 7).cast('string'), F.lit('.test')).alias('host'),
+        d.alias('priority'),
+        (d % 3).cast('double').alias('delay'))
+    fetched = fetch_frontier(frontier, delay_col='delay', n_partitions=4)
+    return fetched.groupBy('host').agg(
+        F.count('*').alias('n_urls'),
+        F.sum(F.when(F.col('status') == 404, 1).otherwise(0)).alias('n_404'),
+        F.sum('fetch_ms').alias('sum_fetch_ms'),
+        F.sum('dispatch_ms').alias('sum_dispatch_ms'),
+        F.countDistinct('body').alias('n_bodies'),
+        F.min('body').alias('min_body'))
+
+
+ORACLE_FETCH_MAPINPANDAS = """
+WITH u AS (
+  SELECT 'http://f' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'f' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+         doc_id AS priority,
+         CAST(doc_id % 3 AS DOUBLE) AS delay
+  FROM documents),
+f AS (
+  SELECT host, md5(url) AS body,
+         CASE WHEN substr(md5(url), 32, 1) = 'f' THEN 404 ELSE 200 END AS status,
+         CAST(CAST('0x' || substr(md5(url), 1, 2) AS INT) % 10 + 1 AS DOUBLE)
+           AS fetch_ms,
+         (ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority) - 1)
+           * delay * 1000.0 AS dispatch_ms
+  FROM u)
+SELECT host, COUNT(*) AS n_urls,
+       SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS n_404,
+       SUM(fetch_ms) AS sum_fetch_ms,
+       SUM(dispatch_ms) AS sum_dispatch_ms,
+       COUNT(DISTINCT body) AS n_bodies,
+       MIN(body) AS min_body
+FROM f GROUP BY host
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style fixed-size token chunking with overlap (chunk=24,
     stride=16): every chunk's offset, length, and exact text pinned."""
@@ -2770,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_rfc9309': q_robots_rfc9309,
         'url_resolve_redirects': q_url_resolve_redirects,
         'crawl_rfc9309': q_crawl_rfc9309,
+        'fetch_mapinpandas': q_fetch_mapinpandas,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2855,6 +2909,7 @@ def oracle_sql() -> dict[str, str]:
         'robots_rfc9309': ORACLE_ROBOTS_RFC9309,
         'url_resolve_redirects': ORACLE_RESOLVE_REDIRECTS,
         'crawl_rfc9309': ORACLE_CRAWL_RFC9309,
+        'fetch_mapinpandas': ORACLE_FETCH_MAPINPANDAS,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
