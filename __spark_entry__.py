@@ -2604,6 +2604,51 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.content_dedup through the full engine: /a and /b carry
+    IDENTICAL span sequences (a mirror), /c is unique — with the flag on,
+    items emit once per unique content (first-discovered URL wins by
+    priority) while all three URLs stay reachable with complete docs
+    rows; with it off every page emits. Deterministic VALUES oracle over
+    (mode, doc_id, n_items)."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    host = 'mirror.example.com'
+
+    def spans(key):
+        return [{'kind': 'text', 'text': key, 'media_ref': None, 'offset': 0},
+                {'kind': 'text', 'text': key + '-author', 'media_ref': None, 'offset': 1}]
+
+    corpus = spark.createDataFrame([
+        {'doc_id': f'http://{host}{p}', 'spans': spans(k),
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 2.0}
+        for p, k in (('/a', 'same'), ('/b', 'same'), ('/c', 'solo'))
+    ], CORPUS_SCHEMA)
+    seeds = [f'http://{host}{p}' for p in ('/a', '/b', '/c')]
+    out = None
+    for flag in (False, True):
+        cfg = CrawlConfig(max_waves=2, content_dedup=flag)
+        res = CrawlEngine(spark, corpus, config=cfg).run(seeds)
+        part = (res.items.groupBy('doc_id').agg(F.count('*').alias('n_items'))
+                .select(F.lit('dedup' if flag else 'plain').alias('mode'),
+                        'doc_id', 'n_items'))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CRAWL_CONTENT_DEDUP = """
+SELECT * FROM (VALUES
+  ('plain', 'http://mirror.example.com/a', CAST(1 AS BIGINT)),
+  ('plain', 'http://mirror.example.com/b', CAST(1 AS BIGINT)),
+  ('plain', 'http://mirror.example.com/c', CAST(1 AS BIGINT)),
+  ('dedup', 'http://mirror.example.com/a', CAST(1 AS BIGINT)),
+  ('dedup', 'http://mirror.example.com/c', CAST(1 AS BIGINT))
+) AS t(mode, doc_id, n_items)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -2824,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_resolve_redirects': q_url_resolve_redirects,
         'crawl_rfc9309': q_crawl_rfc9309,
         'fetch_mapinpandas': q_fetch_mapinpandas,
+        'crawl_content_dedup': q_crawl_content_dedup,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2910,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         'url_resolve_redirects': ORACLE_RESOLVE_REDIRECTS,
         'crawl_rfc9309': ORACLE_CRAWL_RFC9309,
         'fetch_mapinpandas': ORACLE_FETCH_MAPINPANDAS,
+        'crawl_content_dedup': ORACLE_CRAWL_CONTENT_DEDUP,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -45,6 +45,16 @@ class CrawlConfig:
     # and the fetch-status deny-all policy: timeout/401/403) is identical
     # in both modes — robots.txt and crawl-delay ARE host-scoped.
     robots_matcher: str = 'stdlib'
+    # content-digest dedup (beyond reference — Heritrix's digest-based
+    # duplicate reduction): when True, a document whose span-sequence
+    # fingerprint (operators/spans.span_signature_col, the north-rule
+    # invariant key) was already emitted — in a prior wave OR earlier in
+    # this wave (lowest priority wins) — still counts reachable and still
+    # lands in docs_delta (span parity is per fetch), but emits NO items:
+    # mirror sites and URL aliases produce training data once. The
+    # signature set persists as content_seen_delta; forget() drops a
+    # signature only when no remaining document still holds it.
+    content_dedup: bool = False
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded

@@ -337,6 +337,26 @@ class CrawlEngine:
             state = self.spark.read.parquet(*self.store.state_paths(delta))
             compacted = state.join(fdf.select(F.col('url').alias(key)), key, 'left_anti')
             tables[delta.replace('_delta', '_compacted')] = compacted
+        # content_dedup interplay: a forgotten URL's span signature leaves
+        # the content-seen set ONLY if no remaining document still holds
+        # it — otherwise a recrawl would re-emit items another live URL
+        # already emitted. (Signatures recomputed from the pre-compaction
+        # docs_delta; one column crosses the shuffles.)
+        if (self.store.state_paths('content_seen_delta')
+                and self.store.state_paths('docs_delta')):
+            from scalpel_spark.operators.spans import span_signature_col
+
+            docs_state = self.spark.read.parquet(*self.store.state_paths('docs_delta'))
+            sigged = docs_state.select(
+                'doc_id', span_signature_col(F.col('spans')).alias('csig'))
+            fkeys = fdf.select(F.col('url').alias('doc_id'))
+            gone = sigged.join(fkeys, 'doc_id', 'left_semi').select('csig').distinct()
+            kept = sigged.join(fkeys, 'doc_id', 'left_anti').select('csig').distinct()
+            removable = gone.join(kept, 'csig', 'left_anti')
+            content_state = self.spark.read.parquet(
+                *self.store.state_paths('content_seen_delta'))
+            tables['content_seen_compacted'] = content_state.join(
+                removable, 'csig', 'left_anti')
         snap = self.store.current()
         wave, next_priority = -1, 0
         if snap is not None:
@@ -762,12 +782,33 @@ class CrawlEngine:
         docs = fetched.filter(F.col('status') == 'reachable').select(
             'url', 'priority', 'spans', 'fetch_ms', *render_cols)
 
+        # 5c. content-digest dedup (opt-in, CrawlConfig.content_dedup):
+        # one items emission per unique span-sequence fingerprint. The
+        # anti-join against the persisted signature set prunes cross-wave
+        # duplicates; the per-signature row_number (orderBy priority —
+        # first-discovered wins, matching FIFO semantics) prunes
+        # within-wave ones. docs/seen are untouched: dedup is an ITEMS
+        # policy, the fetch record stays complete.
+        items_src = docs
+        content_delta = None
+        if cfg.content_dedup:
+            from scalpel_spark.operators.spans import span_signature_col
+
+            sigged = docs.withColumn('csig', span_signature_col(F.col('spans')))
+            prior_sigs = self._state('content_seen_delta', 'csig long, wave int')
+            fresh = sigged.join(prior_sigs.select('csig'), 'csig', 'left_anti')
+            w_sig = Window.partitionBy('csig').orderBy('priority')
+            winners = (fresh.withColumn('_rn', F.row_number().over(w_sig))
+                       .filter(F.col('_rn') == 1).drop('_rn'))
+            content_delta = winners.select('csig').withColumn('wave', F.lit(wave))
+            items_src = winners.drop('csig')
+
         # 6. items (F5/S6): span pairs + processor chain. With
         # ignore_errors, a failing processor chain quarantines the wave's
         # raw items (with the error) instead of killing the crawl —
         # runtime (data-dependent) failures are surfaced eagerly inside
         # the guarded region via a persist+count, not at commit time.
-        raw_items = extract_items(docs).withColumn('wave', F.lit(wave))
+        raw_items = extract_items(items_src).withColumn('wave', F.lit(wave))
         items, quarantine = raw_items, None
         if cfg.item_processors:
             try:
@@ -846,6 +887,8 @@ class CrawlEngine:
         }
         if quarantine is not None:
             tables['items_quarantine_delta'] = quarantine
+        if content_delta is not None:
+            tables['content_seen_delta'] = content_delta
         if cfg.follow_robots_txt:
             tables['host_state'] = getattr(self, '_host_state_snapshot', self._empty(HOST_STATE_SCHEMA))
         metrics_rows.append((wave, 'wave_total', -1, n_new, (time.time() - t_wave) * 1000))

@@ -31,6 +31,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_politeness_budget', 'crawl_priority_frontier',
         'crawl_green_file_bypass',
         'crawl_rfc9309',
+        'crawl_content_dedup',
         'crawl_canonicalized_seen'}
 
 CHECKS = {
