@@ -2649,6 +2649,41 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_global_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.max_dispatch_per_wave through the full engine: six
+    seeds on one host under a global cap of 2 dispatch in strict FIFO
+    pairs across waves 0/1/2 (engine step 4b histogram-threshold cap —
+    no global sort, only the straddle bucket ranks). Linkless corpus so
+    the dispatch schedule is exactly the seed list; VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    host = 'cap.example.com'
+    urls = [f'http://{host}/p{k}' for k in range(6)]
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': f'body{k}', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 2.0}
+        for k, u in enumerate(urls)
+    ], CORPUS_SCHEMA)
+    cfg = CrawlConfig(max_dispatch_per_wave=2, max_waves=3)
+    res = CrawlEngine(spark, corpus, config=cfg).run(urls)
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_GLOBAL_BUDGET = """
+SELECT * FROM (VALUES
+  ('http://cap.example.com/p0', 0, 'reachable'),
+  ('http://cap.example.com/p1', 0, 'reachable'),
+  ('http://cap.example.com/p2', 1, 'reachable'),
+  ('http://cap.example.com/p3', 1, 'reachable'),
+  ('http://cap.example.com/p4', 2, 'reachable'),
+  ('http://cap.example.com/p5', 2, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -2870,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_rfc9309': q_crawl_rfc9309,
         'fetch_mapinpandas': q_fetch_mapinpandas,
         'crawl_content_dedup': q_crawl_content_dedup,
+        'crawl_global_budget': q_crawl_global_budget,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2957,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_rfc9309': ORACLE_CRAWL_RFC9309,
         'fetch_mapinpandas': ORACLE_FETCH_MAPINPANDAS,
         'crawl_content_dedup': ORACLE_CRAWL_CONTENT_DEDUP,
+        'crawl_global_budget': ORACLE_CRAWL_GLOBAL_BUDGET,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -58,6 +58,12 @@ class CrawlConfig:
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded
+    # global fetch-capacity cap (beyond reference — the reference's single
+    # worker IS its global cap): at most this many dispatches per wave
+    # ACROSS all hosts, FIFO by priority; overflow defers to the next
+    # wave. Applied after the per-host budget, exact without a global
+    # sort (histogram-threshold, see engine step 4b). None = unbounded.
+    max_dispatch_per_wave: Optional[int] = None
     # wall-clock seconds one wave represents (SURVEY §2.9 T2): when set,
     # each host's per-wave dispatch budget is delay-derived —
     # max(1, floor(wave_duration / delay)) — from the host_state delay the
@@ -170,6 +176,8 @@ class CrawlConfig:
             raise ValueError(f'unknown politeness_scope: {self.politeness_scope}')
         if self.robots_matcher not in ('stdlib', 'rfc9309'):
             raise ValueError(f'unknown robots_matcher: {self.robots_matcher}')
+        if self.max_dispatch_per_wave is not None and self.max_dispatch_per_wave < 1:
+            raise ValueError('max_dispatch_per_wave must be >= 1')
 
     @property
     def request_delay(self) -> float:
@@ -183,6 +191,7 @@ class CrawlConfig:
 
 _BOOL_TRUE = {'1', 'true', 'yes', 'y', 'on'}
 _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_per_wave',
+               'max_dispatch_per_wave',
                'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
                'cuckoo_shards'}

@@ -724,6 +724,48 @@ class CrawlEngine:
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
             allowed = allowed.filter(~over).drop('_slot', '_score', '_pol_domain')
+
+        # 4b. global fetch-capacity cap (max_dispatch_per_wave): keep the
+        # K lowest-priority rows ACROSS hosts (global FIFO — the
+        # reference's single worker is exactly this with K=1 per delay
+        # tick), defer the rest. Exact WITHOUT a global sort or a
+        # driver-side limit(): priorities are UNIQUE (dense sequence,
+        # operators/ordering), so a 2^16-wide bucket histogram — tiny on
+        # the driver even at 10^10 priorities (~150k buckets) — locates
+        # the straddling bucket, and only THAT bucket's ≤65536 rows are
+        # ranked (single bounded window partition). Everything below the
+        # bucket keeps, everything above defers, no row outside the
+        # straddle bucket ever sorts.
+        if cfg.max_dispatch_per_wave is not None:
+            cap = cfg.max_dispatch_per_wave
+            allowed = allowed.persist()
+            bucket = F.shiftright(F.col('priority'), 16)
+            hist = sorted(
+                (r['b'], r['c'])
+                for r in allowed.groupBy(bucket.alias('b'))
+                .agg(F.count('*').alias('c')).collect()
+            )
+            if sum(c for _, c in hist) > cap:
+                run = 0
+                sb = hist[-1][0]
+                base = 0
+                for b, c in hist:
+                    if run + c > cap:
+                        sb, base = b, run
+                        break
+                    run += c
+                straddle = allowed.filter(bucket == sb).withColumn(
+                    '_grank',
+                    F.row_number().over(Window.partitionBy(F.lit(1)).orderBy('priority')),
+                )
+                kept = allowed.filter(bucket < sb).unionByName(
+                    straddle.filter(F.col('_grank') <= cap - base).drop('_grank'))
+                overflow = allowed.filter(bucket > sb).unionByName(
+                    straddle.filter(F.col('_grank') > cap - base).drop('_grank'))
+                deferred = deferred.unionByName(overflow.select(
+                    'url', 'url_hash', 'host', 'scheme',
+                    (F.col('wave') + 1).alias('wave'), 'priority'))
+                allowed = kept
         allowed = allowed.drop('delay')
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response

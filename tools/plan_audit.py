@@ -32,6 +32,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_green_file_bypass',
         'crawl_rfc9309',
         'crawl_content_dedup',
+        'crawl_global_budget',
         'crawl_canonicalized_seen'}
 
 CHECKS = {
