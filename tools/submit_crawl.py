@@ -37,6 +37,18 @@ def main() -> None:
                          '(Iceberg rewrite_data_files + expire_snapshots)')
     ap.add_argument('--url-rules', action='store_true',
                     help='enable C4-style URL quality rules ahead of the frontier')
+    ap.add_argument('--robots-matcher', choices=['stdlib', 'rfc9309'], default='stdlib',
+                    help='stdlib = reference parity (first URL decides the host); '
+                         'rfc9309 = per-URL wildcard matching')
+    ap.add_argument('--politeness-scope', choices=['host', 'domain'], default='host',
+                    help='count the per-wave dispatch budget per exact host or '
+                         'per registered domain (PLD)')
+    ap.add_argument('--global-budget', type=int, default=None, metavar='K',
+                    help='global fetch-capacity cap: at most K dispatches per '
+                         'wave across ALL hosts (FIFO by priority)')
+    ap.add_argument('--content-dedup', action='store_true',
+                    help='emit items once per unique span-sequence fingerprint '
+                         '(Heritrix-style digest dedup)')
     ap.add_argument('--blocklist-hosts', default='',
                     help='comma-separated hosts to refuse (implies --url-rules)')
     ap.add_argument('--host-ranks', type=int, default=None, metavar='TOP_N',
@@ -70,6 +82,10 @@ def main() -> None:
         max_waves=args.max_waves,
         url_rules=args.url_rules or bool(blocklist),
         blocklist_hosts=blocklist,
+        robots_matcher=args.robots_matcher,
+        politeness_scope=args.politeness_scope,
+        max_dispatch_per_wave=args.global_budget,
+        content_dedup=args.content_dedup,
     )
     store = SnapshotStore(args.checkpoint_dir or tempfile.mkdtemp(prefix='crawl-submit-'))
     # seeds must exist in the synthetic web; one per host so politeness and
