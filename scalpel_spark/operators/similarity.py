@@ -85,8 +85,10 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, quant: int = 1000,
       right shape at dim ≫ 64 (embedding models are 384-4096 wide).
 
     ``None`` auto-selects: literals while ``n_planes × dim ≤ 1024``,
-    broadcast beyond. ``dim`` defaults to the corpus-wide max array length
-    (one scalar aggregate — metadata-scale, not a data collect).
+    broadcast beyond. ``dim`` defaults to the length of ONE probed row
+    (``limit(1)``): hyperplane LSH is only defined over a uniform
+    dimensionality, so any row is authoritative and a full-corpus
+    ``max(size(...))`` scan before the real query is pure overhead.
     """
     return _with_buckets(emb, n_planes, quant, dim, broadcast_planes,
                          keep_embedding=False)
@@ -101,7 +103,11 @@ def _with_buckets(emb: DataFrame, n_planes: int, quant: int,
     no self-join of the corpus against its own derived buckets, so the
     corpus is scanned once and the vec_id exchange disappears."""
     if dim is None:
-        dim = emb.select(F.max(F.size('embedding')).alias('d')).first()['d']
+        # one-row probe, not a corpus-wide max: hyperplane LSH requires a
+        # uniform dimensionality anyway (the planes are per-dimension), and
+        # a max(size(...)) here was a FULL embeddings scan before the real
+        # query even started — measured at ~2-3 s of pure overhead at sf0.1
+        dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
     if broadcast_planes is None:
         broadcast_planes = n_planes * dim > 1024
     v = emb.select('vec_id', F.col('embedding').cast('array<double>').alias('e'))
