@@ -2684,6 +2684,57 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_retry_requeue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.max_retries through the full engine: three seeds on one
+    host — one healthy, one transiently failing (a response middleware
+    marks it unreachable while wave < 2, the deterministic stand-in for a
+    recovering 5xx), one permanently dead (HTTP 500 in the corpus). With
+    max_retries=2, the flaky URL burns two retries and succeeds at wave 2;
+    the dead URL burns both retries and finalizes 'unreachable' at wave 2;
+    retry lineage (retry_delta) counts 2 attempts for each. Failures with
+    attempts left are withheld from seen, so the exact anti-join re-admits
+    them — no bloom/cuckoo structure change. VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    host = 'retry.example.com'
+    ok, flaky, dead = (f'http://{host}/{p}' for p in ('ok', 'flaky', 'dead'))
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': b, 'media_ref': None, 'offset': 0}],
+         'http_status': st, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for u, b, st in ((ok, 'fine', 200), (flaky, 'late', 200), (dead, 'gone', 500))
+    ], CORPUS_SCHEMA)
+
+    def flaky_until(fetch):
+        def wrapped(df):
+            out = fetch(df)
+            return out.withColumn(
+                'status',
+                F.when((F.col('url') == flaky) & (F.col('wave') < 2),
+                       F.lit('unreachable')).otherwise(F.col('status')))
+        return wrapped
+
+    cfg = CrawlConfig(max_retries=2, max_waves=6,
+                      response_middlewares=(flaky_until,))
+    res = CrawlEngine(spark, corpus, config=cfg).run([ok, flaky, dead])
+    n_retries = res.retries.groupBy('url_hash').agg(
+        F.count('*').alias('n_retries'))
+    return (res.seen.join(n_retries, 'url_hash', 'left')
+            .select('url', 'status', 'wave',
+                    F.coalesce(F.col('n_retries'), F.lit(0)).cast('long').alias('n_retries')))
+
+
+ORACLE_CRAWL_RETRY_REQUEUE = """
+SELECT * FROM (VALUES
+  ('http://retry.example.com/ok', 'reachable', 0, CAST(0 AS BIGINT)),
+  ('http://retry.example.com/flaky', 'reachable', 2, CAST(2 AS BIGINT)),
+  ('http://retry.example.com/dead', 'unreachable', 2, CAST(2 AS BIGINT))
+) AS t(url, status, wave, n_retries)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -2906,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'fetch_mapinpandas': q_fetch_mapinpandas,
         'crawl_content_dedup': q_crawl_content_dedup,
         'crawl_global_budget': q_crawl_global_budget,
+        'crawl_retry_requeue': q_crawl_retry_requeue,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -2994,6 +3046,7 @@ def oracle_sql() -> dict[str, str]:
         'fetch_mapinpandas': ORACLE_FETCH_MAPINPANDAS,
         'crawl_content_dedup': ORACLE_CRAWL_CONTENT_DEDUP,
         'crawl_global_budget': ORACLE_CRAWL_GLOBAL_BUDGET,
+        'crawl_retry_requeue': ORACLE_CRAWL_RETRY_REQUEUE,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -157,6 +157,23 @@ class CrawlConfig:
     # its own host's robots delay — the strictest host in a domain defers
     # first.
     politeness_scope: str = 'host'
+    # fetch retries (beyond reference — the reference treats any non-OK
+    # response as final and never re-enqueues, any_io/static_spider.py's
+    # single attempt per dequeued URL): when > 0, a URL whose fetch came
+    # back 'unreachable' is re-enqueued into the NEXT wave's frontier at
+    # its ORIGINAL priority (FIFO position preserved) for up to
+    # max_retries extra attempts; only the FINAL failure enters the seen
+    # set as 'unreachable'. While retries remain the URL is deliberately
+    # withheld from seen_delta, so the exact anti-join — the dedup source
+    # of truth — re-admits it next wave; the bloom/cuckoo prefilters may
+    # answer "maybe seen", which merely routes the row to the exact join
+    # (prefilter false-positives are allowed by construction, so no
+    # structure change is needed). Attempt counts persist per url_hash in
+    # the retry_delta table — retries survive resume(), and forget()
+    # clears them with the rest of the per-URL state. Wave granularity IS
+    # the backoff: one wave represents wave_duration seconds of pacing.
+    # 0 = reference parity (one attempt, failures are final).
+    max_retries: int = 0
     seed: int = 42
 
     def __post_init__(self):
@@ -178,6 +195,8 @@ class CrawlConfig:
             raise ValueError(f'unknown robots_matcher: {self.robots_matcher}')
         if self.max_dispatch_per_wave is not None and self.max_dispatch_per_wave < 1:
             raise ValueError('max_dispatch_per_wave must be >= 1')
+        if self.max_retries < 0:
+            raise ValueError('max_retries must be >= 0')
 
     @property
     def request_delay(self) -> float:
@@ -194,7 +213,7 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'max_dispatch_per_wave',
                'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
-               'cuckoo_shards'}
+               'cuckoo_shards', 'max_retries'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}

@@ -67,6 +67,10 @@ SEEN_SCHEMA = T.StructType(
 
 METRICS_SCHEMA = 'wave int, stage string, partition_id int, rows long, ms double'
 
+# one row per retry ATTEMPT (url_hash, how-many-th failure, which wave) —
+# the max(attempt) per url_hash is the URL's budget consumed so far
+RETRY_SCHEMA = 'url_hash long, attempt int, wave int'
+
 
 @dataclass
 class CrawlStatistics:
@@ -123,6 +127,13 @@ class CrawlResult:
         ``ignore_errors=True`` (with the error string) — None if no wave
         quarantined."""
         return self._delta('items_quarantine_delta')
+
+    @property
+    def retries(self) -> Optional[DataFrame]:
+        """Retry lineage under ``max_retries > 0``: one row per retry
+        attempt (url_hash, attempt, wave). None when no fetch ever
+        failed with attempts left (or max_retries=0)."""
+        return self._delta('retry_delta')
 
     @property
     def docs(self) -> DataFrame:
@@ -245,7 +256,11 @@ class CrawlEngine:
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
-        self.store = store or SnapshotStore(tempfile.mkdtemp(prefix='scalpel-spark-'))
+        # explicit store > config.checkpoint_dir > throwaway temp dir
+        if store is None:
+            root = self.config.checkpoint_dir or tempfile.mkdtemp(prefix='scalpel-spark-')
+            store = SnapshotStore(root)
+        self.store = store
         self._cuckoo = None
         self._cuckoo_saturated = False
         # in-run incremental bloom (rebuilt lazily per run/resume — the
@@ -337,6 +352,12 @@ class CrawlEngine:
             state = self.spark.read.parquet(*self.store.state_paths(delta))
             compacted = state.join(fdf.select(F.col('url').alias(key)), key, 'left_anti')
             tables[delta.replace('_delta', '_compacted')] = compacted
+        # retry budgets are per-URL state too (keyed by url_hash): a
+        # forgotten URL's next crawl starts with a fresh attempt budget
+        if self.store.state_paths('retry_delta'):
+            state = self.spark.read.parquet(*self.store.state_paths('retry_delta'))
+            tables['retry_compacted'] = state.join(
+                fdf.select('url_hash'), 'url_hash', 'left_anti')
         # content_dedup interplay: a forgotten URL's span signature leaves
         # the content-seen set ONLY if no remaining document still holds
         # it — otherwise a recrawl would re-emit items another live URL
@@ -817,7 +838,36 @@ class CrawlEngine:
         # (MEMORY_AND_DISK default: spills, never OOMs, at big waves)
         fetched = fetched.persist()
 
-        seen_delta = fetched.select('url', 'url_hash', 'status', 'wave', 'priority')
+        # 5b. fetch retries (opt-in, CrawlConfig.max_retries): an
+        # unreachable fetch with attempts left re-enters the NEXT wave's
+        # frontier at its original priority and is WITHHELD from
+        # seen_delta — the exact anti-join (the dedup source of truth)
+        # then re-admits it, no matter what the bloom/cuckoo prefilter
+        # answers (a "maybe seen" only routes the row to the exact join).
+        # Attempt counts live in retry_delta, aggregated per url_hash, so
+        # the budget survives resume(). The final failure lands in seen as
+        # 'unreachable' exactly like max_retries=0.
+        retry_requeue, retry_delta = None, None
+        seen_src = fetched
+        if cfg.max_retries:
+            prior = (self._state('retry_delta', RETRY_SCHEMA)
+                     .groupBy('url_hash').agg(F.max('attempt').alias('_prev')))
+            tried = fetched.join(prior, 'url_hash', 'left').withColumn(
+                '_attempt', F.coalesce(F.col('_prev'), F.lit(0)) + 1)
+            retrying = (F.col('status') == 'unreachable') & (F.col('_attempt') <= cfg.max_retries)
+            retry_rows = tried.filter(retrying).persist()
+            n_retry = retry_rows.count()
+            if n_retry:
+                retry_requeue = retry_rows.select(
+                    'url', 'url_hash', 'host', 'scheme',
+                    F.lit(wave + 1).alias('wave'), 'priority')
+                retry_delta = retry_rows.select(
+                    'url_hash', F.col('_attempt').alias('attempt'),
+                    F.lit(wave).alias('wave'))
+                metrics_rows.append((wave, 'retry_requeued', -1, n_retry, 0.0))
+                seen_src = tried.filter(~retrying).drop('_prev', '_attempt')
+
+        seen_delta = seen_src.select('url', 'url_hash', 'status', 'wave', 'priority')
         if excluded is not None:
             seen_delta = seen_delta.unionByName(excluded)
 
@@ -917,6 +967,8 @@ class CrawlEngine:
             .withColumn('wave', F.lit(wave))
         )
         next_frontier = next_frontier_new.unionByName(deferred)
+        if retry_requeue is not None:
+            next_frontier = next_frontier.unionByName(retry_requeue)
 
         # 8. atomic snapshot commit (T4)
         tables = {
@@ -931,6 +983,8 @@ class CrawlEngine:
             tables['items_quarantine_delta'] = quarantine
         if content_delta is not None:
             tables['content_seen_delta'] = content_delta
+        if retry_delta is not None:
+            tables['retry_delta'] = retry_delta
         if cfg.follow_robots_txt:
             tables['host_state'] = getattr(self, '_host_state_snapshot', self._empty(HOST_STATE_SCHEMA))
         metrics_rows.append((wave, 'wave_total', -1, n_new, (time.time() - t_wave) * 1000))
