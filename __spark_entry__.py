@@ -2735,6 +2735,42 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.politeness_scope='ip' (Heritrix-style server
+    politeness) through the full engine: vhosts a/b share 10.0.0.1 so
+    they share ONE per-wave dispatch window (budget 1 → FIFO: a at wave
+    0, b deferred to wave 1); host c is absent from the host_ips map and
+    falls back to its own host window (wave 0). Linkless corpus so the
+    schedule is exactly the seed list; VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    urls = [f'http://{h}.example.com/page' for h in ('a', 'b', 'c')]
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': 'body', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for u in urls
+    ], CORPUS_SCHEMA)
+    host_ips = spark.createDataFrame(
+        [('a.example.com', '10.0.0.1'), ('b.example.com', '10.0.0.1')],
+        'host string, ip string')
+    cfg = CrawlConfig(max_dispatch_per_host_per_wave=1, max_waves=3,
+                      politeness_scope='ip')
+    res = CrawlEngine(spark, corpus, config=cfg, host_ips=host_ips).run(urls)
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_IP_POLITENESS = """
+SELECT * FROM (VALUES
+  ('http://a.example.com/page', 0, 'reachable'),
+  ('http://c.example.com/page', 0, 'reachable'),
+  ('http://b.example.com/page', 1, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -2958,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_content_dedup': q_crawl_content_dedup,
         'crawl_global_budget': q_crawl_global_budget,
         'crawl_retry_requeue': q_crawl_retry_requeue,
+        'crawl_ip_politeness': q_crawl_ip_politeness,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -3047,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_content_dedup': ORACLE_CRAWL_CONTENT_DEDUP,
         'crawl_global_budget': ORACLE_CRAWL_GLOBAL_BUDGET,
         'crawl_retry_requeue': ORACLE_CRAWL_RETRY_REQUEUE,
+        'crawl_ip_politeness': ORACLE_CRAWL_IP_POLITENESS,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

@@ -152,10 +152,16 @@ class CrawlConfig:
     # pay-level domain), so a site cannot absorb the whole wave through
     # thousands of subdomains (blogspot.com, *.github.io, link farms).
     # Robots evaluation and the recorded per-host delay stay host-keyed
-    # in both scopes (robots.txt IS per host); only the slot-counting
+    # in all scopes (robots.txt IS per host); only the slot-counting
     # window key widens. Each row's delay-derived budget still comes from
     # its own host's robots delay — the strictest host in a domain defers
-    # first.
+    # first. 'ip' counts the budget per SERVER (Heritrix-style IP
+    # politeness): hosts sharing a resolved address — vhosts, CDN pools,
+    # wildcard-DNS link farms — share one window, so a thousand vhosts on
+    # one box cannot multiply the load the crawl puts on it. Requires a
+    # host→ip mapping table passed to CrawlEngine(host_ips=...); hosts
+    # missing from the map fall back to their own host identity (DNS
+    # unknown = host-scoped, never dropped).
     politeness_scope: str = 'host'
     # fetch retries (beyond reference — the reference treats any non-OK
     # response as final and never re-enqueues, any_io/static_spider.py's
@@ -189,7 +195,7 @@ class CrawlConfig:
             raise ValueError('wave_duration must be > 0 seconds')
         if self.seen_filter not in ('bloom', 'cuckoo'):
             raise ValueError(f'unknown seen_filter: {self.seen_filter}')
-        if self.politeness_scope not in ('host', 'domain'):
+        if self.politeness_scope not in ('host', 'domain', 'ip'):
             raise ValueError(f'unknown politeness_scope: {self.politeness_scope}')
         if self.robots_matcher not in ('stdlib', 'rfc9309'):
             raise ValueError(f'unknown robots_matcher: {self.robots_matcher}')

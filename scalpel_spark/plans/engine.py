@@ -248,11 +248,22 @@ class CrawlEngine:
         robots: Optional[DataFrame] = None,
         config: Optional[CrawlConfig] = None,
         store: Optional[SnapshotStore] = None,
+        host_ips: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
         self.corpus = corpus
         self.robots = robots
+        # politeness_scope='ip' (Heritrix-style server politeness): an
+        # injectable (host, ip) resolution table — a production deployment
+        # materializes it from its DNS cache; hosts missing from it fall
+        # back to host-scoped budgets. Counted once per run for the
+        # broadcast-hint decision (same policy as host_state).
+        self.host_ips = host_ips
+        self._host_ips_count = None
+        if self.config.politeness_scope == 'ip' and host_ips is None:
+            raise ValueError("politeness_scope='ip' requires a host_ips "
+                             "DataFrame (host string, ip string)")
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -695,6 +706,18 @@ class CrawlEngine:
                 allowed = allowed.withColumn(
                     '_pol_domain', registered_domain_col(F.col('host')))
                 pol_key = '_pol_domain'
+            elif cfg.politeness_scope == 'ip':
+                # server politeness: vhosts resolving to one address share
+                # the window. Broadcast-hint the mapping while small (same
+                # policy as host_state); unmapped hosts coalesce to their
+                # own host identity, so DNS gaps degrade to host scope.
+                ips = self.host_ips.select('host', 'ip')
+                if self._host_ips_count is None:
+                    self._host_ips_count = ips.count()
+                right = F.broadcast(ips) if self._host_ips_count <= cfg.broadcast_host_limit else ips
+                allowed = allowed.join(right, 'host', 'left').withColumn(
+                    '_pol_ip', F.coalesce(F.col('ip'), F.col('host')))
+                pol_key = '_pol_ip'
             budget = None
             if cfg.max_dispatch_per_host_per_wave is not None:
                 budget = F.lit(cfg.max_dispatch_per_host_per_wave).cast('long')
@@ -744,7 +767,7 @@ class CrawlEngine:
                 allowed.filter(over)
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
-            allowed = allowed.filter(~over).drop('_slot', '_score', '_pol_domain')
+            allowed = allowed.filter(~over).drop('_slot', '_score', '_pol_domain', '_pol_ip', 'ip')
 
         # 4b. global fetch-capacity cap (max_dispatch_per_wave): keep the
         # K lowest-priority rows ACROSS hosts (global FIFO — the

@@ -216,3 +216,43 @@ def test_engine_domain_scope_shares_budget_across_subdomains(spark):
 def test_config_rejects_unknown_politeness_scope():
     with pytest.raises(ValueError):
         CrawlConfig(politeness_scope='tld')
+
+
+def test_engine_ip_scope_shares_budget_across_vhosts(spark):
+    """politeness_scope='ip' (Heritrix-style server politeness): hosts
+    resolving to one address share ONE budget window; hosts missing from
+    the host_ips map fall back to their own host identity."""
+    corpus_df = synthetic_corpus(spark, n_pages=60, n_hosts=6, seed=13)
+    # h0/h1/h2 are vhosts on 10.0.0.1; h3 has its own box; h4/h5 unmapped
+    host_ips = spark.createDataFrame(
+        [(f'h{h}.example.com', '10.0.0.1') for h in range(3)]
+        + [('h3.example.com', '10.0.0.2')],
+        'host string, ip string')
+    seeds = [f'http://h{h}.example.com/p{p}.html' for h in range(6) for p in range(2)]
+
+    def wave0_counts(scope):
+        cfg = CrawlConfig(max_dispatch_per_host_per_wave=2, max_waves=1,
+                          politeness_scope=scope)
+        ips = host_ips if scope == 'ip' else None
+        res = CrawlEngine(spark, corpus_df, config=cfg, host_ips=ips).run(seeds)
+        return _per_host_wave_counts(res.dispatch_rows())
+
+    # host scope: every host fills its own budget → 6 hosts x 2 = 12
+    assert sum(wave0_counts('host').values()) == 12
+    # ip scope: {h0,h1,h2} share one window (2), h3 own window (2),
+    # h4/h5 unmapped → own host windows (2 each) → 2 + 2 + 2 + 2 = 8
+    by_host = wave0_counts('ip')
+    assert sum(by_host.values()) == 8
+    shared = sum(n for (h, _), n in by_host.items() if h in
+                 {'h0.example.com', 'h1.example.com', 'h2.example.com'})
+    assert shared == 2
+    # FIFO within the shared window: the two lowest-priority seeds win —
+    # seeds enumerate h0/p0, h0/p1 first
+    assert by_host.get(('h0.example.com', 0)) == 2
+
+
+def test_engine_ip_scope_requires_map(spark):
+    corpus_df = synthetic_corpus(spark, n_pages=10, n_hosts=2, seed=13)
+    with pytest.raises(ValueError):
+        CrawlEngine(spark, corpus_df,
+                    config=CrawlConfig(politeness_scope='ip'))

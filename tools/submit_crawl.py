@@ -40,9 +40,13 @@ def main() -> None:
     ap.add_argument('--robots-matcher', choices=['stdlib', 'rfc9309'], default='stdlib',
                     help='stdlib = reference parity (first URL decides the host); '
                          'rfc9309 = per-URL wildcard matching')
-    ap.add_argument('--politeness-scope', choices=['host', 'domain'], default='host',
-                    help='count the per-wave dispatch budget per exact host or '
-                         'per registered domain (PLD)')
+    ap.add_argument('--politeness-scope', choices=['host', 'domain', 'ip'], default='host',
+                    help='count the per-wave dispatch budget per exact host, '
+                         'per registered domain (PLD), or per resolved server '
+                         'address (ip; synthesises a host->ip map grouping '
+                         '--vhosts-per-ip hosts per address)')
+    ap.add_argument('--vhosts-per-ip', type=int, default=4,
+                    help="hosts per synthetic address under --politeness-scope ip")
     ap.add_argument('--global-budget', type=int, default=None, metavar='K',
                     help='global fetch-capacity cap: at most K dispatches per '
                          'wave across ALL hosts (FIFO by priority)')
@@ -103,8 +107,23 @@ def main() -> None:
         .orderBy('host', 'doc_id').collect()
     ]
 
+    host_ips = None
+    if args.politeness_scope == 'ip':
+        # deterministic stand-in for a DNS cache: group consecutive hosts
+        # onto one synthetic address (a production run materializes real
+        # resolutions into the same (host, ip) shape)
+        host_ips = (
+            corpus.select(F.lower(F.parse_url('doc_id', F.lit('HOST'))).alias('host'))
+            .distinct()
+            .withColumn('ip', F.concat(
+                F.lit('10.0.'),
+                (F.abs(F.xxhash64('host')) % args.n_hosts / args.vhosts_per_ip)
+                .cast('int').cast('string'),
+                F.lit('.1')))
+        )
+
     t0 = time.time()
-    engine = CrawlEngine(spark, corpus, robots, cfg, store)
+    engine = CrawlEngine(spark, corpus, robots, cfg, store, host_ips=host_ips)
     result = engine.run(seeds)
     wall = time.time() - t0
     n_expired = len(engine.expire_snapshots(args.expire_snapshots)) \
