@@ -2735,6 +2735,75 @@ SELECT * FROM (VALUES
 """
 
 
+def _anchor_fixture(spark) -> DataFrame:
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    def span(kind, text=None, ref=None):
+        return {'kind': kind, 'text': text, 'media_ref': ref, 'offset': 0}
+
+    rows = [
+        {'doc_id': 'd1',
+         'spans': [span('text', 'intro'), span('link', '/a'), span('text', 'mid'),
+                   span('link', '/b'), span('media', None, 'img://x'), span('link', '/c')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+        {'doc_id': 'd2',
+         'spans': [span('link', '/a'), span('text', 'tail')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+        {'doc_id': 'd3', 'spans': [],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+    ]
+    return spark.createDataFrame(rows, CORPUS_SCHEMA).withColumnRenamed('doc_id', 'url')
+
+
+def q_link_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/parse.link_context — anchor-context extraction: each link
+    span paired with the nearest PRECEDING text span (the span model's
+    anchor text, Brin & Page 1998 §2.2). Array-local column algebra, zero
+    shuffle (plan pinned by test). A media span between two links is not
+    prose; a link with no preceding prose gets context NULL. VALUES
+    oracle over the deterministic fixture."""
+    from scalpel_spark.operators.parse import link_context
+
+    return link_context(_anchor_fixture(spark)).select(
+        'url', 'pos', 'span_idx', 'raw_link',
+        # NULL context (no preceding prose) surfaces as '' — the compare
+        # harness sorts column values and cannot order NULL among strings
+        F.coalesce(F.col('context'), F.lit('')).alias('context'))
+
+
+ORACLE_LINK_CONTEXT = """
+SELECT * FROM (VALUES
+  ('d1', 0, 1, '/a', 'intro'),
+  ('d1', 1, 3, '/b', 'mid'),
+  ('d1', 2, 5, '/c', 'mid'),
+  ('d2', 0, 0, '/a', '')
+) AS t(url, pos, span_idx, raw_link, context)
+"""
+
+
+def q_anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/parse.anchor_text_profile — per-target anchor rollup
+    (n_refs, n_docs, lexicographic first/last context) over link_context
+    output: one combinable groupBy on the target, bounded row width (no
+    per-target context collection — a hub target would otherwise become a
+    multi-MB row at web scale). VALUES oracle."""
+    from scalpel_spark.operators.parse import anchor_text_profile, link_context
+
+    return anchor_text_profile(link_context(_anchor_fixture(spark))).select(
+        'raw_link', F.col('n_refs').cast('long').alias('n_refs'),
+        F.col('n_docs').cast('long').alias('n_docs'),
+        'first_context', 'last_context')
+
+
+ORACLE_ANCHOR_TEXT_PROFILE = """
+SELECT * FROM (VALUES
+  ('/a', CAST(2 AS BIGINT), CAST(2 AS BIGINT), 'intro', 'intro'),
+  ('/b', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'mid', 'mid'),
+  ('/c', CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'mid', 'mid')
+) AS t(raw_link, n_refs, n_docs, first_context, last_context)
+"""
+
+
 def q_crawl_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.politeness_scope='ip' (Heritrix-style server
     politeness) through the full engine: vhosts a/b share 10.0.0.1 so
@@ -2995,6 +3064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_global_budget': q_crawl_global_budget,
         'crawl_retry_requeue': q_crawl_retry_requeue,
         'crawl_ip_politeness': q_crawl_ip_politeness,
+        'link_context': q_link_context,
+        'anchor_text_profile': q_anchor_text_profile,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -3085,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
         'crawl_global_budget': ORACLE_CRAWL_GLOBAL_BUDGET,
         'crawl_retry_requeue': ORACLE_CRAWL_RETRY_REQUEUE,
         'crawl_ip_politeness': ORACLE_CRAWL_IP_POLITENESS,
+        'link_context': ORACLE_LINK_CONTEXT,
+        'anchor_text_profile': ORACLE_ANCHOR_TEXT_PROFILE,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

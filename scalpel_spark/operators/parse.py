@@ -66,3 +66,71 @@ def extract_items(docs: DataFrame) -> DataFrame:
         docs.select(F.col('url').alias('doc_id'), F.explode(pairs).alias('p'))
         .select('doc_id', 'p.quote', 'p.author', 'p.item_seq')
     )
+
+
+def link_context(docs: DataFrame) -> DataFrame:
+    """Anchor-context extraction: for every link span, the text of the
+    NEAREST PRECEDING ``kind='text'`` span in document order — the span
+    model's stand-in for anchor text (the reference's parse callbacks see
+    the DOM and could read ``//a/text()``; interleaved span corpora carry
+    the href in the link span itself, so context comes from the
+    surrounding prose). Classic IR signal: anchor/context terms describe
+    the TARGET page (Brin & Page 1998 §2.2), feeding ranking and
+    training-data labeling.
+
+    Pure array-local column algebra — zero shuffle, no UDF: per document,
+    the 1-based positions of link spans are filtered out of a
+    ``sequence(1, size)`` (guarded: ``sequence(0, -1)`` DESCENDS, so empty
+    span arrays emit nothing), and each link's context is the last text
+    span in the ``slice`` before it (``F.get`` returns NULL at index -1,
+    so a link with no preceding prose gets context NULL, never a throw
+    under ANSI mode).
+
+    docs must carry (url, spans). Returns one row per link span:
+    (url, pos, span_idx, raw_link, context) where pos is the link ordinal
+    among links (matching extract_outlinks) and span_idx the 0-based
+    position in the spans array.
+    """
+    spans = F.col('spans')
+    link_idxs = F.when(
+        F.size(spans) > 0,
+        F.filter(F.sequence(F.lit(1), F.size(spans)),
+                 lambda i: F.element_at(spans, i)['kind'] == F.lit('link')),
+    ).otherwise(F.array().cast('array<int>'))
+    rows = F.transform(
+        link_idxs,
+        lambda i: F.struct(
+            (i - 1).cast('int').alias('span_idx'),
+            F.element_at(spans, i)['text'].alias('raw_link'),
+            _last_text(F.slice(spans, F.lit(1), i - 1)).alias('context'),
+        ),
+    )
+    return (
+        docs.select('url', F.posexplode(rows).alias('pos', 'l'))
+        .select('url', F.col('pos').cast('int').alias('pos'),
+                'l.span_idx', 'l.raw_link', 'l.context')
+    )
+
+
+def _last_text(preceding: Column) -> Column:
+    texts = F.filter(preceding, lambda s: s['kind'] == F.lit('text'))
+    return F.get(texts, F.size(texts) - 1)['text']
+
+
+def anchor_text_profile(links: DataFrame) -> DataFrame:
+    """Per-target anchor profile over ``link_context`` output: how many
+    references point at each raw link target, from how many distinct
+    source documents, and the lexicographic min/max of the non-null
+    contexts (a bounded summary — collecting every context string per
+    target would make hub targets into multi-MB rows at web scale).
+
+    One hash-shuffle groupBy on the target; all aggregates map-side
+    combinable. Returns (raw_link, n_refs, n_docs, first_context,
+    last_context).
+    """
+    return links.groupBy('raw_link').agg(
+        F.count('*').alias('n_refs'),
+        F.countDistinct('url').alias('n_docs'),
+        F.min('context').alias('first_context'),
+        F.max('context').alias('last_context'),
+    )
