@@ -2840,6 +2840,129 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_priority_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-aware global cap: with frontier_priority set,
+    max_dispatch_per_wave dequeues the globally HIGHEST-scored URLs first
+    across hosts (scheduling.topk_by_score — range-repartition on the
+    order key, per-partition counts, only the straddling partition
+    ranks), instead of the FIFO dense-priority histogram. Three seeds
+    with score=length(url): dispatch order is the inverse of seed order.
+    VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    urls = ['http://a.com/1', 'http://b.com/22', 'http://c.com/333']
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for u in urls
+    ], CORPUS_SCHEMA)
+    cfg = CrawlConfig(max_dispatch_per_wave=1, max_waves=3,
+                      frontier_priority='length(url)')
+    res = CrawlEngine(spark, corpus, config=cfg).run(urls)
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_PRIORITY_GLOBAL = """
+SELECT * FROM (VALUES
+  ('http://c.com/333', 0, 'reachable'),
+  ('http://b.com/22', 1, 'reachable'),
+  ('http://a.com/1', 2, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
+def q_crawl_host_budget_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Injectable per-host budget table (CrawlEngine(host_budgets=...)),
+    the consumer side of scheduling.plan_host_budgets: effective budget =
+    least(uniform knob, table); unmapped hosts are unbounded-by-table.
+    a.com capped at 1/wave by the table (knob 2), b.com at 2/wave by the
+    knob (table 9). VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    urls = [f'http://{h}/p{i}' for h in ('a.com', 'b.com') for i in range(3)]
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for u in urls
+    ], CORPUS_SCHEMA)
+    budgets = spark.createDataFrame([('a.com', 1), ('b.com', 9)],
+                                    'host string, budget int')
+    cfg = CrawlConfig(max_waves=4, max_dispatch_per_host_per_wave=2)
+    res = CrawlEngine(spark, corpus, config=cfg, host_budgets=budgets).run(urls)
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_HOST_BUDGET_TABLE = """
+SELECT * FROM (VALUES
+  ('http://a.com/p0', 0, 'reachable'),
+  ('http://a.com/p1', 1, 'reachable'),
+  ('http://a.com/p2', 2, 'reachable'),
+  ('http://b.com/p0', 0, 'reachable'),
+  ('http://b.com/p1', 0, 'reachable'),
+  ('http://b.com/p2', 1, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
+def q_crawl_rank_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frontier_priority='host_rank' — the adaptive-crawl loop closed
+    with the engine's own lineage: run 1 crawls a hub on host a citing
+    host b three times (link lineage persisted); run 2 on the SAME store
+    seeds one new URL per host under a global cap of 1/wave, and the
+    CITED host's URL dispatches first (PageRank over the persisted
+    lineage, frozen at run start), where FIFO would have picked the
+    earlier seed. VALUES oracle."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    def doc(u, spans):
+        return {'doc_id': u, 'spans': spans, 'http_status': 200,
+                'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+
+    def text(t):
+        return {'kind': 'text', 'text': t, 'media_ref': None, 'offset': 0}
+
+    def link(u):
+        return {'kind': 'link', 'text': u, 'media_ref': None, 'offset': 0}
+
+    store = SnapshotStore(tempfile.mkdtemp(prefix='rank-recrawl-'))
+    corpus1 = spark.createDataFrame([
+        doc('http://a.com/root',
+            [text('hub'), link('http://b.com/x'), link('http://b.com/y'),
+             link('http://b.com/z')]),
+    ], CORPUS_SCHEMA)
+    CrawlEngine(spark, corpus1, config=CrawlConfig(max_waves=1),
+                store=store).run(['http://a.com/root'])
+
+    corpus2 = spark.createDataFrame(
+        [doc('http://a.com/new', [text('na')]),
+         doc('http://b.com/new', [text('nb')])], CORPUS_SCHEMA)
+    cfg = CrawlConfig(max_waves=2, max_dispatch_per_wave=1,
+                      frontier_priority='host_rank')
+    res = CrawlEngine(spark, corpus2, config=cfg, store=store).run(
+        ['http://a.com/new', 'http://b.com/new'])
+    return res.seen.filter(F.col('url').endswith('/new')).select(
+        'url', 'wave', 'status')
+
+
+ORACLE_CRAWL_RANK_RECRAWL = """
+SELECT * FROM (VALUES
+  ('http://b.com/new', 0, 'reachable'),
+  ('http://a.com/new', 1, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -3066,6 +3189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_ip_politeness': q_crawl_ip_politeness,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
+        'crawl_priority_global': q_crawl_priority_global,
+        'crawl_host_budget_table': q_crawl_host_budget_table,
+        'crawl_rank_recrawl': q_crawl_rank_recrawl,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -3158,6 +3284,9 @@ def oracle_sql() -> dict[str, str]:
         'crawl_ip_politeness': ORACLE_CRAWL_IP_POLITENESS,
         'link_context': ORACLE_LINK_CONTEXT,
         'anchor_text_profile': ORACLE_ANCHOR_TEXT_PROFILE,
+        'crawl_priority_global': ORACLE_CRAWL_PRIORITY_GLOBAL,
+        'crawl_host_budget_table': ORACLE_CRAWL_HOST_BUDGET_TABLE,
+        'crawl_rank_recrawl': ORACLE_CRAWL_RANK_RECRAWL,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

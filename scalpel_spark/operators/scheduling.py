@@ -181,3 +181,53 @@ def change_rates(history: DataFrame, max_interval: int = 16) -> DataFrame:
     return agg.select('host', 'n_urls', 'n_intervals', 'n_changes',
                       change_ppm.alias('change_ppm'),
                       revisit.alias('revisit_waves'))
+
+
+def topk_by_score(df: DataFrame, k: int, score_col: str = '_score',
+                  tiebreak: str = 'priority',
+                  target_partition_rows: int = 1 << 16) -> tuple[DataFrame, DataFrame]:
+    """Exact global top-``k`` rows by (``score_col`` DESC, ``tiebreak``
+    ASC) WITHOUT a global sort or a driver-side ``limit()`` — the
+    priority-queue dequeue of the engine's score-aware global cap.
+
+    The dense-priority bucket histogram (engine step 4b) needs a dense
+    key; scores are arbitrary user expressions, so this uses the
+    distributed-selection generalization: ``repartitionByRange`` on the
+    order key (Spark samples the key distribution — no full sort, data
+    moves once), per-range-partition counts to the driver (one row per
+    partition, P = ceil(n / target_partition_rows)), every partition
+    wholly under the threshold keeps/defers in bulk, and ONLY the single
+    straddling partition ranks its ~target_partition_rows rows in one
+    bounded window. Exactness does not depend on where Spark draws the
+    range boundaries — only the straddle partition's internal order
+    matters, and that is ranked exactly.
+
+    ``df`` must already be persisted (spark_partition_id must be stable
+    across the two passes). ``tiebreak`` must be globally unique (the
+    engine's dense priorities) for a total order. Returns
+    (kept, overflow) with the helper columns intact.
+    """
+    n = df.count()
+    if n <= k:
+        return df, df.limit(0)
+    p = max(8, (n + target_partition_rows - 1) // target_partition_rows)
+    parted = df.repartitionByRange(p, F.desc(score_col), F.asc(tiebreak)).persist()
+    counts = {r['pid']: r['cnt'] for r in parted.groupBy(
+        F.spark_partition_id().alias('pid')).agg(F.count('*').alias('cnt')).collect()}
+    run = 0
+    straddle = max(counts)  # fallback: k lands in the last partition
+    base = 0
+    for pid in sorted(counts):
+        if run + counts[pid] > k:
+            straddle, base = pid, run
+            break
+        run += counts[pid]
+    pid_col = F.spark_partition_id()
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc(score_col), F.asc(tiebreak))
+    ranked = (parted.filter(pid_col == straddle)
+              .withColumn('_grank', F.row_number().over(w)))
+    kept = parted.filter(pid_col < straddle).unionByName(
+        ranked.filter(F.col('_grank') <= k - base).drop('_grank'))
+    overflow = parted.filter(pid_col > straddle).unionByName(
+        ranked.filter(F.col('_grank') > k - base).drop('_grank'))
+    return kept, overflow

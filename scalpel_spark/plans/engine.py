@@ -249,6 +249,7 @@ class CrawlEngine:
         config: Optional[CrawlConfig] = None,
         store: Optional[SnapshotStore] = None,
         host_ips: Optional[DataFrame] = None,
+        host_budgets: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -261,6 +262,17 @@ class CrawlEngine:
         # broadcast-hint decision (same policy as host_state).
         self.host_ips = host_ips
         self._host_ips_count = None
+        # injectable per-host budget table (host, budget) — the consumer
+        # side of scheduling.plan_host_budgets / adaptive_backoff: the
+        # effective per-wave budget becomes least(uniform knob,
+        # delay-derived, table). Unmapped hosts are unbounded-by-table.
+        self.host_budgets = host_budgets
+        self._host_budgets_count = None
+        # host_rank for frontier_priority expressions: computed once per
+        # run from the persisted link lineage (see _frontier_ranks)
+        self._rank_df = None
+        self._rank_count = 0
+        self._rank_ready = False
         if self.config.politeness_scope == 'ip' and host_ips is None:
             raise ValueError("politeness_scope='ip' requires a host_ips "
                              "DataFrame (host string, ip string)")
@@ -322,6 +334,34 @@ class CrawlEngine:
             if sidecar.insert_df(seen.select('url_hash')):
                 self._cuckoo_saturated = True
         return sidecar
+
+    def _frontier_ranks(self) -> Optional[DataFrame]:
+        """(host, host_rank) for frontier_priority expressions that
+        reference ``host_rank``: integer-ppb PageRank over the persisted
+        link lineage (CrawlResult.host_ranks semantics — n_links
+        multiplicity honored, self-citations excluded). Computed ONCE per
+        run, at first use, from the lineage AS OF run start — within-run
+        determinism; the natural consumer is a recrawl scoring hosts by
+        the previous crawl's observed authority. None when no lineage
+        exists yet (fresh store → every rank 0 → FIFO)."""
+        if self._rank_ready:
+            return self._rank_df
+        self._rank_ready = True
+        if self.store.state_paths('links_delta'):
+            from scalpel_spark.operators.graphrank import host_rank
+
+            links = self.spark.read.parquet(*self.store.state_paths('links_delta'))
+            edges = (
+                links.filter(F.col('src_host') != F.col('dst_host'))
+                .groupBy(F.col('src_host').alias('src'),
+                         F.col('dst_host').alias('dst'))
+                .agg(F.sum('n_links').alias('n_links'))
+            )
+            ranks = host_rank(edges, weight='n_links').select(
+                'host', F.col('rank_ppb').alias('host_rank')).persist()
+            self._rank_count = ranks.count()
+            self._rank_df = ranks
+        return self._rank_df
 
     def forget(self, urls) -> None:
         """Recrawl window: remove URLs from the seen AND followed sets so a
@@ -693,7 +733,30 @@ class CrawlEngine:
         # (file scheme, no host, robots off) pace with the config
         # request_delay, like the reference's _get_request_delay default.
         deferred = self._empty(FRONTIER_SCHEMA)
-        if cfg.max_dispatch_per_host_per_wave is not None or cfg.wave_duration is not None:
+        # priority scoring (beyond reference) — computed ONCE here, shared
+        # by the per-host windows (step 4) and the score-aware global cap
+        # (step 4b). The expression may reference `host_rank` (integer-ppb
+        # PageRank over the PREVIOUS crawls' persisted link lineage,
+        # frozen at run start so the score is deterministic within a run;
+        # a fresh store has no lineage → rank 0 → FIFO): recrawls dispatch
+        # high-authority hosts' URLs first — the OPIC/adaptive-crawl loop
+        # closed with the engine's own lineage.
+        gated = (cfg.max_dispatch_per_host_per_wave is not None
+                 or cfg.wave_duration is not None
+                 or self.host_budgets is not None)
+        if cfg.frontier_priority is not None and (gated or cfg.max_dispatch_per_wave is not None):
+            if 'host_rank' in cfg.frontier_priority:
+                ranks = self._frontier_ranks()
+                if ranks is not None:
+                    right = (F.broadcast(ranks)
+                             if self._rank_count <= cfg.broadcast_host_limit else ranks)
+                    allowed = allowed.join(right, 'host', 'left')
+                if 'host_rank' not in allowed.columns:
+                    allowed = allowed.withColumn('host_rank', F.lit(0).cast('long'))
+                allowed = allowed.withColumn(
+                    'host_rank', F.coalesce(F.col('host_rank'), F.lit(0)).cast('long'))
+            allowed = allowed.withColumn('_score', F.expr(cfg.frontier_priority)).drop('host_rank')
+        if gated:
             # politeness_scope='domain' widens the slot-counting key from
             # the exact host to its registered domain (PLD) — one window
             # per site, not per subdomain. Map-side column; the window
@@ -731,13 +794,29 @@ class CrawlEngine:
                                F.floor(F.lit(float(cfg.wave_duration)) / delay).cast('long')),
                 )
                 budget = delay_budget if budget is None else F.least(budget, delay_budget)
-            # priority-queue frontier (beyond reference): an optional
+            if self.host_budgets is not None:
+                # injectable per-host budget table — the consumer side of
+                # operators/scheduling.plan_host_budgets (authority-
+                # weighted allocation) or any external capacity plan.
+                # Budgets are per HOST (like the robots delay) even under
+                # a wider politeness scope; unmapped hosts get NULL =
+                # unbounded-by-table (F.least skips nulls). Broadcast-hint
+                # policy follows host_state.
+                hb = self.host_budgets.select(
+                    'host', F.col('budget').cast('long').alias('_host_budget'))
+                if self._host_budgets_count is None:
+                    self._host_budgets_count = hb.count()
+                right = (F.broadcast(hb)
+                         if self._host_budgets_count <= cfg.broadcast_host_limit else hb)
+                allowed = allowed.join(right, 'host', 'left')
+                hb_col = F.col('_host_budget')
+                budget = hb_col if budget is None else F.least(budget, hb_col)
+            # priority-queue frontier (beyond reference): the optional
             # JVM-side score reorders dispatch within each host's window —
             # higher scores win slots first, ties fall back to FIFO, so
             # frontier_priority=None is bit-identical to reference order.
             # Map-side expression; the window shuffle is unchanged.
             if cfg.frontier_priority is not None:
-                allowed = allowed.withColumn('_score', F.expr(cfg.frontier_priority))
                 slot_order = [F.desc('_score'), F.asc('priority')]
             else:
                 slot_order = [F.asc('priority')]
@@ -767,7 +846,12 @@ class CrawlEngine:
                 allowed.filter(over)
                 .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
             )
-            allowed = allowed.filter(~over).drop('_slot', '_score', '_pol_domain', '_pol_ip', 'ip')
+            # _score survives into step 4b when the global cap will
+            # consume it; everything else window-local is dropped here
+            drop_cols_4 = ['_slot', '_pol_domain', '_pol_ip', 'ip', '_host_budget']
+            if cfg.max_dispatch_per_wave is None:
+                drop_cols_4.append('_score')
+            allowed = allowed.filter(~over).drop(*drop_cols_4)
 
         # 4b. global fetch-capacity cap (max_dispatch_per_wave): keep the
         # K lowest-priority rows ACROSS hosts (global FIFO — the
@@ -779,8 +863,22 @@ class CrawlEngine:
         # the straddling bucket, and only THAT bucket's ≤65536 rows are
         # ranked (single bounded window partition). Everything below the
         # bucket keeps, everything above defers, no row outside the
-        # straddle bucket ever sorts.
-        if cfg.max_dispatch_per_wave is not None:
+        # straddle bucket ever sorts. With frontier_priority set the cap
+        # becomes a true PRIORITY-QUEUE dequeue across hosts: top-K by
+        # (_score DESC, priority ASC) via scheduling.topk_by_score —
+        # range-repartition on the order key (scores are arbitrary user
+        # expressions, so no dense-key histogram exists), per-partition
+        # counts, and only the single straddling partition ranks.
+        if cfg.max_dispatch_per_wave is not None and cfg.frontier_priority is not None:
+            from scalpel_spark.operators.scheduling import topk_by_score
+
+            allowed = allowed.persist()
+            kept, overflow = topk_by_score(allowed, cfg.max_dispatch_per_wave)
+            deferred = deferred.unionByName(overflow.select(
+                'url', 'url_hash', 'host', 'scheme',
+                (F.col('wave') + 1).alias('wave'), 'priority'))
+            allowed = kept.drop('_score')
+        elif cfg.max_dispatch_per_wave is not None:
             cap = cfg.max_dispatch_per_wave
             allowed = allowed.persist()
             bucket = F.shiftright(F.col('priority'), 16)
