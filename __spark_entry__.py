@@ -2963,6 +2963,56 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_sitemap_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.follow_sitemaps through the full engine: the seed
+    host's robots.txt ``Sitemap:`` directive points at a sitemapindex,
+    whose child urlset lists two documents (one CDATA-wrapped loc, one
+    plain) plus an ftp loc that must drop. Discovered URLs join the
+    wave-0 frontier after the explicit seed, densely prioritized in
+    publication order. VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA, ROBOTS_SCHEMA
+
+    index = ('<?xml version="1.0"?><sitemapindex>\n'
+             '<sitemap><loc> http://s.com/sm1.xml </loc></sitemap>\n'
+             '</sitemapindex>')
+    sm1 = ('<?xml version="1.0"?><urlset>\n'
+           '<url><loc><![CDATA[http://s.com/d1]]></loc>'
+           '<lastmod>2026-01-01</lastmod></url>\n'
+           '<url><loc>http://s.com/d2</loc></url>\n'
+           '<url><loc>ftp://s.com/skip-me</loc></url>\n'
+           '</urlset>')
+    corpus = spark.createDataFrame([
+        {'doc_id': u,
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for u in ('http://s.com/home', 'http://s.com/d1', 'http://s.com/d2')
+    ], CORPUS_SCHEMA)
+    robots = spark.createDataFrame(
+        [('s.com', 200,
+          'User-agent: *\nAllow: /\nSitemap: http://s.com/index.xml')],
+        ROBOTS_SCHEMA)
+    pages = spark.createDataFrame(
+        [('http://s.com/index.xml', index), ('http://s.com/sm1.xml', sm1)],
+        'url string, body string')
+    cfg = CrawlConfig(follow_sitemaps=True, max_waves=1)
+    res = CrawlEngine(spark, corpus, robots, cfg, sitemap_pages=pages).run(
+        ['http://s.com/home'])
+    return res.seen.select('url', 'wave',
+                           F.col('priority').cast('long').alias('priority'),
+                           'status')
+
+
+ORACLE_CRAWL_SITEMAP_BOOTSTRAP = """
+SELECT * FROM (VALUES
+  ('http://s.com/home', 0, CAST(0 AS BIGINT), 'reachable'),
+  ('http://s.com/d1', 0, CAST(1 AS BIGINT), 'reachable'),
+  ('http://s.com/d2', 0, CAST(2 AS BIGINT), 'reachable')
+) AS t(url, wave, priority, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -3192,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_priority_global': q_crawl_priority_global,
         'crawl_host_budget_table': q_crawl_host_budget_table,
         'crawl_rank_recrawl': q_crawl_rank_recrawl,
+        'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -3287,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_priority_global': ORACLE_CRAWL_PRIORITY_GLOBAL,
         'crawl_host_budget_table': ORACLE_CRAWL_HOST_BUDGET_TABLE,
         'crawl_rank_recrawl': ORACLE_CRAWL_RANK_RECRAWL,
+        'crawl_sitemap_bootstrap': ORACLE_CRAWL_SITEMAP_BOOTSTRAP,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

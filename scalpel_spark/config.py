@@ -163,6 +163,18 @@ class CrawlConfig:
     # missing from the map fall back to their own host identity (DNS
     # unknown = host-scoped, never dropped).
     politeness_scope: str = 'host'
+    # sitemap bootstrap (beyond reference — the reference's seed list is
+    # hand-fed): when True, the SEED hosts' robots.txt ``Sitemap:``
+    # directives are followed at run start — sitemap pages come from the
+    # injectable CrawlEngine(sitemap_pages=(url, body)) table,
+    # ``<sitemapindex>`` pages are resolved up to sitemap_index_hops
+    # levels, and every document ``<loc>`` is appended to the wave-0
+    # frontier AFTER the explicit seeds (dense priorities in
+    # (sitemap_url, pos) appearance order — publication order is crawl
+    # order). Discovered URLs flow through the normal seen-dedup /
+    # robots / politeness pipeline; non-http(s) locs are dropped.
+    follow_sitemaps: bool = False
+    sitemap_index_hops: int = 2
     # fetch retries (beyond reference — the reference treats any non-OK
     # response as final and never re-enqueues, any_io/static_spider.py's
     # single attempt per dequeued URL): when > 0, a URL whose fetch came
@@ -203,6 +215,8 @@ class CrawlConfig:
             raise ValueError('max_dispatch_per_wave must be >= 1')
         if self.max_retries < 0:
             raise ValueError('max_retries must be >= 0')
+        if self.sitemap_index_hops < 0:
+            raise ValueError('sitemap_index_hops must be >= 0')
 
     @property
     def request_delay(self) -> float:
@@ -219,9 +233,9 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'max_dispatch_per_wave',
                'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
-               'cuckoo_shards', 'max_retries'}
+               'cuckoo_shards', 'max_retries', 'sitemap_index_hops'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
-_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules'}
+_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
 _STR_SEQ_FIELDS = {'blocklist_hosts'}
 

@@ -250,6 +250,7 @@ class CrawlEngine:
         store: Optional[SnapshotStore] = None,
         host_ips: Optional[DataFrame] = None,
         host_budgets: Optional[DataFrame] = None,
+        sitemap_pages: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -276,6 +277,17 @@ class CrawlEngine:
         if self.config.politeness_scope == 'ip' and host_ips is None:
             raise ValueError("politeness_scope='ip' requires a host_ips "
                              "DataFrame (host string, ip string)")
+        # sitemap bootstrap source: fetched sitemap XML pages (url, body).
+        # Sitemaps are raw XML, not span documents, so they live beside
+        # the corpus rather than in it.
+        self.sitemap_pages = sitemap_pages
+        if self.config.follow_sitemaps:
+            if sitemap_pages is None:
+                raise ValueError('follow_sitemaps requires a sitemap_pages '
+                                 'DataFrame (url string, body string)')
+            if self.robots is None:
+                raise ValueError('follow_sitemaps requires a robots table '
+                                 '(Sitemap: directives live in robots.txt)')
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -362,6 +374,55 @@ class CrawlEngine:
             self._rank_count = ranks.count()
             self._rank_df = ranks
         return self._rank_df
+
+    def _sitemap_bootstrap(self, frontier: DataFrame, next_priority: int
+                           ) -> tuple[DataFrame, int]:
+        """Seed-expansion hop (CrawlConfig.follow_sitemaps): the SEED
+        hosts' robots.txt ``Sitemap:`` directives → sitemap pages
+        (injectable (url, body) table) → document ``<loc>`` entries, with
+        ``<sitemapindex>`` pages resolved up to ``sitemap_index_hops``
+        further levels. Discovered URLs join the wave-0 frontier AFTER
+        the explicit seeds, densely prioritized in (sitemap_url, pos)
+        appearance order — publication order is crawl order; duplicate
+        locs keep their first appearance. Non-http(s) locs drop here;
+        everything else flows through the normal seen-dedup / robots /
+        politeness pipeline. All parsing is map-side JVM regexp
+        (operators/sitemap); the only shuffles are the per-hop semi-join
+        against the (tiny) directive set and the final dedup/ordering
+        over the discovered locs."""
+        from scalpel_spark.operators.sitemap import (robots_sitemap_urls,
+                                                     sitemap_entries)
+
+        hosts = frontier.select('host').distinct()
+        directives = robots_sitemap_urls(self.robots.join(hosts, 'host', 'left_semi'))
+        to_fetch = directives.select(F.col('sitemap_url').alias('url')).distinct()
+        pages = self.sitemap_pages.select('url', 'body')
+        doc_entries = None
+        for _hop in range(self.config.sitemap_index_hops + 1):
+            fetched = pages.join(to_fetch, 'url', 'left_semi')
+            entries = sitemap_entries(fetched).persist()
+            docs_e = entries.filter(~F.col('is_index')).select(
+                'sitemap_url', 'pos', 'loc')
+            doc_entries = docs_e if doc_entries is None else doc_entries.unionByName(docs_e)
+            to_fetch = entries.filter(F.col('is_index')).select(
+                F.col('loc').alias('url')).distinct()
+            if to_fetch.isEmpty():
+                break
+        first_seen = doc_entries.groupBy('loc').agg(
+            F.min(F.struct('sitemap_url', 'pos')).alias('_first'))
+        ordered, n = dense_sequence_with_count(
+            first_seen.select('loc', F.col('_first.sitemap_url').alias('sitemap_url'),
+                              F.col('_first.pos').alias('pos')),
+            ['sitemap_url', 'pos'], 'priority', start=next_priority)
+        new_rows = ordered.select(
+            F.col('loc').alias('url'),
+            url_hash_col(F.col('loc')).alias('url_hash'),
+            host_col(F.col('loc')).alias('host'),
+            scheme_col(F.col('loc')).alias('scheme'),
+            F.lit(0).alias('wave'),
+            'priority',
+        ).filter(F.col('scheme').isin('http', 'https'))
+        return frontier.unionByName(new_rows), next_priority + n
 
     def forget(self, urls) -> None:
         """Recrawl window: remove URLs from the seen AND followed sets so a
@@ -481,7 +542,10 @@ class CrawlEngine:
             F.lit(0).alias('wave'),
             'priority',
         )
-        return self._loop(frontier, wave=0, next_priority=len(seeds), started=started)
+        next_priority = len(seeds)
+        if self.config.follow_sitemaps:
+            frontier, next_priority = self._sitemap_bootstrap(frontier, next_priority)
+        return self._loop(frontier, wave=0, next_priority=next_priority, started=started)
 
     def run_frontier(self, seeds_df: DataFrame, on_invalid: str = 'error') -> CrawlResult:
         """Distributed seed ingestion for 10^10-URL frontiers: ``seeds_df``
@@ -519,7 +583,10 @@ class CrawlEngine:
             F.col('priority').cast('long').alias('priority'),
         )
         max_p = frontier.agg(F.max('priority')).collect()[0][0]
-        return self._loop(frontier, wave=0, next_priority=(max_p or 0) + 1, started=started)
+        next_priority = (max_p or 0) + 1
+        if self.config.follow_sitemaps:
+            frontier, next_priority = self._sitemap_bootstrap(frontier, next_priority)
+        return self._loop(frontier, wave=0, next_priority=next_priority, started=started)
 
     def resume(self) -> CrawlResult:
         """Deterministic resume from the latest committed snapshot (T4)."""
