@@ -3013,6 +3013,51 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_robots_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlEngine.refresh_robots — robots-decision TTL (RFC 9309 §2.4
+    caching): run 1 under deny-all records the host as excluded; run 2
+    with an UPDATED allow-all robots table still honors the cached
+    verdict (cache semantics); run 3 after refresh_robots() re-evaluates
+    against the current table and fetches. One store, three runs, VALUES
+    oracle over the final seen set."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA, ROBOTS_SCHEMA
+
+    corpus = spark.createDataFrame([
+        {'doc_id': f'http://h.com/{p}',
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for p in ('a', 'b', 'c')
+    ], CORPUS_SCHEMA)
+
+    def robots(rules):
+        return spark.createDataFrame([('h.com', 200, rules)], ROBOTS_SCHEMA)
+
+    deny = 'User-agent: *\nDisallow: /'
+    allow = 'User-agent: *\nAllow: /'
+    store = SnapshotStore(tempfile.mkdtemp(prefix='robots-refresh-'))
+    cfg = CrawlConfig(follow_robots_txt=True, max_waves=1)
+    CrawlEngine(spark, corpus, robots(deny), cfg, store).run(['http://h.com/a'])
+    CrawlEngine(spark, corpus, robots(allow), cfg, store).run(['http://h.com/b'])
+    engine3 = CrawlEngine(spark, corpus, robots(allow), cfg, store)
+    engine3.refresh_robots()
+    res = engine3.run(['http://h.com/c'])
+    return res.seen.select('url', 'status')
+
+
+ORACLE_CRAWL_ROBOTS_REFRESH = """
+SELECT * FROM (VALUES
+  ('http://h.com/a', 'robots_excluded'),
+  ('http://h.com/b', 'robots_excluded'),
+  ('http://h.com/c', 'reachable')
+) AS t(url, status)
+"""
+
+
 def q_crawl_canonicalized_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.canonicalize_urls through the full engine: with the
     flag on, a ?utm_source= seed variant collapses into the clean URL's
@@ -3243,6 +3288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_host_budget_table': q_crawl_host_budget_table,
         'crawl_rank_recrawl': q_crawl_rank_recrawl,
         'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
+        'crawl_robots_refresh': q_crawl_robots_refresh,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
@@ -3339,6 +3385,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_host_budget_table': ORACLE_CRAWL_HOST_BUDGET_TABLE,
         'crawl_rank_recrawl': ORACLE_CRAWL_RANK_RECRAWL,
         'crawl_sitemap_bootstrap': ORACLE_CRAWL_SITEMAP_BOOTSTRAP,
+        'crawl_robots_refresh': ORACLE_CRAWL_ROBOTS_REFRESH,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,

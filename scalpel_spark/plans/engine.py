@@ -375,6 +375,41 @@ class CrawlEngine:
             self._rank_df = ranks
         return self._rank_df
 
+    def refresh_robots(self, hosts=None) -> None:
+        """Expire cached robots decisions — the TTL hook (RFC 9309 §2.4
+        allows caching robots.txt, but crawlers must refresh; the
+        reference re-fetches robots per process start, so a long-lived
+        wave store needs an explicit expiry). Commits a ``host_state``
+        rewrite with the given hosts' rows REMOVED (``hosts=None`` drops
+        every decision): the next wave that dispatches a URL on such a
+        host re-evaluates it against the CURRENT robots table —
+        allow/deny, fetch-status policy, and crawl-delay all refresh.
+        Already-recorded seen/docs rows are untouched (use ``forget()``
+        to make previously excluded URLs eligible again); the frontier is
+        carried forward so ``resume()`` keeps working.
+
+        ``hosts`` is an iterable of host strings or a one-column
+        DataFrame."""
+        current = self.store.load_current(self.spark, 'host_state')
+        if current is None:
+            return
+        if hosts is None:
+            kept = self._empty(HOST_STATE_SCHEMA)
+        else:
+            hdf = hosts if isinstance(hosts, DataFrame) else \
+                self.spark.createDataFrame([(h,) for h in hosts], 'host string')
+            kept = current.join(hdf.select('host'), 'host', 'left_anti')
+        snap = self.store.current()
+        wave, next_priority = -1, 0
+        tables = {'host_state': kept}
+        if snap is not None:
+            wave = snap['wave']
+            next_priority = snap['metadata'].get('next_priority', 0)
+            if 'frontier' in snap['tables']:
+                tables['frontier'] = self.store.load(self.spark, snap, 'frontier')
+        self.store.commit(tables, wave, metadata={'next_priority': next_priority,
+                                                  'robots_refresh': True})
+
     def _sitemap_bootstrap(self, frontier: DataFrame, next_priority: int
                            ) -> tuple[DataFrame, int]:
         """Seed-expansion hop (CrawlConfig.follow_sitemaps): the SEED

@@ -55,6 +55,14 @@ def main() -> None:
                          '(Heritrix-style digest dedup)')
     ap.add_argument('--blocklist-hosts', default='',
                     help='comma-separated hosts to refuse (implies --url-rules)')
+    ap.add_argument('--max-retries', type=int, default=0,
+                    help='re-enqueue unreachable fetches up to N times '
+                         '(attempt budgets persist in retry_delta)')
+    ap.add_argument('--frontier-priority', default=None, metavar='SQL',
+                    help="dispatch score expression, e.g. '-length(url)' or "
+                         "'host_rank' (PageRank over persisted lineage); "
+                         "with --global-budget the cap becomes a score-"
+                         "ordered priority-queue dequeue")
     ap.add_argument('--host-ranks', type=int, default=None, metavar='TOP_N',
                     help='after the crawl, print the TOP_N hosts by link-graph '
                          'PageRank from the persisted lineage')
@@ -90,6 +98,8 @@ def main() -> None:
         politeness_scope=args.politeness_scope,
         max_dispatch_per_wave=args.global_budget,
         content_dedup=args.content_dedup,
+        max_retries=args.max_retries,
+        frontier_priority=args.frontier_priority,
     )
     store = SnapshotStore(args.checkpoint_dir or tempfile.mkdtemp(prefix='crawl-submit-'))
     # seeds must exist in the synthetic web; one per host so politeness and
