@@ -33,7 +33,11 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_rfc9309',
         'crawl_content_dedup',
         'crawl_global_budget',
-        'crawl_canonicalized_seen'}
+        'crawl_canonicalized_seen',
+        'crawl_retry_requeue', 'crawl_ip_politeness',
+        'crawl_priority_global', 'crawl_host_budget_table',
+        'crawl_rank_recrawl', 'crawl_sitemap_bootstrap',
+        'crawl_robots_refresh'}
 
 CHECKS = {
     'frontier_dedup_anti_join': ['LeftAnti'],
