@@ -2272,7 +2272,8 @@ bl AS (SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host
        FROM (SELECT unnest(range(37)) AS k) WHERE k % 7 = 0),
 flags AS (
   SELECT doc_id,
-         lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))
+         lower(split_part(split_part(split_part(split_part(url, '://', 2), '?', 1),
+                                     '/', 1), ':', 1))
            IN (SELECT host FROM bl) AS flag_blocked,
          len(url) > 300 AS flag_long,
          (len(split_part(url, '?', 1))
@@ -2321,10 +2322,10 @@ WITH fr AS (
   FROM documents),
 parts AS (
   SELECT doc_id, url,
-         split_part(CASE WHEN strpos(split_part(url, '://', 2), '/') > 0
-                         THEN substr(split_part(url, '://', 2),
-                                     strpos(split_part(url, '://', 2), '/'))
-                         ELSE '' END, '?', 1) AS path
+         CASE WHEN strpos(split_part(split_part(url, '://', 2), '?', 1), '/') > 0
+              THEN substr(split_part(split_part(url, '://', 2), '?', 1),
+                          strpos(split_part(split_part(url, '://', 2), '?', 1), '/'))
+              ELSE '' END AS path
   FROM fr),
 segs AS (
   SELECT doc_id, url, path,

@@ -79,13 +79,19 @@ def compile_pattern(pattern: str) -> str:
 def parse_robots_text(text: str, user_agent: str) -> list[tuple[str, bool, int]]:
     """Pure kernel: robots.txt → the applicable group's [(rx, allow, plen)].
 
-    Group selection per RFC 9309 §2.2.1: the group whose ``User-agent``
-    product token case-insensitively equals the crawler's token wins;
-    otherwise the ``*`` group; otherwise no rules (everything allowed).
+    Group selection per RFC 9309 §2.2.1: the crawler matches by its
+    PRODUCT TOKEN — the part of ``user_agent`` before the first ``/``
+    (so a full browser string like ``Mozilla/5.0 (X11; ...)`` selects
+    the ``Mozilla`` group, matching the stdlib ``RobotFileParser``
+    the engine's default matcher uses). A group applies when its
+    ``User-agent`` value is a case-insensitive substring of that token
+    (stdlib semantics); among applicable groups the MOST SPECIFIC
+    (longest UA value) wins, per the RFC's most-specific-group rule.
+    Otherwise the ``*`` group; otherwise no rules (everything allowed).
     Consecutive UA lines share one group. Empty-pattern rules are ignored
     (RFC: an empty ``Disallow:`` means allow-all, i.e. no rule).
     """
-    ua = user_agent.lower()
+    ua = user_agent.split('/')[0].strip().lower()
     groups: dict[str, list[tuple[str, bool]]] = {}
     current: list[str] = []
     rules_started = False
@@ -108,9 +114,8 @@ def parse_robots_text(text: str, user_agent: str) -> list[tuple[str, bool, int]]
                 continue
             for tok in current:
                 groups[tok].append((val, key == 'allow'))
-    chosen = groups.get(ua)
-    if chosen is None:
-        chosen = groups.get('*')
+    applicable = [tok for tok in groups if tok != '*' and tok and tok in ua]
+    chosen = groups[max(applicable, key=len)] if applicable else groups.get('*')
     if not chosen:
         return []
     return [(compile_pattern(p), allow, len(p)) for p, allow in chosen]

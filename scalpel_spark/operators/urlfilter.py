@@ -38,7 +38,10 @@ def url_host(url: Column) -> Column:
     (``functions/urls.host_col`` = lower(parse_url HOST)) on every URL
     without userinfo; frontiers that already carry the engine host column
     should pass it via ``host_col`` instead of re-deriving."""
-    authority = F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
+    # query stripped first: a no-path URL ('http://h.test?a=b') must not
+    # leak its query into the authority
+    authority = F.split_part(F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
+                                          F.lit('?'), F.lit(1)),
                              F.lit('/'), F.lit(1))
     return F.lower(F.split_part(authority, F.lit(':'), F.lit(1)))
 
@@ -109,11 +112,13 @@ def _path(url: Column) -> Column:
     """URL path incl. leading '/', query stripped; '' when there is no
     path. Pure string algebra (strpos/substr) so the DuckDB twin is
     byte-identical."""
-    rest = F.split_part(url, F.lit('://'), F.lit(2))
-    full = F.when(F.instr(rest, '/') > 0,
+    # strip the query BEFORE locating the first '/': a no-path URL whose
+    # query contains a slash ('http://h?a=b/c') must yield '', not '/c'
+    rest = F.split_part(F.split_part(url, F.lit('://'), F.lit(2)),
+                        F.lit('?'), F.lit(1))
+    return F.when(F.instr(rest, '/') > 0,
                   F.substring(rest, F.instr(rest, '/'), F.length(rest))
                   ).otherwise(F.lit(''))
-    return F.split_part(full, F.lit('?'), F.lit(1))
 
 
 def trap_scores(

@@ -369,8 +369,13 @@ class CrawlEngine:
                          F.col('dst_host').alias('dst'))
                 .agg(F.sum('n_links').alias('n_links'))
             )
+            # localCheckpoint, not persist: the per-wave
+            # spark.catalog.clearCache() would unpersist a cached handle
+            # and silently re-run the whole lineage scan + PageRank every
+            # wave; a localCheckpoint survives the cache clear, so the
+            # rank really is computed once per run
             ranks = host_rank(edges, weight='n_links').select(
-                'host', F.col('rank_ppb').alias('host_rank')).persist()
+                'host', F.col('rank_ppb').alias('host_rank')).localCheckpoint()
             self._rank_count = ranks.count()
             self._rank_df = ranks
         return self._rank_df
@@ -443,6 +448,11 @@ class CrawlEngine:
                 F.col('loc').alias('url')).distinct()
             if to_fetch.isEmpty():
                 break
+        # sitemap locs take the same canonical identity as seeds and
+        # followed links (one URL identity per page under
+        # canonicalize_urls) — BEFORE first-appearance dedup, so two locs
+        # differing only in tracking params collapse to one frontier row
+        doc_entries = self._canonicalized(doc_entries, 'loc')
         first_seen = doc_entries.groupBy('loc').agg(
             F.min(F.struct('sitemap_url', 'pos')).alias('_first'))
         ordered, n = dense_sequence_with_count(
@@ -794,26 +804,20 @@ class CrawlEngine:
                 # re-deriving them per wave; re-deriving keeps the stored
                 # schema reference-shaped and costs one tiny per-host job.
                 from scalpel_spark.operators.robots9309 import (
-                    match_target_col, rules_table)
+                    match_urls, rules_table)
 
                 wave_hosts = new.select('host').distinct()
                 applicable = self.robots.join(wave_hosts, 'host', 'left_semi')
                 rep_rules = rules_table(applicable, cfg.user_agent)
-                joined = joined.join(F.broadcast(rep_rules), 'host', 'left')
-                target = match_target_col(F.col('url'))
-                matched = F.filter(
-                    F.coalesce(F.col('rep_rules'), F.array()),
-                    lambda r: F.regexp_like(target, r['rx']),
-                )
-                best = F.array_max(F.transform(
-                    matched,
-                    lambda r: F.struct(r['plen'].alias('plen'), r['allow'].alias('allow')),
-                ))
-                rep_denied = (F.size(matched) > 0) & ~best['allow']
+                # ONE implementation of the RFC 9309 precedence rule:
+                # match_urls owns the broadcast join + longest-match /
+                # allow-wins decision; the engine only scopes it to
+                # http(s) schemes
+                joined = match_urls(joined, rep_rules, out_col='rep_allowed')
                 is_excluded = is_excluded | (
-                    F.col('scheme').isin('http', 'https') & rep_denied
+                    F.col('scheme').isin('http', 'https') & ~F.col('rep_allowed')
                 )
-                rep_cols = ('rep_rules',)
+                rep_cols = ('rep_allowed',)
             excluded = joined.filter(is_excluded).select(
                 'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
             )
@@ -1138,6 +1142,12 @@ class CrawlEngine:
                 err = f'{type(e).__name__}: {e}'
                 quarantine = raw_items.withColumn('error', F.lit(err[:500]))
                 items = self._empty(raw_items.schema)
+                # the wave emitted NO items, so its content signatures
+                # must not enter content_seen_delta — committing them
+                # would permanently suppress this content (a later
+                # duplicate would be anti-joined away without any items
+                # row ever existing)
+                content_delta = None
                 metrics_rows.append((wave, 'items_quarantined', -1, 0, 0.0))
 
         docs_delta = docs.select(

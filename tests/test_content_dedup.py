@@ -90,3 +90,35 @@ def test_forget_releases_signature_only_when_last_holder(spark, tmp_path):
     res3 = eng2.run([f'http://{HOST}/c'])
     emitters = {r['doc_id'] for r in res3.items.select('doc_id').distinct().collect()}
     assert f'http://{HOST}/c' in emitters
+
+
+def _raising_processor(items):
+    raise RuntimeError('processor exploded')
+
+
+def test_quarantined_wave_releases_signatures(spark, tmp_path):
+    """A wave whose items were quarantined emitted NOTHING, so its
+    content signatures must not enter content_seen_delta — otherwise a
+    later duplicate would be suppressed without any items row ever
+    existing."""
+    from scalpel_spark.plans.storage import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / 'store'))
+    corpus = _corpus(spark, [('/a', 'same'), ('/b', 'same')])
+    eng1 = CrawlEngine(
+        spark, corpus,
+        config=CrawlConfig(max_waves=1, content_dedup=True,
+                           ignore_errors=True,
+                           item_processors=(_raising_processor,)),
+        store=store)
+    res1 = eng1.run([f'http://{HOST}/a'])
+    assert res1.items.count() == 0
+    assert res1.items_quarantine.count() > 0
+
+    # a later run fetching IDENTICAL content on a mirror URL still emits
+    eng2 = CrawlEngine(spark, corpus,
+                       config=CrawlConfig(max_waves=1, content_dedup=True),
+                       store=store)
+    res2 = eng2.run([f'http://{HOST}/b'])
+    emitters = {r['doc_id'] for r in res2.items.select('doc_id').distinct().collect()}
+    assert f'http://{HOST}/b' in emitters

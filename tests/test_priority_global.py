@@ -118,3 +118,28 @@ def test_fifo_unchanged_without_priority(spark):
     res = CrawlEngine(spark, corpus, config=cfg).run(urls)
     seen = {r['url']: r['wave'] for r in res.seen.collect()}
     assert seen == {'http://a.com/1': 0, 'http://b.com/22': 1, 'http://c.com/333': 2}
+
+
+def test_frontier_ranks_survive_per_wave_cache_clear(spark, tmp_path):
+    """host_rank is 'computed ONCE per run': the rank DataFrame is
+    localCheckpoint-backed (Scan ExistingRDD), so the per-wave
+    spark.catalog.clearCache() cannot unpersist it and force the whole
+    lineage scan + PageRank to re-run lazily every wave."""
+    store = SnapshotStore(str(tmp_path / 'store'))
+    corpus1 = _corpus(spark, [
+        ('http://a.com/root', [_text('hub'), _link('http://b.com/x')]),
+    ])
+    CrawlEngine(spark, corpus1, config=CrawlConfig(max_waves=1), store=store).run(
+        ['http://a.com/root'])
+
+    corpus2 = _corpus(spark, [('http://a.com/new', [_text('na')])])
+    eng = CrawlEngine(spark, corpus2,
+                      config=CrawlConfig(max_waves=1, max_dispatch_per_wave=1,
+                                         frontier_priority='host_rank'),
+                      store=store)
+    ranks = eng._frontier_ranks()
+    assert ranks is not None
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert 'LogicalRDD' in plan  # lineage truncated at the checkpoint
+    spark.catalog.clearCache()
+    assert eng._frontier_ranks().count() == ranks.count()

@@ -134,3 +134,24 @@ def test_match_urls_is_shuffle_free(spark):
     for line in plan.splitlines():
         if 'Exchange' in line:
             assert 'Broadcast' in line, line
+
+
+def test_group_selection_uses_product_token():
+    # the engine wires its full user_agent string in; RFC 9309 crawlers
+    # match by PRODUCT TOKEN (the part before '/'), like the stdlib
+    # RobotFileParser the default matcher uses — a browser-style UA must
+    # select the 'Mozilla' group, not silently fall through to '*'
+    txt = 'User-agent: Mozilla\nDisallow: /\n\nUser-agent: *\nAllow: /'
+    rules = parse_robots_text(
+        txt, 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36')
+    assert rules == [(compile_pattern('/'), False, 1)]
+
+
+def test_group_selection_most_specific_token_wins():
+    # both 'bot' and 'mybot' are substrings of the token 'mybot';
+    # the longest (most specific) group applies, per RFC 9309
+    txt = ('User-agent: bot\nDisallow: /a\n\n'
+           'User-agent: mybot\nDisallow: /b\n\n'
+           'User-agent: *\nDisallow: /c')
+    assert parse_robots_text(txt, 'MyBot/2.1') == [
+        (compile_pattern('/b'), False, 2)]

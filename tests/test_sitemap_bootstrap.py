@@ -70,3 +70,24 @@ def test_sitemap_hop_limit(spark):
     res = CrawlEngine(spark, corpus, robots, cfg, sitemap_pages=pages).run(
         ['http://s.com/home'])
     assert {r['url'] for r in res.seen.collect()} == {'http://s.com/home'}
+
+
+def test_sitemap_locs_take_canonical_identity(spark):
+    """Under canonicalize_urls, sitemap <loc> values go through the SAME
+    frontier canonicalization as seeds and followed links — a loc that
+    differs from a seed only by tracking params must collapse to one
+    fetch, not two."""
+    corpus, robots, _ = _fixture(spark)
+    sm = """<?xml version="1.0"?><urlset>
+<url><loc>http://s.com/d1?utm_source=feed</loc></url>
+<url><loc>http://s.com/d2</loc></url>
+</urlset>"""
+    pages = spark.createDataFrame(
+        [('http://s.com/index.xml', INDEX), ('http://s.com/sm1.xml', sm)],
+        'url string, body string')
+    cfg = CrawlConfig(follow_sitemaps=True, canonicalize_urls=True, max_waves=1)
+    res = CrawlEngine(spark, corpus, robots, cfg, sitemap_pages=pages).run(
+        ['http://s.com/d1'])
+    urls = sorted(r['url'] for r in res.seen.collect())
+    # the utm variant collapsed onto the seed's canonical identity
+    assert urls == ['http://s.com/d1', 'http://s.com/d2']

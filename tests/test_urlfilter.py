@@ -182,3 +182,27 @@ def test_trap_plan_stays_jvm(spark):
         _f(spark, ['http://x.example.com/a'])
     )._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan
+
+
+def test_query_slash_does_not_fake_a_path(spark):
+    # a no-path URL whose query contains '/' or digits must not be
+    # mistaken for a deep/digit-mill path (the '?' strips BEFORE the
+    # first-'/' search, in both engines)
+    from scalpel_spark.operators.urlfilter import trap_scores
+
+    rows = {r['url']: r for r in trap_scores(_f(spark, [
+        'http://h.test?d=1/23456789',   # path is '', not '/23456789'
+        'http://h.test/p?a=b/c',        # path is '/p', not '/p?a=b'
+    ])).collect()}
+    none = rows['http://h.test?d=1/23456789']
+    assert (none['depth'], none['digit_ppm'], none['flag_trap']) == (0, 0, False)
+    assert rows['http://h.test/p?a=b/c']['depth'] == 1
+
+
+def test_query_does_not_leak_into_blocklist_host(spark):
+    # 'http://h.test?x=1' is host 'h.test' — the blocklist must hit it
+    bl = spark.createDataFrame([('h.test',)], 'host STRING')
+    rows = {r['url']: r for r in urlfilter.url_quality_flags(
+        _f(spark, ['http://h.test?x=1', 'http://ok.test/a']), bl).collect()}
+    assert rows['http://h.test?x=1']['flag_blocked'] is True
+    assert rows['http://ok.test/a']['flag_blocked'] is False
