@@ -1652,6 +1652,132 @@ FROM rn
 """
 
 
+def q_host_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (graphrank.trust_rank) over the SAME hash-derived host
+    graph as the host_rank query, teleport restricted to the trusted
+    tenth of the hosts (host % 10 == 0) — the link-spam demotion signal.
+    Both engines construct graph + trusted set from the same formulas and
+    recompute the integer-ppb trust independently — no pinned
+    constants."""
+    n = _t(spark, sf_dir, 'documents').count()
+    e = spark.range(n).select(
+        F.col('id').alias('src'),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias('j'),
+    )
+    dst = F.pmod(
+        hash60(F.concat(F.col('src').cast('string'), F.lit('-'),
+                        F.col('j').cast('string'))),
+        F.lit(n),
+    )
+    edges = e.select('src', dst.alias('dst')).filter(F.col('dst') != F.col('src'))
+    trusted = spark.range(0, n, 10).select(F.col('id').alias('host'))
+    return graphrank.trust_rank(edges, trusted, iters=3)
+
+
+def _trust_rank_cte(iters: int, damping_pct: int = 85) -> str:
+    """DuckDB twin of graphrank.trust_rank over the hash-derived graph:
+    same edges as _host_rank_cte, teleport mass only to host % 10 == 0
+    (every host id is < n, so the modulus IS the membership test)."""
+    tp = f'({1_000_000_000 * (100 - damping_pct) // 100}) // tn.t'
+    parts = [f"""nh AS (SELECT COUNT(*) AS n FROM documents),
+raw AS (SELECT src, j
+        FROM (SELECT unnest(range((SELECT n FROM nh))) AS src)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+edges AS (SELECT * FROM (
+    SELECT src,
+           {H60.format(x="CAST(src AS VARCHAR) || '-' || CAST(j AS VARCHAR)")}
+             % (SELECT n FROM nh) AS dst
+    FROM raw) WHERE dst != src),
+trusted AS (SELECT host FROM (
+    SELECT unnest(range((SELECT n FROM nh))) AS host) WHERE host % 10 = 0),
+nodes AS (SELECT DISTINCT host FROM (
+    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges
+    UNION ALL SELECT host FROM trusted)),
+tn AS (SELECT COUNT(*) AS t FROM trusted),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+t0 AS (SELECT host, CASE WHEN host % 10 = 0 THEN 1000000000 // tn.t
+                         ELSE 0 END AS trust_ppb
+       FROM nodes CROSS JOIN tn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""t{i} AS (
+  SELECT nodes.host,
+         CAST((CASE WHEN nodes.host % 10 = 0 THEN {tp} ELSE 0 END)
+              + ({damping_pct} * COALESCE(insum.s, 0)) // 100 AS BIGINT)
+           AS trust_ppb
+  FROM nodes CROSS JOIN tn
+  LEFT JOIN (SELECT e.dst AS host, SUM(r.trust_ppb // o.outdeg) AS s
+             FROM edges e JOIN t{i - 1} r ON e.src = r.host
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) insum ON nodes.host = insum.host)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_HOST_TRUST_RANK = f"""
+WITH {_trust_rank_cte(3)}
+SELECT host, trust_ppb FROM t3
+"""
+
+
+def q_cdx_revisit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index (operators/cdx.cdx_index) over a
+    deterministic synthetic capture set: one doc per documents row,
+    hosts id%13, waves id%4, span content keyed by id%50 so digests
+    collide across URLs and waves (the WARC revisit case). Both engines
+    recompute SURT urlkey, the 60-bit span digest, and the
+    first-capture-wins revisit classification independently."""
+    from scalpel_spark.operators import cdx
+
+    d = _t(spark, sf_dir, 'documents').select(F.col('doc_id').alias('id'))
+    k = F.pmod(F.col('id'), F.lit(50)).cast('string')
+    docs = d.select(
+        F.concat(F.lit('http://h'),
+                 F.pmod(F.col('id'), F.lit(13)).cast('string'),
+                 F.lit('.example.org/p'),
+                 F.col('id').cast('string')).alias('doc_id'),
+        F.pmod(F.col('id'), F.lit(4)).cast('int').alias('wave'),
+        F.array(
+            F.struct(F.lit('text').alias('kind'),
+                     F.concat(F.lit('c'), k).alias('text'),
+                     F.lit('').alias('media_ref'),
+                     F.lit(0).alias('offset')),
+            F.struct(F.lit('media').alias('kind'),
+                     F.lit('').alias('text'),
+                     F.concat(F.lit('m'), k).alias('media_ref'),
+                     F.lit(1).alias('offset')),
+        ).alias('spans'),
+    )
+    return cdx.cdx_index(docs)
+
+
+_CDX_CANON = ("'text' || chr(31) || 'c' || kk || chr(31) || '' || chr(31) || '0'"
+              " || chr(30) ||"
+              " 'media' || chr(31) || '' || chr(31) || 'm' || kk || chr(31) || '1'")
+
+ORACLE_CDX_REVISIT = f"""
+WITH d AS (SELECT doc_id AS id, CAST(doc_id % 50 AS VARCHAR) AS kk
+           FROM documents),
+caps AS (
+  SELECT 'org,example,h' || CAST(id % 13 AS VARCHAR) || ')/p'
+           || CAST(id AS VARCHAR) AS urlkey,
+         'http://h' || CAST(id % 13 AS VARCHAR) || '.example.org/p'
+           || CAST(id AS VARCHAR) AS url,
+         CAST(id % 4 AS INT) AS wave,
+         {H60.format(x=_CDX_CANON)} AS digest,
+         CAST(2 AS BIGINT) AS n_spans,
+         CAST(1 + len(kk) AS BIGINT) AS content_chars
+  FROM d),
+rn AS (SELECT *,
+              ROW_NUMBER() OVER (PARTITION BY digest
+                                 ORDER BY wave, urlkey, url) AS _rn,
+              FIRST_VALUE(wave) OVER (PARTITION BY digest
+                                      ORDER BY wave, urlkey, url) AS original_wave
+       FROM caps)
+SELECT urlkey, url, wave, digest, n_spans, content_chars,
+       _rn > 1 AS revisit, original_wave
+FROM rn
+"""
+
+
 def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-churn revisit planning over a deterministic synthetic
     3-wave recrawl history (orders keyed by o_orderkey % 3 churn every
@@ -3299,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'kmeans_assign': q_kmeans_assign,
         'semdedup': q_semdedup,
         'host_rank': q_host_rank,
+        'host_trust_rank': q_host_trust_rank,
+        'cdx_revisit_index': q_cdx_revisit_index,
         'crawl_host_rank': q_crawl_host_rank,
         'url_quality_filter': q_url_quality_filter,
         'url_trap_scores': q_url_trap_scores,
@@ -3396,6 +3524,8 @@ def oracle_sql() -> dict[str, str]:
         'kmeans_assign': ORACLE_KMEANS,
         'semdedup': ORACLE_SEMDEDUP,
         'host_rank': ORACLE_HOST_RANK,
+        'host_trust_rank': ORACLE_HOST_TRUST_RANK,
+        'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
         'url_quality_filter': ORACLE_URL_QUALITY,
         'url_trap_scores': ORACLE_URL_TRAPS,

@@ -85,3 +85,68 @@ def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
             )
         )
     return rank
+
+
+def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
+               damping_pct: int = 85, weight: str | None = None) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 §4):
+    PageRank with teleportation restricted to a TRUSTED seed set, the
+    standard link-spam demotion signal — trust flows out from vetted
+    hosts along links, so a spam farm that only cites itself (or is only
+    cited by other spam) accumulates ~zero trust no matter how large its
+    internal link mass is. The frontier consumes it exactly like
+    ``host_rank`` (a numeric priority); the two combined (high rank, low
+    trust) flag the classic spam signature.
+
+    trust_0(h)   = SCALE div T                        if h ∈ trusted else 0
+    trust_i+1(h) = [h ∈ trusted] * (SCALE*(100-d) div 100) div T
+                   + (d * Σ_{src→h} (trust_i(src) div outdeg(src)) * w) div 100
+
+    Same integer-ppb arithmetic, same per-iteration scale shape as
+    ``host_rank`` (host-sized trust frame broadcast against the in-place
+    edge list, one partial-agg groupBy per iteration). ``trusted`` is a
+    one-column (host) DataFrame; hosts in it but absent from the graph
+    still seed teleport mass. Returns (host, trust_ppb) for every host
+    in the graph or the trusted set.
+    """
+    w = F.col(weight).cast('long') if weight else F.lit(1).cast('long')
+    edges = edges.select('src', 'dst', w.alias('w'))
+    tdf = trusted.select(F.col(trusted.columns[0]).alias('host')).distinct()
+    nodes = (
+        edges.select(F.col('src').alias('host'))
+        .unionByName(edges.select(F.col('dst').alias('host')))
+        .unionByName(tdf)
+        .distinct()
+        .join(tdf.withColumn('_t', F.lit(True)), 'host', 'left')
+        .select('host', F.coalesce('_t', F.lit(False)).alias('trusted'))
+    )
+    t_row = tdf.agg(F.count('*').alias('t'))
+    teleport = F.when(
+        F.col('trusted'), F.expr(f'{SCALE * (100 - damping_pct) // 100} div t')
+    ).otherwise(F.lit(0))
+    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
+    rank = nodes.crossJoin(F.broadcast(t_row)).select(
+        'host', 'trusted',
+        F.when(F.col('trusted'), F.expr(f'{SCALE} div t'))
+        .otherwise(F.lit(0)).cast('long').alias('trust_ppb'),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(
+                rank.select(F.col('host').alias('src'), 'trust_ppb'), 'src')
+            .join(outdeg, 'src')
+            .select('dst', F.expr('(trust_ppb div outdeg) * w').alias('c'))
+        )
+        incoming = contrib.groupBy('dst').agg(F.sum('c').alias('in_sum'))
+        rank = (
+            nodes.join(incoming.withColumnRenamed('dst', 'host'), 'host', 'left')
+            .crossJoin(F.broadcast(t_row))
+            .select(
+                'host', 'trusted',
+                (
+                    teleport
+                    + F.expr(f'({damping_pct} * coalesce(in_sum, 0)) div 100')
+                ).cast('long').alias('trust_ppb'),
+            )
+        )
+    return rank.select('host', 'trust_ppb')

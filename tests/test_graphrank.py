@@ -88,3 +88,69 @@ def test_engine_links_lineage_and_host_ranks(spark, tmp_path):
     assert rows and all(r['rank_ppb'] > 0 for r in rows)
     # ranks sum to ~1 (ppb), short only by flooring + dangling loss
     assert sum(r['rank_ppb'] for r in rows) <= 1_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# trust_rank (TrustRank — teleport restricted to a trusted seed set)
+# ---------------------------------------------------------------------------
+
+
+def _trusted(spark, hosts):
+    return spark.createDataFrame([(h,) for h in hosts], 'host LONG')
+
+
+def test_trust_rank_one_iteration_hand_computed(spark):
+    # 0 trusted; 0->1, 1->2 chain plus spam island 3<->4
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3)], EDGE_SCHEMA)
+    out = {r['host']: r['trust_ppb'] for r in
+           graphrank.trust_rank(edges, _trusted(spark, [0]), iters=1).collect()}
+    # T=1: trust0(0)=10^9, others 0; teleport(0) = 150000000
+    assert out[0] == 150_000_000
+    assert out[1] == (85 * 1_000_000_000) // 100
+    assert out[2] == 0          # two hops away, one iteration
+    assert out[3] == 0 and out[4] == 0  # spam island: no path from trust
+
+
+def test_trust_rank_spam_island_stays_zero(spark):
+    # however many internal links the island has, no trust ever arrives
+    island = [(i, j) for i in (10, 11, 12) for j in (10, 11, 12) if i != j]
+    edges = spark.createDataFrame([(0, 1), (1, 0)] + island, EDGE_SCHEMA)
+    out = {r['host']: r['trust_ppb'] for r in
+           graphrank.trust_rank(edges, _trusted(spark, [0]), iters=4).collect()}
+    assert out[10] == out[11] == out[12] == 0
+    assert out[0] > 0 and out[1] > 0
+    # contrast: host_rank gives the island plenty of authority
+    pr = {r['host']: r['rank_ppb'] for r in
+          graphrank.host_rank(edges, iters=4).collect()}
+    assert pr[10] > 0
+
+
+def test_trust_rank_trusted_host_outside_graph_seeds_mass(spark):
+    # trusted host 9 has no edges: it still holds teleport mass, and T=2
+    # halves host 0's seed
+    edges = spark.createDataFrame([(0, 1)], EDGE_SCHEMA)
+    out = {r['host']: r['trust_ppb'] for r in
+           graphrank.trust_rank(edges, _trusted(spark, [0, 9]), iters=1).collect()}
+    assert out[9] == 150_000_000 // 2
+    assert out[1] == (85 * (1_000_000_000 // 2)) // 100
+
+
+def test_trust_rank_weighted_equals_replayed_edges(spark):
+    weighted = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1)], 'src LONG, dst LONG, w LONG')
+    replayed = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2)], EDGE_SCHEMA)
+    t = _trusted(spark, [0])
+    a = {r['host']: r['trust_ppb'] for r in
+         graphrank.trust_rank(weighted, t, iters=2, weight='w').collect()}
+    b = {r['host']: r['trust_ppb'] for r in
+         graphrank.trust_rank(replayed, t, iters=2).collect()}
+    assert a == b
+
+
+def test_trust_rank_plan_stays_jvm(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], EDGE_SCHEMA)
+    plan = graphrank.trust_rank(edges, _trusted(spark, [0]), iters=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert 'Python' not in plan and 'BatchEvalPython' not in plan
