@@ -1778,6 +1778,101 @@ FROM rn
 """
 
 
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion (operators/feeds.feed_entries) over 8
+    deterministic synthetic feeds built from the documents table (odd
+    feed ids are Atom, even are RSS 2.0; items in id order). Both
+    engines construct byte-identical XML bodies and re-extract every
+    entry independently with the same RE2-compatible patterns."""
+    from scalpel_spark.operators import feeds
+
+    d = _t(spark, sf_dir, 'documents').select(F.col('doc_id').alias('id'))
+    fid = F.pmod(F.col('id'), F.lit(8))
+    ds = F.pmod(F.col('id'), F.lit(28)).cast('string')
+    ids = F.col('id').cast('string')
+    fs = fid.cast('string')
+    atom_item = F.concat(
+        F.lit('<entry><link href="http://f'), fs, F.lit('.news.example/a'),
+        ids, F.lit('"/><updated>U'), ds, F.lit('</updated><id>g'), ids,
+        F.lit('</id></entry>'))
+    rss_item = F.concat(
+        F.lit('<item><link>http://f'), fs, F.lit('.news.example/r'), ids,
+        F.lit('</link><pubDate>D'), ds, F.lit('</pubDate><guid>g'), ids,
+        F.lit('</guid></item>'))
+    item = F.when(F.pmod(fid, F.lit(2)) == 1, atom_item).otherwise(rss_item)
+    grouped = d.groupBy(fid.alias('fid')).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col('id'),
+                                                     item.alias('it')))),
+                lambda s: s['it'],
+            ), '').alias('joined'))
+    is_atom_feed = F.pmod(F.col('fid'), F.lit(2)) == 1
+    pages = grouped.select(
+        F.concat(F.lit('http://f'), F.col('fid').cast('string'),
+                 F.lit('.news.example/feed.xml')).alias('url'),
+        F.concat(F.when(is_atom_feed, F.lit('<feed>')).otherwise(F.lit('<rss>')),
+                 F.col('joined'),
+                 F.when(is_atom_feed, F.lit('</feed>')).otherwise(F.lit('</rss>'))
+                 ).alias('body'),
+    )
+    return feeds.feed_entries(pages)
+
+
+ORACLE_FEED_DISCOVERY = r"""
+WITH d AS (SELECT doc_id AS id, doc_id % 8 AS fid FROM documents),
+items AS (
+  SELECT id, fid,
+         CASE WHEN fid % 2 = 1 THEN
+           '<entry><link href="http://f' || CAST(fid AS VARCHAR)
+           || '.news.example/a' || CAST(id AS VARCHAR) || '"/><updated>U'
+           || CAST(id % 28 AS VARCHAR) || '</updated><id>g'
+           || CAST(id AS VARCHAR) || '</id></entry>'
+         ELSE
+           '<item><link>http://f' || CAST(fid AS VARCHAR)
+           || '.news.example/r' || CAST(id AS VARCHAR) || '</link><pubDate>D'
+           || CAST(id % 28 AS VARCHAR) || '</pubDate><guid>g'
+           || CAST(id AS VARCHAR) || '</guid></item>'
+         END AS it
+  FROM d),
+pages AS (
+  SELECT fid,
+         'http://f' || CAST(fid AS VARCHAR) || '.news.example/feed.xml'
+           AS feed_url,
+         fid % 2 = 1 AS is_atom,
+         (CASE WHEN fid % 2 = 1 THEN '<feed>' ELSE '<rss>' END)
+           || string_agg(it, '' ORDER BY id)
+           || (CASE WHEN fid % 2 = 1 THEN '</feed>' ELSE '</rss>' END) AS body
+  FROM items GROUP BY fid),
+exploded AS (
+  SELECT feed_url, is_atom,
+         unnest(regexp_extract_all(body,
+             CASE WHEN is_atom THEN '(?s)<entry>(.*?)</entry>'
+                  ELSE '(?s)<item>(.*?)</item>' END, 1)) AS block,
+         unnest(range(len(regexp_extract_all(body,
+             CASE WHEN is_atom THEN '(?s)<entry>(.*?)</entry>'
+                  ELSE '(?s)<item>(.*?)</item>' END, 1)))) AS pos
+  FROM pages),
+parsed AS (
+  SELECT feed_url, CAST(pos AS BIGINT) AS pos,
+         CASE WHEN is_atom
+              THEN regexp_extract(block, '(?s)<link[^>]*?href="([^"]*)"', 1)
+              ELSE regexp_replace(trim(regexp_extract(
+                     block, '(?s)<link>\s*(.*?)\s*</link>', 1)),
+                     '^<!\[CDATA\[|\]\]>$', '', 'g')
+         END AS link,
+         CASE WHEN is_atom
+              THEN regexp_extract(block, '(?s)<updated>\s*(.*?)\s*</updated>', 1)
+              ELSE regexp_extract(block, '(?s)<pubDate>\s*(.*?)\s*</pubDate>', 1)
+         END AS published,
+         regexp_extract(block, '(?s)<(?:guid|id)[^>]*>\s*(.*?)\s*</(?:guid|id)>', 1)
+           AS guid,
+         is_atom
+  FROM exploded)
+SELECT * FROM parsed WHERE link != ''
+"""
+
+
 def q_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-churn revisit planning over a deterministic synthetic
     3-wave recrawl history (orders keyed by o_orderkey % 3 churn every
@@ -3427,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_rank': q_host_rank,
         'host_trust_rank': q_host_trust_rank,
         'cdx_revisit_index': q_cdx_revisit_index,
+        'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
         'url_quality_filter': q_url_quality_filter,
         'url_trap_scores': q_url_trap_scores,
@@ -3526,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         'host_rank': ORACLE_HOST_RANK,
         'host_trust_rank': ORACLE_HOST_TRUST_RANK,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
+        'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
         'url_quality_filter': ORACLE_URL_QUALITY,
         'url_trap_scores': ORACLE_URL_TRAPS,

@@ -1,0 +1,69 @@
+"""RSS/Atom feed ingestion (operators/feeds.py)."""
+
+from __future__ import annotations
+
+from scalpel_spark.operators import feeds
+
+RSS = """<?xml version="1.0"?><rss version="2.0"><channel>
+<title>News</title><link>http://site.test/</link>
+<item><title>A</title><link> http://site.test/a </link>
+<pubDate>Mon, 17 Aug 2026 09:00:00 GMT</pubDate>
+<guid isPermaLink="false">tag:a1</guid></item>
+<item><title>B</title><link><![CDATA[http://site.test/b]]></link></item>
+<item><title>no link, dropped</title></item>
+</channel></rss>"""
+
+ATOM = """<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">
+<title>Blog</title><link href="http://blog.test/"/>
+<entry><title>X</title><link rel="alternate" href="http://blog.test/x"/>
+<updated>2026-08-17T09:00:00Z</updated><id>urn:x1</id></entry>
+<entry><title>Y</title><link href="http://blog.test/y"/></entry>
+</feed>"""
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [('http://site.test/rss.xml', RSS), ('http://blog.test/atom.xml', ATOM)],
+        'url string, body string')
+
+
+def test_feed_entries_both_formats(spark):
+    rows = {(r['feed_url'], r['pos']): r
+            for r in feeds.feed_entries(_pages(spark)).collect()}
+    a = rows[('http://site.test/rss.xml', 0)]
+    assert (a['link'], a['guid'], a['is_atom']) == (
+        'http://site.test/a', 'tag:a1', False)
+    assert a['published'].startswith('Mon, 17 Aug 2026')
+    b = rows[('http://site.test/rss.xml', 1)]
+    assert (b['link'], b['published'], b['guid']) == ('http://site.test/b', '', '')
+    x = rows[('http://blog.test/atom.xml', 0)]
+    assert (x['link'], x['guid'], x['is_atom']) == (
+        'http://blog.test/x', 'urn:x1', True)
+    assert x['published'] == '2026-08-17T09:00:00Z'
+    # the link-less RSS item dropped; y has no updated/id
+    assert len(rows) == 4
+    assert rows[('http://blog.test/atom.xml', 1)]['guid'] == ''
+
+
+def test_feed_seeds_dedup(spark):
+    pages = spark.createDataFrame(
+        [('http://a.test/f1', RSS), ('http://a.test/f2', RSS)],
+        'url string, body string')
+    seeds = {r['url'] for r in
+             feeds.feed_seeds(feeds.feed_entries(pages)).collect()}
+    assert seeds == {'http://site.test/a', 'http://site.test/b'}
+
+
+def test_fresh_entries_guid_keyed(spark):
+    entries = feeds.feed_entries(_pages(spark))
+    seen = spark.createDataFrame([('tag:a1',), ('urn:x1',)], 'guid string')
+    fresh = feeds.fresh_entries(entries, seen).collect()
+    # guid-less entries pass through; both guid'd entries were seen
+    assert sorted(r['link'] for r in fresh) == [
+        'http://blog.test/y', 'http://site.test/b']
+
+
+def test_feed_entries_plan_stays_jvm(spark):
+    plan = feeds.feed_entries(_pages(spark))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert 'Python' not in plan and 'Exchange' not in plan
