@@ -3235,6 +3235,52 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_feed_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.follow_feeds through the full engine: one RSS page
+    (CDATA link, an ftp link that must drop) and one Atom page (with a
+    duplicate of an RSS link) expand the wave-0 frontier after the
+    explicit seed, densely prioritized in (feed_url, pos) publication
+    order with first-appearance dedup. VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    rss = ('<rss><channel>\n'
+           '<item><link>http://n.com/a1</link><guid>g1</guid></item>\n'
+           '<item><link><![CDATA[http://n.com/a2]]></link></item>\n'
+           '<item><link>ftp://n.com/skip</link></item>\n'
+           '</channel></rss>')
+    atom = ('<feed>\n'
+            '<entry><link href="http://n.com/b1"/></entry>\n'
+            '<entry><link href="http://n.com/a1"/></entry>\n'
+            '</feed>')
+    corpus = spark.createDataFrame([
+        {'doc_id': f'http://n.com/{p}',
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for p in ('home', 'a1', 'a2', 'b1')
+    ], CORPUS_SCHEMA)
+    pages = spark.createDataFrame(
+        [('http://n.com/rss.xml', rss), ('http://n.com/atom.xml', atom)],
+        'url string, body string')
+    cfg = CrawlConfig(follow_feeds=True, max_waves=1)
+    res = CrawlEngine(spark, corpus, config=cfg, feed_pages=pages).run(
+        ['http://n.com/home'])
+    return res.seen.select('url', 'wave',
+                           F.col('priority').cast('long').alias('priority'),
+                           'status')
+
+
+ORACLE_CRAWL_FEED_BOOTSTRAP = """
+SELECT * FROM (VALUES
+  ('http://n.com/home', 0, CAST(0 AS BIGINT), 'reachable'),
+  ('http://n.com/b1', 0, CAST(1 AS BIGINT), 'reachable'),
+  ('http://n.com/a1', 0, CAST(2 AS BIGINT), 'reachable'),
+  ('http://n.com/a2', 0, CAST(3 AS BIGINT), 'reachable')
+) AS t(url, wave, priority, status)
+"""
+
+
 def q_crawl_robots_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlEngine.refresh_robots — robots-decision TTL (RFC 9309 §2.4
     caching): run 1 under deny-all records the host as excluded; run 2
@@ -3510,6 +3556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_host_budget_table': q_crawl_host_budget_table,
         'crawl_rank_recrawl': q_crawl_rank_recrawl,
         'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
+        'crawl_feed_bootstrap': q_crawl_feed_bootstrap,
         'crawl_robots_refresh': q_crawl_robots_refresh,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
@@ -3610,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_host_budget_table': ORACLE_CRAWL_HOST_BUDGET_TABLE,
         'crawl_rank_recrawl': ORACLE_CRAWL_RANK_RECRAWL,
         'crawl_sitemap_bootstrap': ORACLE_CRAWL_SITEMAP_BOOTSTRAP,
+        'crawl_feed_bootstrap': ORACLE_CRAWL_FEED_BOOTSTRAP,
         'crawl_robots_refresh': ORACLE_CRAWL_ROBOTS_REFRESH,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,

@@ -175,6 +175,16 @@ class CrawlConfig:
     # robots / politeness pipeline; non-http(s) locs are dropped.
     follow_sitemaps: bool = False
     sitemap_index_hops: int = 2
+    # feed bootstrap (beyond reference, sitemap's freshness counterpart):
+    # when True, the injectable CrawlEngine(feed_pages=(url, body)) table
+    # of fetched RSS/Atom pages is parsed at run start and every entry
+    # link is appended to the wave-0 frontier after the explicit seeds
+    # (and after sitemap locs when both bootstraps are on), with dense
+    # priorities in (feed_url, pos) publication order — newest-first in
+    # real feeds, so freshness leads. Discovered URLs flow through the
+    # normal seen-dedup / robots / politeness pipeline; non-http(s)
+    # links are dropped.
+    follow_feeds: bool = False
     # fetch retries (beyond reference — the reference treats any non-OK
     # response as final and never re-enqueues, any_io/static_spider.py's
     # single attempt per dequeued URL): when > 0, a URL whose fetch came
@@ -235,7 +245,8 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
                'cuckoo_shards', 'max_retries', 'sitemap_index_hops'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
-_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps'}
+_BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps',
+                'follow_feeds'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
 _STR_SEQ_FIELDS = {'blocklist_hosts'}
 

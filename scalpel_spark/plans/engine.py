@@ -251,6 +251,7 @@ class CrawlEngine:
         host_ips: Optional[DataFrame] = None,
         host_budgets: Optional[DataFrame] = None,
         sitemap_pages: Optional[DataFrame] = None,
+        feed_pages: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -288,6 +289,12 @@ class CrawlEngine:
             if self.robots is None:
                 raise ValueError('follow_sitemaps requires a robots table '
                                  '(Sitemap: directives live in robots.txt)')
+        # feed bootstrap source: fetched RSS/Atom pages (url, body) — the
+        # poll list IS the injected table (feeds have no robots directive)
+        self.feed_pages = feed_pages
+        if self.config.follow_feeds and feed_pages is None:
+            raise ValueError('follow_feeds requires a feed_pages '
+                             'DataFrame (url string, body string)')
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -469,6 +476,38 @@ class CrawlEngine:
         ).filter(F.col('scheme').isin('http', 'https'))
         return frontier.unionByName(new_rows), next_priority + n
 
+    def _feed_bootstrap(self, frontier: DataFrame, next_priority: int
+                        ) -> tuple[DataFrame, int]:
+        """Seed-expansion hop (CrawlConfig.follow_feeds): the injected
+        RSS/Atom pages' entry links join the wave-0 frontier after the
+        explicit seeds (and after sitemap locs when both bootstraps are
+        on), densely prioritized in (feed_url, pos) publication order —
+        real feeds publish newest-first, so freshness leads the wave.
+        Duplicate links keep their first appearance; links take the same
+        canonical identity as seeds (one URL identity per page under
+        canonicalize_urls); non-http(s) links drop. Parsing is map-side
+        JVM regexp (operators/feeds); the only shuffles are the
+        first-appearance dedup and ordering over the (tiny) entry set."""
+        from scalpel_spark.operators.feeds import feed_entries
+
+        entries = feed_entries(self.feed_pages.select('url', 'body'))
+        entries = self._canonicalized(entries, 'link')
+        first_seen = entries.groupBy('link').agg(
+            F.min(F.struct('feed_url', 'pos')).alias('_first'))
+        ordered, n = dense_sequence_with_count(
+            first_seen.select('link', F.col('_first.feed_url').alias('feed_url'),
+                              F.col('_first.pos').alias('pos')),
+            ['feed_url', 'pos'], 'priority', start=next_priority)
+        new_rows = ordered.select(
+            F.col('link').alias('url'),
+            url_hash_col(F.col('link')).alias('url_hash'),
+            host_col(F.col('link')).alias('host'),
+            scheme_col(F.col('link')).alias('scheme'),
+            F.lit(0).alias('wave'),
+            'priority',
+        ).filter(F.col('scheme').isin('http', 'https'))
+        return frontier.unionByName(new_rows), next_priority + n
+
     def forget(self, urls) -> None:
         """Recrawl window: remove URLs from the seen AND followed sets so a
         later run re-fetches them (the delete the north star's cuckoo
@@ -590,6 +629,8 @@ class CrawlEngine:
         next_priority = len(seeds)
         if self.config.follow_sitemaps:
             frontier, next_priority = self._sitemap_bootstrap(frontier, next_priority)
+        if self.config.follow_feeds:
+            frontier, next_priority = self._feed_bootstrap(frontier, next_priority)
         return self._loop(frontier, wave=0, next_priority=next_priority, started=started)
 
     def run_frontier(self, seeds_df: DataFrame, on_invalid: str = 'error') -> CrawlResult:
@@ -631,6 +672,8 @@ class CrawlEngine:
         next_priority = (max_p or 0) + 1
         if self.config.follow_sitemaps:
             frontier, next_priority = self._sitemap_bootstrap(frontier, next_priority)
+        if self.config.follow_feeds:
+            frontier, next_priority = self._feed_bootstrap(frontier, next_priority)
         return self._loop(frontier, wave=0, next_priority=next_priority, started=started)
 
     def resume(self) -> CrawlResult:

@@ -67,3 +67,82 @@ def test_feed_entries_plan_stays_jvm(spark):
     plan = feeds.feed_entries(_pages(spark))._jdf.queryExecution(
     ).executedPlan().toString()
     assert 'Python' not in plan and 'Exchange' not in plan
+
+
+# ---------------------------------------------------------------------------
+# CrawlConfig.follow_feeds — engine bootstrap
+# ---------------------------------------------------------------------------
+
+RSS_BOOT = """<rss><channel>
+<item><link>http://n.com/a1</link><guid>g1</guid></item>
+<item><link><![CDATA[http://n.com/a2]]></link></item>
+<item><link>ftp://n.com/skip</link></item>
+</channel></rss>"""
+ATOM_BOOT = """<feed>
+<entry><link href="http://n.com/b1"/></entry>
+<entry><link href="http://n.com/a1"/></entry>
+</feed>"""
+
+
+def _boot_fixture(spark):
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    corpus = spark.createDataFrame([
+        {'doc_id': f'http://n.com/{p}',
+         'spans': [{'kind': 'text', 'text': 'x', 'media_ref': None, 'offset': 0}],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+        for p in ('home', 'a1', 'a2', 'b1')
+    ], CORPUS_SCHEMA)
+    pages = spark.createDataFrame(
+        [('http://n.com/rss.xml', RSS_BOOT), ('http://n.com/atom.xml', ATOM_BOOT)],
+        'url string, body string')
+    return corpus, pages
+
+
+def test_feed_bootstrap_expands_seeds(spark):
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+
+    corpus, pages = _boot_fixture(spark)
+    cfg = CrawlConfig(follow_feeds=True, max_waves=1)
+    res = CrawlEngine(spark, corpus, config=cfg, feed_pages=pages).run(
+        ['http://n.com/home'])
+    seen = {r['url']: (r['wave'], r['priority'], r['status'])
+            for r in res.seen.collect()}
+    # explicit seed first; then entries in (feed_url, pos) order with
+    # first-appearance dedup (a1's atom duplicate loses to nothing — its
+    # min appearance is atom pos 1); the ftp link never enters
+    assert seen == {
+        'http://n.com/home': (0, 0, 'reachable'),
+        'http://n.com/b1': (0, 1, 'reachable'),
+        'http://n.com/a1': (0, 2, 'reachable'),
+        'http://n.com/a2': (0, 3, 'reachable'),
+    }
+
+
+def test_follow_feeds_requires_table(spark):
+    import pytest
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+
+    corpus, _ = _boot_fixture(spark)
+    with pytest.raises(ValueError, match='feed_pages'):
+        CrawlEngine(spark, corpus, config=CrawlConfig(follow_feeds=True))
+
+
+def test_feed_links_take_canonical_identity(spark):
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+
+    corpus, _ = _boot_fixture(spark)
+    pages = spark.createDataFrame(
+        [('http://n.com/rss.xml',
+          '<rss><channel><item><link>http://n.com/a1?utm_source=feed</link>'
+          '</item></channel></rss>')],
+        'url string, body string')
+    cfg = CrawlConfig(follow_feeds=True, canonicalize_urls=True, max_waves=1)
+    res = CrawlEngine(spark, corpus, config=cfg, feed_pages=pages).run(
+        ['http://n.com/a1'])
+    # the utm variant collapsed onto the seed's canonical identity
+    assert [r['url'] for r in res.seen.collect()] == ['http://n.com/a1']
