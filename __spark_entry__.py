@@ -3281,6 +3281,51 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_score_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.score_aging_per_wave through the full engine: a
+    low-scored URL (b.com, score 1) facing a stream of fresh high-scored
+    arrivals (an a.com link chain discovers one score-10 page per wave
+    under a global cap of 1) ages 5/wave from its own enqueue wave and
+    outbids the fresh arrival at wave 2 (1 + 2x5 = 11 > 10) — without
+    aging it would starve until the chain runs dry. VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    def span(kind, text):
+        return {'kind': kind, 'text': text, 'media_ref': None, 'offset': 0}
+
+    corpus = spark.createDataFrame([
+        {'doc_id': 'http://a.com/1',
+         'spans': [span('text', 'p'), span('link', 'http://a.com/2')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+        {'doc_id': 'http://a.com/2',
+         'spans': [span('text', 'p'), span('link', 'http://a.com/3')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+        {'doc_id': 'http://a.com/3', 'spans': [span('text', 'p')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+        {'doc_id': 'http://b.com/x', 'spans': [span('text', 'p')],
+         'http_status': 200, 'scheme': 'http', 'readable': None, 'fetch_ms': 1.0},
+    ], CORPUS_SCHEMA)
+    cfg = CrawlConfig(
+        max_dispatch_per_wave=1, max_waves=6,
+        frontier_priority="CASE WHEN host = 'a.com' THEN 10.0 ELSE 1.0 END",
+        score_aging_per_wave=5.0)
+    res = CrawlEngine(spark, corpus, config=cfg).run(
+        ['http://a.com/1', 'http://b.com/x'])
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_SCORE_AGING = """
+SELECT * FROM (VALUES
+  ('http://a.com/1', 0, 'reachable'),
+  ('http://a.com/2', 1, 'reachable'),
+  ('http://b.com/x', 2, 'reachable'),
+  ('http://a.com/3', 3, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
 def q_crawl_robots_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlEngine.refresh_robots — robots-decision TTL (RFC 9309 §2.4
     caching): run 1 under deny-all records the host as excluded; run 2
@@ -3557,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_rank_recrawl': q_crawl_rank_recrawl,
         'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
         'crawl_feed_bootstrap': q_crawl_feed_bootstrap,
+        'crawl_score_aging': q_crawl_score_aging,
         'crawl_robots_refresh': q_crawl_robots_refresh,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'line_dedup': q_line_dedup,
@@ -3658,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_rank_recrawl': ORACLE_CRAWL_RANK_RECRAWL,
         'crawl_sitemap_bootstrap': ORACLE_CRAWL_SITEMAP_BOOTSTRAP,
         'crawl_feed_bootstrap': ORACLE_CRAWL_FEED_BOOTSTRAP,
+        'crawl_score_aging': ORACLE_CRAWL_SCORE_AGING,
         'crawl_robots_refresh': ORACLE_CRAWL_ROBOTS_REFRESH,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'line_dedup': ORACLE_LINE_DEDUP,

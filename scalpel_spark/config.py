@@ -136,6 +136,15 @@ class CrawlConfig:
     # Evaluated JVM-side (F.expr), e.g. "-length(url)" (shallow pages
     # first) or "CASE WHEN url LIKE '%/product/%' THEN 1 ELSE 0 END".
     frontier_priority: Optional[str] = None
+    # starvation control for the priority frontier: when > 0 (and
+    # frontier_priority is set), a URL's effective score grows by this
+    # amount for every wave it has waited since enqueue (score +
+    # aging * (current_wave - enqueue_wave)) — a low-scored URL deferred
+    # behind a stream of high-scored arrivals eventually outbids them
+    # instead of starving forever. 0 (default) = pure score order. The
+    # wait is derived from the frontier row's own wave column, so it
+    # survives resume() with no extra state.
+    score_aging_per_wave: float = 0.0
     # URL quality rules (beyond reference — C4/RefinedWeb front-of-frontier
     # filtering, operators/urlfilter.py): when enabled, every wave's
     # candidates pass the rule set (blocklist/length/depth/params/spam)
@@ -227,6 +236,8 @@ class CrawlConfig:
             raise ValueError('max_retries must be >= 0')
         if self.sitemap_index_hops < 0:
             raise ValueError('sitemap_index_hops must be >= 0')
+        if self.score_aging_per_wave < 0:
+            raise ValueError('score_aging_per_wave must be >= 0')
 
     @property
     def request_delay(self) -> float:
@@ -244,7 +255,7 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'hot_host_threshold', 'num_salts', 'bloom_threshold', 'bloom_shards',
                'max_waves', 'seed', 'broadcast_host_limit', 'cuckoo_buckets',
                'cuckoo_shards', 'max_retries', 'sitemap_index_hops'}
-_FLOAT_FIELDS = {'fetch_timeout', 'wave_duration'}
+_FLOAT_FIELDS = {'fetch_timeout', 'wave_duration', 'score_aging_per_wave'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps',
                 'follow_feeds'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}

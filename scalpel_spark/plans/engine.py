@@ -715,12 +715,16 @@ class CrawlEngine:
 
         seen_state = self._state('seen_delta', SEEN_SCHEMA)
 
-        # 1. within-wave dedup: first enqueue wins (min priority) — FIFO parity
+        # 1. within-wave dedup: first enqueue wins (min priority) — FIFO parity.
+        # _enq_wave preserves the row's ORIGINAL enqueue wave (deferred rows
+        # keep theirs under score aging) — consumed only by the aging term
+        # in step 4's scoring, dropped before fetch.
         cand = frontier.groupBy('url').agg(
             F.min('priority').alias('priority'),
             F.first('url_hash').alias('url_hash'),
             F.first('host').alias('host'),
             F.first('scheme').alias('scheme'),
+            F.min('wave').alias('_enq_wave'),
         ).withColumn('wave', F.lit(wave))
 
         # 1b. opt-in URL quality rules (beyond reference, C4-style): junk
@@ -905,6 +909,16 @@ class CrawlEngine:
                 allowed = allowed.withColumn(
                     'host_rank', F.coalesce(F.col('host_rank'), F.lit(0)).cast('long'))
             allowed = allowed.withColumn('_score', F.expr(cfg.frontier_priority)).drop('host_rank')
+            if cfg.score_aging_per_wave:
+                # starvation control: every wave a row has waited since
+                # enqueue raises its effective score — _enq_wave (kept at
+                # deferral, min-merged at dedup) is the enqueue wave, so
+                # aging needs no extra state table and survives resume
+                allowed = allowed.withColumn(
+                    '_score',
+                    F.col('_score')
+                    + F.lit(cfg.score_aging_per_wave)
+                    * (F.lit(wave) - F.col('_enq_wave')).cast('double'))
         if gated:
             # politeness_scope='domain' widens the slot-counting key from
             # the exact host to its registered domain (PLD) — one window
@@ -991,9 +1005,15 @@ class CrawlEngine:
                 allowed = allowed.withColumn('_slot', F.row_number().over(w) - 1)
             # NULL budget (both knobs unbounded for this host) → never over
             over = F.coalesce(F.col('_slot') >= budget, F.lit(False))
+            # under score aging a deferred row keeps its ORIGINAL enqueue
+            # wave so its wait keeps accruing; otherwise the re-eligibility
+            # wave (reference-shaped frontier contents)
+            defer_wave = (F.col('_enq_wave') if cfg.score_aging_per_wave
+                          and cfg.frontier_priority is not None
+                          else F.col('wave') + 1)
             deferred = (
                 allowed.filter(over)
-                .select('url', 'url_hash', 'host', 'scheme', (F.col('wave') + 1).alias('wave'), 'priority')
+                .select('url', 'url_hash', 'host', 'scheme', defer_wave.alias('wave'), 'priority')
             )
             # _score survives into step 4b when the global cap will
             # consume it; everything else window-local is dropped here
@@ -1023,9 +1043,11 @@ class CrawlEngine:
 
             allowed = allowed.persist()
             kept, overflow = topk_by_score(allowed, cfg.max_dispatch_per_wave)
+            overflow_wave = (F.col('_enq_wave') if cfg.score_aging_per_wave
+                             else F.col('wave') + 1)
             deferred = deferred.unionByName(overflow.select(
                 'url', 'url_hash', 'host', 'scheme',
-                (F.col('wave') + 1).alias('wave'), 'priority'))
+                overflow_wave.alias('wave'), 'priority'))
             allowed = kept.drop('_score')
         elif cfg.max_dispatch_per_wave is not None:
             cap = cfg.max_dispatch_per_wave
@@ -1057,7 +1079,7 @@ class CrawlEngine:
                     'url', 'url_hash', 'host', 'scheme',
                     (F.col('wave') + 1).alias('wave'), 'priority'))
                 allowed = kept
-        allowed = allowed.drop('delay')
+        allowed = allowed.drop('delay', '_enq_wave')
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response
         # middlewares wrap the fetch *stage* exactly like the reference's

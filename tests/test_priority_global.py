@@ -143,3 +143,35 @@ def test_frontier_ranks_survive_per_wave_cache_clear(spark, tmp_path):
     assert 'LogicalRDD' in plan  # lineage truncated at the checkpoint
     spark.catalog.clearCache()
     assert eng._frontier_ranks().count() == ranks.count()
+
+
+def test_score_aging_prevents_starvation(spark):
+    """score_aging_per_wave: a low-scored URL deferred behind a STREAM of
+    fresh high-scored arrivals (a link chain discovers one new a.com page
+    per wave) gains score each waited wave and eventually outbids them;
+    without aging it dispatches dead last. Aging is measured from each
+    row's own enqueue wave, so fresh arrivals start at age 0."""
+    score = "CASE WHEN host = 'a.com' THEN 10.0 ELSE 1.0 END"
+    corpus = _corpus(spark, [
+        ('http://a.com/1', [_text('p'), _link('http://a.com/2')]),
+        ('http://a.com/2', [_text('p'), _link('http://a.com/3')]),
+        ('http://a.com/3', [_text('p')]),
+        ('http://b.com/x', [_text('p')]),
+    ])
+    seeds = ['http://a.com/1', 'http://b.com/x']
+
+    def run(aging):
+        cfg = CrawlConfig(max_dispatch_per_wave=1, max_waves=6,
+                          frontier_priority=score,
+                          score_aging_per_wave=aging)
+        res = CrawlEngine(spark, corpus, config=cfg).run(seeds)
+        return {r['url']: r['wave'] for r in res.seen.collect()}
+
+    # no aging: every freshly discovered a.com page (score 10) beats the
+    # waiting b (score 1) — b starves until the chain runs dry
+    assert run(0.0) == {'http://a.com/1': 0, 'http://a.com/2': 1,
+                        'http://a.com/3': 2, 'http://b.com/x': 3}
+    # aging 5/wave: at wave 2 b has waited 2 waves -> 1 + 10 = 11 > 10,
+    # outbidding the fresh (age-0) a.com/3
+    assert run(5.0) == {'http://a.com/1': 0, 'http://a.com/2': 1,
+                        'http://b.com/x': 2, 'http://a.com/3': 3}
