@@ -1856,7 +1856,11 @@ exploded AS (
 parsed AS (
   SELECT feed_url, CAST(pos AS BIGINT) AS pos,
          CASE WHEN is_atom
-              THEN regexp_extract(block, '(?s)<link[^>]*?href="([^"]*)"', 1)
+              THEN regexp_extract(COALESCE(
+                     list_filter(regexp_extract_all(block, '(?s)(<link[^>]*>)', 1),
+                                 t -> regexp_matches(t, 'rel="alternate"')
+                                      OR NOT contains(t, ' rel='))[1],
+                     ''), 'href="([^"]*)"', 1)
               ELSE regexp_replace(trim(regexp_extract(
                      block, '(?s)<link>\s*(.*?)\s*</link>', 1)),
                      '^<!\[CDATA\[|\]\]>$', '', 'g')

@@ -53,8 +53,11 @@ def cdx_index(docs: DataFrame, url_col: str = 'doc_id',
         F.col(wave_col).cast('int').alias('wave'),
         span_signature_col(F.col('spans')).alias('digest'),
         F.size('spans').cast('long').alias('n_spans'),
+        # TEXT spans only (same filter as spans.span_stats): link spans
+        # store the outlink URL in their text field, and media spans may
+        # carry captions — neither is archived payload size
         F.aggregate(
-            F.col('spans'),
+            F.filter(F.col('spans'), lambda s: s['kind'] == F.lit('text')),
             F.lit(0).cast('long'),
             lambda acc, s: acc
             + F.coalesce(F.length(s['text']).cast('long'), F.lit(0)),

@@ -25,9 +25,13 @@ from pyspark.sql import functions as F
 # RSS 2.0: one <item>…</item> per entry; Atom: one <entry>…</entry>.
 RSS_BLOCK = r'(?s)<item>(.*?)</item>'
 ATOM_BLOCK = r'(?s)<entry>(.*?)</entry>'
-# RSS link is element text (possibly CDATA); Atom link is an href attr.
+# RSS link is element text (possibly CDATA); Atom links are href attrs —
+# whole tags are extracted first, then filtered by rel (no lookahead, so
+# the pattern stays RE2-compatible for the DuckDB twin).
 RSS_LINK = r'(?s)<link>\s*(.*?)\s*</link>'
-ATOM_LINK = r'(?s)<link[^>]*?href="([^"]*)"'
+ATOM_LINK_TAG = r'(?s)(<link[^>]*>)'
+ATOM_HREF = r'href="([^"]*)"'
+ATOM_REL_ALTERNATE = r'rel="alternate"'
 RSS_DATE = r'(?s)<pubDate>\s*(.*?)\s*</pubDate>'
 ATOM_DATE = r'(?s)<updated>\s*(.*?)\s*</updated>'
 GUID = r'(?s)<(?:guid|id)[^>]*>\s*(.*?)\s*</(?:guid|id)>'
@@ -47,7 +51,12 @@ def feed_entries(pages: DataFrame, url_col: str = 'url',
     the feed's own entry identity ('' when absent) for revisit dedup
     independent of the link URL. Entries without a link are dropped.
     """
-    is_atom = F.col(body_col).contains('<feed')
+    # format = whichever ROOT element opens first — a substring test
+    # would misclassify an RSS feed whose item content mentions '<feed'
+    # (e.g. <feedburner:origLink>) and silently parse zero entries
+    atom_pos = F.instr(F.col(body_col), '<feed')
+    rss_pos = F.instr(F.col(body_col), '<rss')
+    is_atom = (atom_pos > 0) & ((rss_pos == 0) | (atom_pos < rss_pos))
     blocks = F.when(
         is_atom, F.regexp_extract_all(body_col, F.lit(ATOM_BLOCK), 1)
     ).otherwise(F.regexp_extract_all(body_col, F.lit(RSS_BLOCK), 1))
@@ -58,8 +67,17 @@ def feed_entries(pages: DataFrame, url_col: str = 'url',
     )
     rss_link = F.regexp_replace(
         F.trim(F.regexp_extract('block', RSS_LINK, 1)), CDATA, '')
-    link = F.when(F.col('is_atom'),
-                  F.regexp_extract('block', ATOM_LINK, 1)).otherwise(rss_link)
+    # Atom entries carry several <link> tags (self/edit/replies/...);
+    # the article URL is rel="alternate" — or a rel-less tag, which the
+    # Atom spec defaults to alternate. Take the FIRST such tag.
+    alt_tags = F.filter(
+        F.regexp_extract_all('block', F.lit(ATOM_LINK_TAG), 1),
+        lambda t: F.regexp_like(t, F.lit(ATOM_REL_ALTERNATE))
+        | ~t.contains(' rel='),
+    )
+    atom_link = F.regexp_extract(
+        F.coalesce(F.element_at(alt_tags, 1), F.lit('')), ATOM_HREF, 1)
+    link = F.when(F.col('is_atom'), atom_link).otherwise(rss_link)
     published = F.when(
         F.col('is_atom'), F.regexp_extract('block', ATOM_DATE, 1)
     ).otherwise(F.regexp_extract('block', RSS_DATE, 1))
@@ -89,10 +107,12 @@ def fresh_entries(entries: DataFrame, seen_guids: DataFrame) -> DataFrame:
     feed-poll step. GUID-keyed (not link-keyed): feeds routinely rewrite
     link URLs (tracking params, CDN swaps) while keeping the entry id
     stable, so guid dedup survives what link dedup would double-fetch.
-    Entries without a guid pass through (no identity to dedup on).
-    One anti-join, same plan family as the URL seen set."""
-    withg = entries.filter(F.col('guid') != '')
-    nog = entries.filter(F.col('guid') == '')
+    Entries without a guid — empty OR null — pass through (no identity
+    to dedup on; a bare `!= ''` would silently drop null-guid rows from
+    both branches). One anti-join, same plan family as the URL seen set."""
+    g = F.coalesce(F.col('guid'), F.lit(''))
+    withg = entries.filter(g != '')
+    nog = entries.filter(g == '')
     return withg.join(
         seen_guids.select('guid').distinct(), 'guid', 'left_anti'
     ).unionByName(nog)

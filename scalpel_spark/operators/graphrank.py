@@ -33,6 +33,47 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # rank unit: parts-per-billion of total authority
 
 
+def _iterate(edges: DataFrame, nodes: DataFrame, aux_row: DataFrame,
+             init, teleport, iters: int, damping_pct: int,
+             out: str) -> DataFrame:
+    """Shared fixed-iteration kernel for rank-style propagation:
+
+    r_0(h)   = init(h)
+    r_i+1(h) = teleport(h) + (d * Σ_{src→h} (r_i(src) div outdeg(src)) * w) div 100
+
+    ``nodes`` is (host [, marker cols]) — the init/teleport Column
+    expressions may reference the markers and the one-row broadcast
+    ``aux_row``'s column; ``edges`` is (src, dst, w). host_rank and
+    trust_rank differ ONLY in those expressions, so the integer
+    arithmetic lives in exactly one place.
+    """
+    keep = nodes.columns
+    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
+    rank = nodes.crossJoin(F.broadcast(aux_row)).select(
+        *keep, init.cast('long').alias(out))
+    for _ in range(iters):
+        contrib = (
+            edges.join(rank.select(F.col('host').alias('src'), out), 'src')
+            .join(outdeg, 'src')
+            .select('dst', F.expr(f'({out} div outdeg) * w').alias('c'))
+        )
+        incoming = contrib.groupBy('dst').agg(F.sum('c').alias('in_sum'))
+        rank = (
+            nodes.join(incoming.withColumnRenamed('dst', 'host'), 'host', 'left')
+            .crossJoin(F.broadcast(aux_row))
+            .select(
+                *keep,
+                (
+                    teleport
+                    + F.expr(
+                        f'({damping_pct} * coalesce(in_sum, 0)) div 100'
+                    )
+                ).cast('long').alias(out),
+            )
+        )
+    return rank
+
+
 def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
               weight: str | None = None) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) host edge list.
@@ -57,34 +98,13 @@ def host_rank(edges: DataFrame, iters: int = 3, damping_pct: int = 85,
         .distinct()
     )
     n_row = nodes.agg(F.count('*').alias('n'))
-    # numerator precomputed in Python — SCALE * pct would constant-fold as
-    # 32-bit and overflow under ANSI
-    teleport = F.expr(f'{SCALE * (100 - damping_pct) // 100} div n')
-    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
-    rank = nodes.crossJoin(F.broadcast(n_row)).select(
-        'host', F.expr(f'{SCALE} div n').alias('rank_ppb')
-    )
-    for _ in range(iters):
-        contrib = (
-            edges.join(rank.withColumnRenamed('host', 'src'), 'src')
-            .join(outdeg, 'src')
-            .select('dst', F.expr('(rank_ppb div outdeg) * w').alias('c'))
-        )
-        incoming = contrib.groupBy('dst').agg(F.sum('c').alias('in_sum'))
-        rank = (
-            nodes.join(incoming.withColumnRenamed('dst', 'host'), 'host', 'left')
-            .crossJoin(F.broadcast(n_row))
-            .select(
-                'host',
-                (
-                    teleport
-                    + F.expr(
-                        f'({damping_pct} * coalesce(in_sum, 0)) div 100'
-                    )
-                ).cast('long').alias('rank_ppb'),
-            )
-        )
-    return rank
+    # numerators precomputed in Python — SCALE * pct would constant-fold
+    # as 32-bit and overflow under ANSI
+    return _iterate(
+        edges, nodes, n_row,
+        init=F.expr(f'{SCALE} div n'),
+        teleport=F.expr(f'{SCALE * (100 - damping_pct) // 100} div n'),
+        iters=iters, damping_pct=damping_pct, out='rank_ppb')
 
 
 def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
@@ -102,12 +122,13 @@ def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
     trust_i+1(h) = [h ∈ trusted] * (SCALE*(100-d) div 100) div T
                    + (d * Σ_{src→h} (trust_i(src) div outdeg(src)) * w) div 100
 
-    Same integer-ppb arithmetic, same per-iteration scale shape as
-    ``host_rank`` (host-sized trust frame broadcast against the in-place
-    edge list, one partial-agg groupBy per iteration). ``trusted`` is a
-    one-column (host) DataFrame; hosts in it but absent from the graph
-    still seed teleport mass. Returns (host, trust_ppb) for every host
-    in the graph or the trusted set.
+    Same integer-ppb arithmetic and per-iteration scale shape as
+    ``host_rank`` (the shared ``_iterate`` kernel — host-sized trust
+    frame broadcast against the in-place edge list, one partial-agg
+    groupBy per iteration). ``trusted`` is a one-column (host)
+    DataFrame; hosts in it but absent from the graph still seed teleport
+    mass. Returns (host, trust_ppb) for every host in the graph or the
+    trusted set.
     """
     w = F.col(weight).cast('long') if weight else F.lit(1).cast('long')
     edges = edges.select('src', 'dst', w.alias('w'))
@@ -121,32 +142,13 @@ def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
         .select('host', F.coalesce('_t', F.lit(False)).alias('trusted'))
     )
     t_row = tdf.agg(F.count('*').alias('t'))
-    teleport = F.when(
-        F.col('trusted'), F.expr(f'{SCALE * (100 - damping_pct) // 100} div t')
-    ).otherwise(F.lit(0))
-    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
-    rank = nodes.crossJoin(F.broadcast(t_row)).select(
-        'host', 'trusted',
-        F.when(F.col('trusted'), F.expr(f'{SCALE} div t'))
-        .otherwise(F.lit(0)).cast('long').alias('trust_ppb'),
-    )
-    for _ in range(iters):
-        contrib = (
-            edges.join(
-                rank.select(F.col('host').alias('src'), 'trust_ppb'), 'src')
-            .join(outdeg, 'src')
-            .select('dst', F.expr('(trust_ppb div outdeg) * w').alias('c'))
-        )
-        incoming = contrib.groupBy('dst').agg(F.sum('c').alias('in_sum'))
-        rank = (
-            nodes.join(incoming.withColumnRenamed('dst', 'host'), 'host', 'left')
-            .crossJoin(F.broadcast(t_row))
-            .select(
-                'host', 'trusted',
-                (
-                    teleport
-                    + F.expr(f'({damping_pct} * coalesce(in_sum, 0)) div 100')
-                ).cast('long').alias('trust_ppb'),
-            )
-        )
+    rank = _iterate(
+        edges, nodes, t_row,
+        init=F.when(F.col('trusted'), F.expr(f'{SCALE} div t'))
+        .otherwise(F.lit(0)),
+        teleport=F.when(
+            F.col('trusted'),
+            F.expr(f'{SCALE * (100 - damping_pct) // 100} div t')
+        ).otherwise(F.lit(0)),
+        iters=iters, damping_pct=damping_pct, out='trust_ppb')
     return rank.select('host', 'trust_ppb')

@@ -455,26 +455,8 @@ class CrawlEngine:
                 F.col('loc').alias('url')).distinct()
             if to_fetch.isEmpty():
                 break
-        # sitemap locs take the same canonical identity as seeds and
-        # followed links (one URL identity per page under
-        # canonicalize_urls) — BEFORE first-appearance dedup, so two locs
-        # differing only in tracking params collapse to one frontier row
-        doc_entries = self._canonicalized(doc_entries, 'loc')
-        first_seen = doc_entries.groupBy('loc').agg(
-            F.min(F.struct('sitemap_url', 'pos')).alias('_first'))
-        ordered, n = dense_sequence_with_count(
-            first_seen.select('loc', F.col('_first.sitemap_url').alias('sitemap_url'),
-                              F.col('_first.pos').alias('pos')),
-            ['sitemap_url', 'pos'], 'priority', start=next_priority)
-        new_rows = ordered.select(
-            F.col('loc').alias('url'),
-            url_hash_col(F.col('loc')).alias('url_hash'),
-            host_col(F.col('loc')).alias('host'),
-            scheme_col(F.col('loc')).alias('scheme'),
-            F.lit(0).alias('wave'),
-            'priority',
-        ).filter(F.col('scheme').isin('http', 'https'))
-        return frontier.unionByName(new_rows), next_priority + n
+        return self._bootstrap_union(frontier, doc_entries, 'loc',
+                                     'sitemap_url', next_priority)
 
     def _feed_bootstrap(self, frontier: DataFrame, next_priority: int
                         ) -> tuple[DataFrame, int]:
@@ -491,18 +473,33 @@ class CrawlEngine:
         from scalpel_spark.operators.feeds import feed_entries
 
         entries = feed_entries(self.feed_pages.select('url', 'body'))
-        entries = self._canonicalized(entries, 'link')
-        first_seen = entries.groupBy('link').agg(
-            F.min(F.struct('feed_url', 'pos')).alias('_first'))
+        return self._bootstrap_union(frontier, entries, 'link',
+                                     'feed_url', next_priority)
+
+    def _bootstrap_union(self, frontier: DataFrame, entries: DataFrame,
+                         url_col: str, source_col: str, next_priority: int
+                         ) -> tuple[DataFrame, int]:
+        """Shared tail of the sitemap/feed bootstraps: canonicalize the
+        discovered URLs (same identity as seeds and followed links under
+        canonicalize_urls, BEFORE dedup so tracking-param variants
+        collapse), keep each URL's FIRST appearance (min (source, pos)),
+        number densely in (source, pos) publication order, and union
+        frontier-shaped rows — non-http(s) URLs drop."""
+        entries = self._canonicalized(entries, url_col)
+        first_seen = entries.groupBy(url_col).agg(
+            F.min(F.struct(source_col, 'pos')).alias('_first'))
         ordered, n = dense_sequence_with_count(
-            first_seen.select('link', F.col('_first.feed_url').alias('feed_url'),
-                              F.col('_first.pos').alias('pos')),
-            ['feed_url', 'pos'], 'priority', start=next_priority)
+            first_seen.select(
+                url_col,
+                F.col(f'_first.{source_col}').alias(source_col),
+                F.col('_first.pos').alias('pos')),
+            [source_col, 'pos'], 'priority', start=next_priority)
+        u = F.col(url_col)
         new_rows = ordered.select(
-            F.col('link').alias('url'),
-            url_hash_col(F.col('link')).alias('url_hash'),
-            host_col(F.col('link')).alias('host'),
-            scheme_col(F.col('link')).alias('scheme'),
+            u.alias('url'),
+            url_hash_col(u).alias('url_hash'),
+            host_col(u).alias('host'),
+            scheme_col(u).alias('scheme'),
             F.lit(0).alias('wave'),
             'priority',
         ).filter(F.col('scheme').isin('http', 'https'))

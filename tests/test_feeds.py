@@ -146,3 +146,45 @@ def test_feed_links_take_canonical_identity(spark):
         ['http://n.com/a1'])
     # the utm variant collapsed onto the seed's canonical identity
     assert [r['url'] for r in res.seen.collect()] == ['http://n.com/a1']
+
+
+def test_rss_mentioning_feed_substring_stays_rss(spark):
+    # FeedBurner-style RSS carries '<feedburner:origLink>' inside items —
+    # format detection keys on the ROOT element, not a substring
+    rss = ('<rss version="2.0"><channel>'
+           '<item><link>http://fb.test/a</link>'
+           '<feedburner:origLink>http://orig.test/a</feedburner:origLink>'
+           '</item></channel></rss>')
+    pages = spark.createDataFrame([('http://fb.test/rss', rss)],
+                                  'url string, body string')
+    rows = feeds.feed_entries(pages).collect()
+    assert [(r['link'], r['is_atom']) for r in rows] == [
+        ('http://fb.test/a', False)]
+
+
+def test_atom_rel_alternate_beats_self_edit(spark):
+    # Blogger/AtomPub order: self/edit/replies before alternate — the
+    # article URL is the rel="alternate" (or rel-less) link
+    atom = ('<feed><entry>'
+            '<link rel="self" href="http://api.test/self"/>'
+            '<link rel="edit" href="http://api.test/edit"/>'
+            '<link rel="alternate" href="http://blog.test/article"/>'
+            '</entry><entry>'
+            '<link rel="replies" href="http://api.test/comments"/>'
+            '<link href="http://blog.test/relless"/>'
+            '</entry></feed>')
+    pages = spark.createDataFrame([('http://blog.test/atom', atom)],
+                                  'url string, body string')
+    rows = {r['pos']: r['link'] for r in feeds.feed_entries(pages).collect()}
+    assert rows == {0: 'http://blog.test/article', 1: 'http://blog.test/relless'}
+
+
+def test_fresh_entries_null_guid_passes_through(spark):
+    entries = spark.createDataFrame(
+        [('f', 0, 'http://x.test/a', '', None, False),
+         ('f', 1, 'http://x.test/b', '', 'g1', False)],
+        'feed_url string, pos long, link string, published string, '
+        'guid string, is_atom boolean')
+    seen = spark.createDataFrame([('g1',)], 'guid string')
+    fresh = [r['link'] for r in feeds.fresh_entries(entries, seen).collect()]
+    assert fresh == ['http://x.test/a']  # null guid passes, g1 deduped
