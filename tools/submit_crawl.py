@@ -66,6 +66,18 @@ def main() -> None:
     ap.add_argument('--host-ranks', type=int, default=None, metavar='TOP_N',
                     help='after the crawl, print the TOP_N hosts by link-graph '
                          'PageRank from the persisted lineage')
+    ap.add_argument('--score-aging', type=float, default=0.0, metavar='PER_WAVE',
+                    help='starvation control for --frontier-priority: effective '
+                         'score grows by this per wave a URL has waited since '
+                         'its own enqueue')
+    ap.add_argument('--sitemap-pages', default=None, metavar='PARQUET',
+                    help='parquet path of fetched sitemap pages (url, body); '
+                         'enables follow_sitemaps seed expansion from the seed '
+                         "hosts' robots Sitemap: directives")
+    ap.add_argument('--feed-pages', default=None, metavar='PARQUET',
+                    help='parquet path of fetched RSS/Atom pages (url, body); '
+                         'enables follow_feeds seed expansion in publication '
+                         'order')
     args = ap.parse_args()
 
     # spark-submit provides the session; build via getOrCreate so the
@@ -100,6 +112,9 @@ def main() -> None:
         content_dedup=args.content_dedup,
         max_retries=args.max_retries,
         frontier_priority=args.frontier_priority,
+        score_aging_per_wave=args.score_aging,
+        follow_sitemaps=args.sitemap_pages is not None,
+        follow_feeds=args.feed_pages is not None,
     )
     store = SnapshotStore(args.checkpoint_dir or tempfile.mkdtemp(prefix='crawl-submit-'))
     # seeds must exist in the synthetic web; one per host so politeness and
@@ -132,8 +147,13 @@ def main() -> None:
                 F.lit('.1')))
         )
 
+    sitemap_pages = (spark.read.parquet(args.sitemap_pages)
+                     if args.sitemap_pages else None)
+    feed_pages = spark.read.parquet(args.feed_pages) if args.feed_pages else None
+
     t0 = time.time()
-    engine = CrawlEngine(spark, corpus, robots, cfg, store, host_ips=host_ips)
+    engine = CrawlEngine(spark, corpus, robots, cfg, store, host_ips=host_ips,
+                         sitemap_pages=sitemap_pages, feed_pages=feed_pages)
     result = engine.run(seeds)
     wall = time.time() - t0
     n_expired = len(engine.expire_snapshots(args.expire_snapshots)) \
