@@ -1718,6 +1718,135 @@ SELECT host, trust_ppb FROM t3
 """
 
 
+def _hash_edges(spark: SparkSession, sf_dir: str):
+    """The deterministic 3-out-edge host graph shared by the rank-family
+    queries (host_rank / trust_rank / hits / opic): dst = h60(src-j) mod
+    n over the documents row count, self-loops dropped."""
+    n = _t(spark, sf_dir, 'documents').count()
+    e = spark.range(n).select(
+        F.col('id').alias('src'),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias('j'),
+    )
+    dst = F.pmod(
+        hash60(F.concat(F.col('src').cast('string'), F.lit('-'),
+                        F.col('j').cast('string'))),
+        F.lit(n),
+    )
+    return n, e.select('src', dst.alias('dst')).filter(
+        F.col('dst') != F.col('src'))
+
+
+_EDGES_CTE = f"""nh AS (SELECT COUNT(*) AS n FROM documents),
+rawe AS (SELECT src, j
+        FROM (SELECT unnest(range((SELECT n FROM nh))) AS src)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+edges AS (SELECT * FROM (
+    SELECT src,
+           {H60.format(x="CAST(src AS VARCHAR) || '-' || CAST(j AS VARCHAR)")}
+             % (SELECT n FROM nh) AS dst
+    FROM rawe) WHERE dst != src)"""
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS (graphrank.hits) over the same hash-derived host
+    graph as host_rank: mutually-reinforcing hub/authority scores with
+    exact decimal L1 normalization each half-step. Both engines unroll
+    the same integer arithmetic — no pinned constants."""
+    _, edges = _hash_edges(spark, sf_dir)
+    return graphrank.hits(edges, iters=2)
+
+
+def _hits_cte(iters: int) -> str:
+    """DuckDB twin of graphrank.hits: HUGEINT reproduces the DECIMAL
+    multiply, // the FLOOR-division, bit for bit."""
+    parts = [_EDGES_CTE + """,
+nodes AS (SELECT DISTINCT host FROM (
+    SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+hub0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""araw{i} AS (
+  SELECT nodes.host, COALESCE(t.s, 0) AS raw FROM nodes
+  LEFT JOIN (SELECT e.dst AS host, SUM(h.hub) AS s
+             FROM edges e JOIN hub{i - 1} h ON e.src = h.host
+             GROUP BY e.dst) t ON nodes.host = t.host),
+auth{i} AS (
+  SELECT host, CAST((raw::HUGEINT * 1000000000)
+      // (SELECT GREATEST(1, SUM(raw)) FROM araw{i}) AS BIGINT) AS auth
+  FROM araw{i}),
+hraw{i} AS (
+  SELECT nodes.host, COALESCE(t.s, 0) AS raw FROM nodes
+  LEFT JOIN (SELECT e.src AS host, SUM(a.auth) AS s
+             FROM edges e JOIN auth{i} a ON e.dst = a.host
+             GROUP BY e.src) t ON nodes.host = t.host),
+hub{i} AS (
+  SELECT host, CAST((raw::HUGEINT * 1000000000)
+      // (SELECT GREATEST(1, SUM(raw)) FROM hraw{i}) AS BIGINT) AS hub
+  FROM hraw{i})""")
+    return ',\n'.join(parts)
+
+
+ORACLE_HOST_HITS = f"""
+WITH {_hits_cte(2)}
+SELECT a.host, a.auth AS auth_ppb, h.hub AS hub_ppb
+FROM auth2 a JOIN hub2 h ON a.host = h.host
+"""
+
+
+def q_host_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC incremental importance (graphrank.opic_init/opic_update)
+    over the shared hash-derived graph: two crawl waves — wave 1 fetches
+    hosts ≡0 (mod 2), wave 2 hosts ≡0 (mod 3) — each banking the fetched
+    hosts' cash into history and distributing it along out-edges, with
+    dangling cash redistributed uniformly. Both engines replay the same
+    integer-ppb updates independently."""
+    n, edges = _hash_edges(spark, sf_dir)
+    state = graphrank.opic_init(
+        spark.range(n).select(F.col('id').alias('host')))
+    for mod in (2, 3):
+        fetched = spark.range(n).filter(F.col('id') % mod == 0).select(
+            F.col('id').alias('host'))
+        state = graphrank.opic_update(state, edges, fetched)
+    return state
+
+
+def _opic_cte(mods) -> str:
+    """DuckDB twin of two opic_update waves. The node set stays range(n)
+    every wave (dsts are mod-n, fetched ⊆ range(n)), so the uniform
+    dangling share divides by the constant n."""
+    parts = [_EDGES_CTE + """,
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT host,
+              CAST(1000000000 // (SELECT n FROM nh) AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist
+       FROM (SELECT unnest(range((SELECT n FROM nh))) AS host))"""]
+    for k, m in enumerate(mods, start=1):
+        parts.append(f"""c{k} AS (
+  SELECT e.dst AS host, SUM(s.cash // o.outdeg) AS insum
+  FROM edges e
+  JOIN s{k - 1} s ON e.src = s.host AND e.src % {m} = 0
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+p{k} AS (SELECT COALESCE(SUM(cash), 0) AS pot FROM s{k - 1}
+         WHERE host % {m} = 0
+           AND host NOT IN (SELECT src FROM edges)),
+s{k} AS (
+  SELECT s.host,
+         CAST(CASE WHEN s.host % {m} = 0 THEN 0 ELSE s.cash END
+              + COALESCE(c.insum, 0)
+              + (SELECT pot FROM p{k}) // (SELECT n FROM nh)
+              AS BIGINT) AS cash,
+         CAST(s.hist + CASE WHEN s.host % {m} = 0 THEN s.cash ELSE 0 END
+              AS BIGINT) AS hist
+  FROM s{k - 1} s LEFT JOIN c{k} c ON s.host = c.host)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_HOST_OPIC = f"""
+WITH {_opic_cte((2, 3))}
+SELECT host, cash AS cash_ppb, hist AS hist_ppb FROM s2
+"""
+
+
 def q_cdx_revisit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (operators/cdx.cdx_index) over a
     deterministic synthetic capture set: one doc per documents row,
@@ -3618,6 +3747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'semdedup': q_semdedup,
         'host_rank': q_host_rank,
         'host_trust_rank': q_host_trust_rank,
+        'host_hits': q_host_hits,
+        'host_opic': q_host_opic,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -3720,6 +3851,8 @@ def oracle_sql() -> dict[str, str]:
         'semdedup': ORACLE_SEMDEDUP,
         'host_rank': ORACLE_HOST_RANK,
         'host_trust_rank': ORACLE_HOST_TRUST_RANK,
+        'host_hits': ORACLE_HOST_HITS,
+        'host_opic': ORACLE_HOST_OPIC,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,

@@ -152,3 +152,177 @@ def trust_rank(edges: DataFrame, trusted: DataFrame, iters: int = 3,
         ).otherwise(F.lit(0)),
         iters=iters, damping_pct=damping_pct, out='trust_ppb')
     return rank.select('host', 'trust_ppb')
+
+
+def _nodes_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col('src').alias('host'))
+        .unionByName(edges.select(F.col('dst').alias('host')))
+        .distinct()
+    )
+
+
+def _l1_normalized(scores: DataFrame, col: str) -> DataFrame:
+    """Exact integer L1 normalization: floor(score · SCALE / total).
+
+    The multiply runs in DECIMAL so a long-sized raw score times SCALE
+    cannot overflow (≤10^27 < 10^38); the denominator is DECIMAL(19,0)
+    so the quotient keeps 20 fractional digits — FLOOR is exact, and
+    DuckDB's ``(raw::HUGEINT * SCALE) // total`` reproduces it bit for
+    bit. Long sums are associative, so the result is identical on any
+    partitioning. After this pass scores sum to (SCALE - n, SCALE],
+    keeping the next half-step's weighted in-sums inside 64 bits
+    (score ≤ SCALE ⇒ Σ score·w ≤ SCALE · Σw, safe to ~9·10^9 weighted
+    edges)."""
+    tot = scores.agg(F.greatest(
+        F.lit(1).cast('long'), F.sum(col)).alias('_t'))
+    scaled = (f'CAST(FLOOR(CAST({col} AS DECIMAL(28,0))'
+              f' * CAST({SCALE} AS DECIMAL(10,0))'
+              f' / CAST(_t AS DECIMAL(19,0))) AS BIGINT)')
+    return scores.crossJoin(F.broadcast(tot)).select(
+        'host', F.expr(scaled).alias(col))
+
+
+def hits(edges: DataFrame, iters: int = 3,
+         weight: str | None = None) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg, JACM 1999) over a
+    (src, dst[, weight]) host edge list: mutually-reinforcing hub and
+    authority scores — the crawl-frontier complement to ``host_rank``
+    (a high-hub host is a directory/index page whose outlinks are worth
+    scheduling; a high-authority host is worth recrawling).
+
+    hub_0(h)    = SCALE
+    auth_i(h)   = norm(Σ_{src→h} hub_i-1(src) · w)
+    hub_i(h)    = norm(Σ_{h→dst} auth_i(dst) · w)
+
+    where ``norm`` is the integer L1 normalization of
+    ``_l1_normalized`` — no floats anywhere, so every iteration is
+    bit-reproducible and the DuckDB oracle unrolls the same arithmetic.
+    Duplicate edges count twice (``weight`` aggregates multiplicity,
+    matching ``host_rank``). Returns (host, auth_ppb, hub_ppb) for every
+    host appearing as src or dst.
+
+    Scale shape per half-step (all JVM column algebra): one
+    edges ⋈ score join — the score frame has HOST cardinality so AQE
+    broadcasts it while the edge list never moves — one partial-agg
+    groupBy, and one scalar agg for the normalizer."""
+    w = F.col(weight).cast('long') if weight else F.lit(1).cast('long')
+    edges = edges.select('src', 'dst', w.alias('w'))
+    nodes = _nodes_of(edges)
+    hub = nodes.select('host', F.lit(SCALE).cast('long').alias('hub_ppb'))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(hub.select(F.col('host').alias('src'), 'hub_ppb'),
+                       'src')
+            .select('dst', F.expr('hub_ppb * w').alias('c'))
+            .groupBy('dst').agg(F.sum('c').alias('s'))
+        )
+        auth = _l1_normalized(
+            nodes.join(a_raw.withColumnRenamed('dst', 'host'), 'host', 'left')
+            .select('host', F.coalesce('s', F.lit(0)).cast('long')
+                    .alias('auth_ppb')),
+            'auth_ppb')
+        h_raw = (
+            edges.join(auth.select(F.col('host').alias('dst'), 'auth_ppb'),
+                       'dst')
+            .select('src', F.expr('auth_ppb * w').alias('c'))
+            .groupBy('src').agg(F.sum('c').alias('s'))
+        )
+        hub = _l1_normalized(
+            nodes.join(h_raw.withColumnRenamed('src', 'host'), 'host', 'left')
+            .select('host', F.coalesce('s', F.lit(0)).cast('long')
+                    .alias('hub_ppb')),
+            'hub_ppb')
+    return auth.join(hub, 'host').select('host', 'auth_ppb', 'hub_ppb')
+
+
+def opic_init(hosts: DataFrame) -> DataFrame:
+    """OPIC state for a fresh crawl (Abiteboul, Preda & Cobena, WWW
+    2003): every known host starts with an equal share of SCALE cash and
+    zero history. ``hosts`` is any one-column host frame; returns
+    (host, cash_ppb, hist_ppb)."""
+    h = hosts.select(F.col(hosts.columns[0]).alias('host')).distinct()
+    n_row = h.agg(F.count('*').alias('n'))
+    return h.crossJoin(F.broadcast(n_row)).select(
+        'host',
+        F.expr(f'{SCALE} div n').cast('long').alias('cash_ppb'),
+        F.lit(0).cast('long').alias('hist_ppb'))
+
+
+def opic_update(state: DataFrame, edges: DataFrame, fetched: DataFrame,
+                weight: str | None = None) -> DataFrame:
+    """One OPIC wave: each FETCHED host banks its cash into history and
+    distributes it along its out-edges; fetched hosts with no out-links
+    are dangling — their cash goes to the virtual page, which
+    redistributes it uniformly over all result hosts (``pot div n``
+    each, flooring remainder retired, as with all integer mass here).
+
+    On-line Page Importance Computation is the crawl-native alternative
+    to recomputing PageRank per wave: importance ≈ ``hist + cash``
+    accumulates INCREMENTALLY — one update per wave touching only the
+    wave's edges — and Abiteboul et al. §3 show the history converges to
+    the same fixpoint. The engine's ``frontier_priority='host_rank'``
+    recomputes from full lineage; this operator is the O(wave) twin for
+    continuous crawls where lineage grows without bound.
+
+    new_cash(h) = [h unfetched]·cash(h) + Σ_{fetched src→h} (cash(src)
+                  div outdeg_w(src)) · w + pot div n
+    new_hist(h) = hist(h) + [h fetched]·cash(h)
+
+    Hosts discovered this wave (edge dst not yet in ``state``) enter
+    with what they receive — exactly OPIC's new-page rule. Integer
+    ppb end to end; bit-reproducible on any partitioning. Scale shape:
+    fetched/state frames are host-sized (broadcastable), the wave's
+    edge list is scanned once, one groupBy(dst), one scalar pot agg.
+
+    Returns (host, cash_ppb, hist_ppb)."""
+    w = F.col(weight).cast('long') if weight else F.lit(1).cast('long')
+    edges = edges.select('src', 'dst', w.alias('w'))
+    fdf = fetched.select(
+        F.col(fetched.columns[0]).alias('host')).distinct()
+    st = state.select('host', 'cash_ppb', 'hist_ppb')
+    nodes = (
+        st.select('host')
+        .unionByName(edges.select(F.col('dst').alias('host')))
+        .unionByName(fdf)
+        .distinct()
+    )
+    n_row = nodes.agg(F.count('*').alias('n'))
+    fstate = (
+        st.join(fdf, 'host')  # fetched hosts' current cash
+        .select(F.col('host').alias('src'), 'cash_ppb')
+    )
+    outdeg = edges.groupBy('src').agg(F.sum('w').alias('outdeg'))
+    spenders = fstate.join(outdeg, 'src', 'left')
+    contrib = (
+        edges.join(spenders.filter(F.col('outdeg').isNotNull()), 'src')
+        .select('dst', F.expr('(cash_ppb div outdeg) * w').alias('c'))
+        .groupBy('dst').agg(F.sum('c').alias('in_sum'))
+    )
+    pot_row = (
+        spenders.filter(F.col('outdeg').isNull())
+        .agg(F.coalesce(F.sum('cash_ppb'), F.lit(0)).alias('pot'))
+    )
+    return (
+        nodes
+        .join(st, 'host', 'left')
+        .join(fdf.withColumn('_f', F.lit(True)), 'host', 'left')
+        .join(contrib.withColumnRenamed('dst', 'host'), 'host', 'left')
+        .crossJoin(F.broadcast(pot_row))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            'host',
+            (
+                F.when(F.col('_f').isNull(),
+                       F.coalesce('cash_ppb', F.lit(0))).otherwise(0)
+                + F.coalesce('in_sum', F.lit(0))
+                + F.expr('pot div n')
+            ).cast('long').alias('cash_ppb'),
+            (
+                F.coalesce('hist_ppb', F.lit(0))
+                + F.when(F.col('_f').isNotNull(),
+                         F.coalesce('cash_ppb', F.lit(0))).otherwise(0)
+            ).cast('long').alias('hist_ppb'),
+        )
+    )
