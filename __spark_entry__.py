@@ -1847,6 +1847,33 @@ SELECT host, cash AS cash_ppb, hist AS hist_ppb FROM s2
 """
 
 
+def q_crawl_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash crawler sharding (scheduling.crawler_shards):
+    one synthetic host per documents row, assigned to 7 crawler
+    instances by argmax of the portable 60-bit md5 score. Both engines
+    recompute every (host, shard) score and the argmax independently."""
+    from scalpel_spark.operators import scheduling
+
+    hosts = _t(spark, sf_dir, 'documents').select(
+        F.concat(F.lit('h'), F.col('doc_id').cast('string')).alias('host'))
+    out = scheduling.crawler_shards(hosts, 7)
+    return out.select('host', F.col('shard').cast('long').alias('shard'))
+
+
+ORACLE_SHARD_RENDEZVOUS = f"""
+WITH hosts AS (SELECT 'h' || CAST(doc_id AS VARCHAR) AS host FROM documents),
+cand AS (SELECT host, shard FROM hosts
+         CROSS JOIN (SELECT unnest(range(7)) AS shard)),
+scored AS (SELECT host, shard,
+    {H60.format(x="host || '#' || CAST(shard AS VARCHAR) || '#'")} AS s
+    FROM cand),
+rn AS (SELECT host, shard,
+       ROW_NUMBER() OVER (PARTITION BY host ORDER BY s DESC, shard DESC) AS r
+       FROM scored)
+SELECT host, CAST(shard AS BIGINT) AS shard FROM rn WHERE r = 1
+"""
+
+
 def q_cdx_revisit_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX-style capture index (operators/cdx.cdx_index) over a
     deterministic synthetic capture set: one doc per documents row,
@@ -3749,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_trust_rank': q_host_trust_rank,
         'host_hits': q_host_hits,
         'host_opic': q_host_opic,
+        'crawl_shard_rendezvous': q_crawl_shard_rendezvous,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -3853,6 +3881,7 @@ def oracle_sql() -> dict[str, str]:
         'host_trust_rank': ORACLE_HOST_TRUST_RANK,
         'host_hits': ORACLE_HOST_HITS,
         'host_opic': ORACLE_HOST_OPIC,
+        'crawl_shard_rendezvous': ORACLE_SHARD_RENDEZVOUS,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,

@@ -231,3 +231,47 @@ def topk_by_score(df: DataFrame, k: int, score_col: str = '_score',
     overflow = parted.filter(pid_col > straddle).unionByName(
         ranked.filter(F.col('_grank') > k - base).drop('_grank'))
     return kept, overflow
+
+
+def crawler_shards(hosts: DataFrame, n_shards: int, host_col: str = 'host',
+                   salt: str = '') -> DataFrame:
+    """Assign every host to one of ``n_shards`` crawler instances by
+    rendezvous (highest-random-weight) hashing — the UbiCrawler
+    assignment function (Boldi et al., Softw. Pract. Exper. 2004 §4):
+    ``shard(h) = argmax_s hash(h, s)``.
+
+    Properties the tests pin, both exact rather than statistical:
+
+    * **balance** — each shard receives ~|hosts|/K in expectation (the
+      per-host winner is an independent uniform draw over shards);
+    * **minimal, one-directional churn** — growing K→K+1 can only move
+      a host TO the new shard (its old per-shard scores are unchanged,
+      so the argmax only changes if the NEW shard wins), and in
+      expectation exactly 1/(K+1) of hosts move. No remap table, no
+      coordination: any worker recomputes any host's owner locally.
+
+    The per-(host, shard) score is the portable 60-bit md5 hash
+    (``texthash.hash60``) of ``host#shard#salt`` — ties are broken
+    toward the higher shard id deterministically, and a DuckDB oracle
+    reproduces the assignment byte for byte. ``salt`` re-deals the whole
+    assignment (a new crawl generation) without changing K.
+
+    Scale shape: explode K candidate rows per host (K = crawler count,
+    single digits to hundreds), one partial-agg ``max(struct)`` groupBy
+    on the host axis. Returns (host, shard).
+    """
+    from scalpel_spark.functions.texthash import hash60
+
+    h = hosts.select(F.col(host_col).alias('host'))
+    cand = h.select(
+        'host',
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias('shard'),
+    )
+    score = hash60(F.concat_ws('#', F.col('host'),
+                               F.col('shard').cast('string'), F.lit(salt)))
+    return (
+        cand.select('host', F.struct(score.alias('s'),
+                                     F.col('shard')).alias('sc'))
+        .groupBy('host').agg(F.max('sc').alias('m'))
+        .select('host', F.col('m.shard').alias('shard'))
+    )

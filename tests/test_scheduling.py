@@ -177,3 +177,62 @@ def test_change_rates_plan_stays_jvm(spark):
         spark.createDataFrame([('u', 'a', 0, 1)], HIST_SCHEMA))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan
+
+
+# ---------------------------------------------------------------------------
+# crawler_shards (rendezvous-hash crawler assignment)
+# ---------------------------------------------------------------------------
+
+
+def _hostdf(spark, n):
+    from pyspark.sql import functions as F
+    return spark.range(n).select(
+        F.concat(F.lit('host-'), F.col('id').cast('string')).alias('host'))
+
+
+def test_crawler_shards_total_and_deterministic(spark):
+    hosts = _hostdf(spark, 200)
+    a = {r['host']: r['shard'] for r in
+         scheduling.crawler_shards(hosts, 8).collect()}
+    b = {r['host']: r['shard'] for r in
+         scheduling.crawler_shards(hosts, 8).collect()}
+    assert len(a) == 200 and a == b
+    assert all(0 <= s < 8 for s in a.values())
+
+
+def test_crawler_shards_balanced(spark):
+    counts = {}
+    for r in scheduling.crawler_shards(_hostdf(spark, 2000), 8).collect():
+        counts[r['shard']] = counts.get(r['shard'], 0) + 1
+    assert len(counts) == 8
+    # binomial(2000, 1/8): mean 250, sd ~14.8 — 6 sigma bounds
+    assert all(160 <= c <= 340 for c in counts.values()), counts
+
+
+def test_crawler_shards_growth_moves_hosts_only_to_new_shard(spark):
+    hosts = _hostdf(spark, 2000)
+    k8 = {r['host']: r['shard'] for r in
+          scheduling.crawler_shards(hosts, 8).collect()}
+    k9 = {r['host']: r['shard'] for r in
+          scheduling.crawler_shards(hosts, 9).collect()}
+    moved = [h for h in k8 if k8[h] != k9[h]]
+    # rendezvous invariant (exact): a host only ever moves TO the shard
+    # that did not exist before
+    assert all(k9[h] == 8 for h in moved)
+    # expected churn 1/9 ~ 222 of 2000; allow 6 sigma (~±90)
+    assert 130 <= len(moved) <= 320, len(moved)
+
+
+def test_crawler_shards_salt_redeals(spark):
+    hosts = _hostdf(spark, 300)
+    a = {r['host']: r['shard'] for r in
+         scheduling.crawler_shards(hosts, 8).collect()}
+    b = {r['host']: r['shard'] for r in
+         scheduling.crawler_shards(hosts, 8, salt='gen2').collect()}
+    assert any(a[h] != b[h] for h in a)
+
+
+def test_crawler_shards_plan_stays_jvm(spark):
+    plan = scheduling.crawler_shards(_hostdf(spark, 4), 3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert 'Python' not in plan and 'BatchEvalPython' not in plan
