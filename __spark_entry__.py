@@ -1847,6 +1847,134 @@ SELECT host, cash AS cash_ppb, hist AS hist_ppb FROM s2
 """
 
 
+def _dust_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DUST evidence: per documents row r, three fetched
+    URLs on host h(r%5).test path /p(r%7) — A=?id&sess, B=?id, C=?sess.
+    The content signature ignores sess on EVEN hosts (A and B agree →
+    sess is provably ignorable there) but includes it on ODD hosts
+    (counterexample kills the rule); C's unique signature kills any
+    'id is ignorable' rule everywhere."""
+    r = F.col('r')
+    u = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('r'))
+    host = F.concat(F.lit('h'), (r % 5).cast('string'), F.lit('.test'))
+    base = F.concat(F.lit('https://'), host, F.lit('/p'),
+                    (r % 7).cast('string'))
+    sess = F.concat(F.lit('s'), r.cast('string'))
+    idv = (r % 3).cast('string')
+    content = F.concat(F.lit('c|'), host, F.lit('|'), (r % 7).cast('string'),
+                       F.lit('|'), idv, F.lit('|'))
+    a = u.select(
+        F.concat(base, F.lit('?id='), idv, F.lit('&sess='), sess).alias('url'),
+        hash60(F.concat(content, F.when((r % 5) % 2 == 1, sess)
+                        .otherwise(F.lit('')))).alias('sig'))
+    b = u.select(
+        F.concat(base, F.lit('?id='), idv).alias('url'),
+        hash60(content).alias('sig'))
+    c = u.select(
+        F.concat(base, F.lit('?sess='), sess).alias('url'),
+        hash60(F.concat(F.lit('noid|'), r.cast('string'))).alias('sig'))
+    return a.unionByName(b).unionByName(c)
+
+
+_DUST_DOCS_CTE = f"""du AS (SELECT CAST(doc_id AS BIGINT) AS r FROM documents),
+dq AS (SELECT r, 'h' || (r % 5) || '.test' AS host,
+              'https://h' || (r % 5) || '.test/p' || (r % 7) AS base,
+              r % 7 AS pn, r % 3 AS idv, 's' || r AS sess,
+              r % 5 AS hn
+       FROM du),
+ddocs AS (
+  SELECT base || '?id=' || idv || '&sess=' || sess AS url,
+         {H60.format(x="'c|' || host || '|' || pn || '|' || idv || '|' || CASE WHEN hn % 2 = 1 THEN sess ELSE '' END")} AS sig
+  FROM dq
+  UNION ALL
+  SELECT base || '?id=' || idv AS url,
+         {H60.format(x="'c|' || host || '|' || pn || '|' || idv || '|'")} AS sig
+  FROM dq
+  UNION ALL
+  SELECT base || '?sess=' || sess AS url,
+         {H60.format(x="'noid|' || r")} AS sig
+  FROM dq),
+dparsed AS (
+  SELECT url, sig,
+         split_part(split_part(url, '://', 2), '/', 1) AS host,
+         '/' || split_part(split_part(split_part(url, '://', 2), '?', 1),
+                           '/', 2) AS path,
+         CASE WHEN contains(url, '?')
+              THEN list_filter(string_split(split_part(url, '?', 2), '&'),
+                               x -> x != '')
+              ELSE [] END AS ps
+  FROM ddocs),
+dbases AS (SELECT host, path,
+                  array_to_string(list_sort(ps), '&') AS residual,
+                  sig AS sig_twin
+           FROM dparsed),
+dcands AS (
+  SELECT host, path, sig,
+         array_to_string(list_sort(list_filter(
+             ps, x -> split_part(x, '=', 1) != param)), '&') AS residual,
+         param
+  FROM (SELECT host, path, sig, ps,
+               unnest(list_distinct(list_transform(
+                   ps, x -> split_part(x, '=', 1)))) AS param
+        FROM dparsed WHERE len(ps) > 0)),
+drules AS (
+  SELECT host, param,
+         SUM(CASE WHEN c.sig = b.sig_twin THEN 1 ELSE 0 END) AS support,
+         SUM(CASE WHEN c.sig != b.sig_twin THEN 1 ELSE 0 END) AS cx
+  FROM dcands c JOIN dbases b USING (host, path, residual)
+  GROUP BY host, param)"""
+
+
+def q_url_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (dust.mine_param_rules): learn per-host
+    ignorable query params from content-duplicate evidence. Both engines
+    parse the same synthetic URLs and roll the twin-pair votes up
+    independently — rules must have zero counterexamples."""
+    from scalpel_spark.operators import dust
+
+    return dust.mine_param_rules(_dust_docs(spark, sf_dir), min_support=2)
+
+
+ORACLE_DUST_RULES = f"""
+WITH {_DUST_DOCS_CTE}
+SELECT host, param, CAST(support AS BIGINT) AS support
+FROM drules WHERE support >= 2 AND cx = 0
+"""
+
+
+def q_url_dust_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule application (dust.strip_params): the mined rules
+    rewrite the ?id&sess URLs — sess drops on even hosts (rule holds),
+    odd hosts stay byte-identical (counterexample blocked the rule),
+    surviving params keep their original order."""
+    from scalpel_spark.operators import dust
+
+    docs = _dust_docs(spark, sf_dir)
+    rules = dust.mine_param_rules(docs, min_support=2)
+    frontier = docs.filter(F.col('url').contains('&sess=')).select('url')
+    return dust.strip_params(frontier, rules)
+
+
+ORACLE_DUST_STRIP = f"""
+WITH {_DUST_DOCS_CTE},
+dsess AS (SELECT DISTINCT host FROM drules
+          WHERE param = 'sess' AND support >= 2 AND cx = 0),
+dfront AS (SELECT url, host, ps FROM dparsed WHERE contains(url, '&sess=')),
+dkept AS (
+  SELECT url, host,
+         list_filter(ps, x -> split_part(x, '=', 1) != 'sess') AS keep
+  FROM dfront)
+SELECT CASE WHEN host IN (SELECT host FROM dsess)
+            THEN split_part(url, '?', 1) ||
+                 CASE WHEN len(keep) > 0
+                      THEN '?' || array_to_string(keep, '&')
+                      ELSE '' END
+            ELSE url END AS url
+FROM dkept
+"""
+
+
 def q_crawl_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash crawler sharding (scheduling.crawler_shards):
     one synthetic host per documents row, assigned to 7 crawler
@@ -3777,6 +3905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_hits': q_host_hits,
         'host_opic': q_host_opic,
         'crawl_shard_rendezvous': q_crawl_shard_rendezvous,
+        'url_dust_rules': q_url_dust_rules,
+        'url_dust_strip': q_url_dust_strip,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -3882,6 +4012,8 @@ def oracle_sql() -> dict[str, str]:
         'host_hits': ORACLE_HOST_HITS,
         'host_opic': ORACLE_HOST_OPIC,
         'crawl_shard_rendezvous': ORACLE_SHARD_RENDEZVOUS,
+        'url_dust_rules': ORACLE_DUST_RULES,
+        'url_dust_strip': ORACLE_DUST_STRIP,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
