@@ -1975,6 +1975,58 @@ FROM dkept
 """
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (mirrors.mirror_pairs) over a synthetic
+    20-host corpus where host m(i) and m(i+10) serve identical content
+    sets, ODD hosts additionally serve unique pages (so their mirror
+    containment is 500000 ppm vs the even pairs' 10^6), and a
+    boilerplate signature on all 20 hosts is dropped by the df cap.
+    Both engines rebuild profiles and recompute containment."""
+    from scalpel_spark.operators import mirrors
+
+    r = F.col('r')
+    u = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('r'))
+    host = F.concat(F.lit('m'), (r % 20).cast('string'))
+    a = u.select(host.alias('host'), hash60(F.concat(
+        F.lit('mc|'), (r % 10).cast('string'), F.lit('|'),
+        F.expr('r div 20').cast('string'))).alias('sig'))
+    b = u.filter((r % 20) % 2 == 1).select(
+        host.alias('host'),
+        hash60(F.concat(F.lit('extra|'), r.cast('string'))).alias('sig'))
+    c = u.select(host.alias('host'), hash60(F.lit('boiler')).alias('sig'))
+    docs = a.unionByName(b).unionByName(c)
+    return mirrors.mirror_pairs(docs, min_overlap_ppm=400_000, df_cap=10)
+
+
+ORACLE_MIRROR_HOSTS = f"""
+WITH mr AS (SELECT CAST(doc_id AS BIGINT) AS r FROM documents),
+md AS (
+  SELECT 'm' || (r % 20) AS host,
+         {H60.format(x="'mc|' || (r % 10) || '|' || CAST(r // 20 AS VARCHAR)")} AS sig
+  FROM mr
+  UNION ALL
+  SELECT 'm' || (r % 20),
+         {H60.format(x="'extra|' || r")}
+  FROM mr WHERE (r % 20) % 2 = 1
+  UNION ALL
+  SELECT 'm' || (r % 20), {H60.format(x="'boiler'")} FROM mr),
+mprof AS (SELECT DISTINCT host, sig FROM md),
+mcap AS (SELECT * FROM mprof WHERE sig IN (
+    SELECT sig FROM mprof GROUP BY sig HAVING COUNT(*) <= 10)),
+msizes AS (SELECT host, COUNT(*) AS n FROM mcap GROUP BY host),
+mpairs AS (SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+           FROM mcap a JOIN mcap b ON a.sig = b.sig AND a.host < b.host
+           GROUP BY a.host, b.host)
+SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+       CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+       CAST((shared * 1000000) // LEAST(sa.n, sb.n) AS BIGINT) AS overlap_ppm
+FROM mpairs JOIN msizes sa ON host_a = sa.host
+            JOIN msizes sb ON host_b = sb.host
+WHERE (shared * 1000000) // LEAST(sa.n, sb.n) >= 400000
+"""
+
+
 def q_crawl_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash crawler sharding (scheduling.crawler_shards):
     one synthetic host per documents row, assigned to 7 crawler
@@ -3907,6 +3959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_shard_rendezvous': q_crawl_shard_rendezvous,
         'url_dust_rules': q_url_dust_rules,
         'url_dust_strip': q_url_dust_strip,
+        'mirror_hosts': q_mirror_hosts,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -4014,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_shard_rendezvous': ORACLE_SHARD_RENDEZVOUS,
         'url_dust_rules': ORACLE_DUST_RULES,
         'url_dust_strip': ORACLE_DUST_STRIP,
+        'mirror_hosts': ORACLE_MIRROR_HOSTS,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
