@@ -3743,6 +3743,42 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_dust_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlEngine(dust_rules=...) through the full engine: with a mined
+    (quotes.com, sess) rule injected, a ?sess= alias seed collapses into
+    the clean URL's frontier entry before seen-keying and fetch; without
+    rules, reference literal-URL dedup keeps both and the alias lands
+    unreachable. Deterministic VALUES oracle."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    seeds = ['http://quotes.com', 'http://quotes.com?sess=zz9']
+    rules = spark.createDataFrame(
+        [('quotes.com', 'sess', 5)],
+        'host STRING, param STRING, support LONG')
+    out = None
+    for with_rules in (True, False):
+        cfg = CrawlConfig(link_rule='second_contains_page', max_waves=1)
+        res = CrawlEngine(
+            spark, golden_site(spark, 'http'), config=cfg,
+            dust_rules=rules if with_rules else None).run(seeds)
+        part = res.seen.select(
+            F.lit(with_rules).alias('dust'), 'url', 'status',
+            F.col('priority').cast('long').alias('priority'))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CRAWL_DUST = """
+SELECT * FROM (VALUES
+  (TRUE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com?sess=zz9', 'unreachable', CAST(1 AS BIGINT))
+) AS t(dust, url, status, priority)
+"""
+
+
 def q_spans_fingerprint_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document span-sequence fingerprint (operators/spans.py) over the
     reference's golden 3-page site — the north-rule invariant ("span-sequence
@@ -3980,6 +4016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
         'crawl_green_file_bypass': q_crawl_green_file_bypass,
         'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
+        'crawl_dust_alias': q_crawl_dust_alias,
         'spans_fingerprint_golden': q_spans_fingerprint_golden,
         'spans_media_stats': q_spans_media_stats,
         'spans_parity_check': q_spans_parity_check,
@@ -4083,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
+        'crawl_dust_alias': ORACLE_CRAWL_DUST,
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,

@@ -252,6 +252,7 @@ class CrawlEngine:
         host_budgets: Optional[DataFrame] = None,
         sitemap_pages: Optional[DataFrame] = None,
         feed_pages: Optional[DataFrame] = None,
+        dust_rules: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -295,6 +296,15 @@ class CrawlEngine:
         if self.config.follow_feeds and feed_pages is None:
             raise ValueError('follow_feeds requires a feed_pages '
                              'DataFrame (url string, body string)')
+        # mined DUST rules (operators/dust.mine_param_rules output:
+        # host, param[, support]) — when injected, every URL entering the
+        # frontier (seeds, links, sitemap/feed locs) first drops its
+        # host's proven-ignorable params, so alias URLs collapse BEFORE
+        # seen-keying and fetch. Orthogonal to canonicalize_urls (which
+        # strips the global tracking-param list): DUST is host-specific
+        # evidence, and it applies first so the generic canonical form
+        # stays the last word on URL identity.
+        self.dust_rules = dust_rules
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -329,7 +339,13 @@ class CrawlEngine:
         fragment drop, vectorized ``canonical_frontier_udf``) BEFORE any
         hashing/seen-keying — one URL identity per page. Identity
         passthrough when the flag is off (reference parity: dedup on the
-        literal URL string)."""
+        literal URL string). Injected DUST rules apply first (host-
+        specific ignorable params mined from content evidence), so both
+        rewrites share this single integration point."""
+        if self.dust_rules is not None:
+            from scalpel_spark.operators.dust import strip_params
+
+            df = strip_params(df, self.dust_rules, url_col=col)
         if not self.config.canonicalize_urls:
             return df
         return df.withColumn(col, canonical_frontier_udf(F.col(col)))

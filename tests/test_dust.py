@@ -79,3 +79,72 @@ def test_strip_out_col_and_plan_jvm(spark):
     mine_plan = dust.mine_param_rules(_evidence(spark))._jdf \
         .queryExecution().executedPlan().toString()
     assert 'Python' not in mine_plan
+
+
+# ---------------------------------------------------------------------------
+# engine wiring: CrawlEngine(dust_rules=...)
+# ---------------------------------------------------------------------------
+
+
+def _engine_world(spark):
+    import tempfile
+
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    corpus = synthetic_corpus(spark, n_pages=40, n_hosts=4, seed=7)
+    robots = synthetic_robots(spark, n_hosts=4)
+    seed_url = corpus.orderBy('doc_id').limit(1).collect()[0]['doc_id']
+    return corpus, robots, seed_url, SnapshotStore(tempfile.mkdtemp())
+
+
+def test_engine_dust_rules_collapse_alias_seed(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+
+    corpus, robots, seed_url, store = _engine_world(spark)
+    host = spark.createDataFrame([(seed_url,)], 'url STRING').select(
+        F.parse_url('url', F.lit('HOST')).alias('h')).collect()[0]['h']
+    rules = spark.createDataFrame([(host, 'sess', 3)],
+                                  'host STRING, param STRING, support LONG')
+    variant = seed_url + '?sess=abc123'
+    res = CrawlEngine(spark, corpus, robots, CrawlConfig(max_waves=1),
+                      store, dust_rules=rules).run([seed_url, variant])
+    rows = res.seen.collect()
+    assert [r['url'] for r in rows] == [seed_url]
+    assert rows[0]['status'] == 'reachable' and rows[0]['priority'] == 0
+    # without rules the alias stays literal and lands unreachable
+    res2 = CrawlEngine(spark, corpus, robots, CrawlConfig(max_waves=1),
+                       SnapshotStore(tempfile.mkdtemp())).run(
+        [seed_url, variant])
+    assert {r['url']: r['status'] for r in res2.seen.collect()} == {
+        seed_url: 'reachable', variant: 'unreachable'}
+
+
+def test_engine_dust_rules_fixed_point_on_clean_urls(spark):
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+
+    corpus, robots, seed_url, store = _engine_world(spark)
+    # rules for a host that never appears: a 2-wave crawl (links flow
+    # through the same rewrite point) must be byte-identical to no-rules
+    rules = spark.createDataFrame([('nosuch.example.com', 'sess', 9)],
+                                  'host STRING, param STRING, support LONG')
+    with_rules = CrawlEngine(
+        spark, corpus, robots, CrawlConfig(max_waves=2), store,
+        dust_rules=rules).run([seed_url])
+    without = CrawlEngine(
+        spark, corpus, robots, CrawlConfig(max_waves=2),
+        SnapshotStore(tempfile.mkdtemp())).run([seed_url])
+    a = sorted((r['url'], r['wave'], r['priority'], r['status'])
+               for r in with_rules.seen.collect())
+    b = sorted((r['url'], r['wave'], r['priority'], r['status'])
+               for r in without.seen.collect())
+    assert a == b and len(a) > 1
