@@ -3525,6 +3525,55 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_opic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frontier_priority='opic' — WITHIN-RUN adaptive ordering from the
+    engine's incremental OPIC state: the wave-0 hub cites c.com first
+    (FIFO would dispatch it next) but cites b.com twice, so after the
+    wave-0 cash distribution b.com's importance is higher and the global
+    cap of 1/wave dispatches b.com/x at wave 1, c.com/x at wave 2.
+    VALUES oracle; the FIFO counterfactual is pinned by
+    tests/test_opic_engine.py."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    def doc(u, spans):
+        return {'doc_id': u, 'spans': spans, 'http_status': 200,
+                'scheme': 'http', 'readable': None, 'fetch_ms': 1.0}
+
+    def text(t):
+        return {'kind': 'text', 'text': t, 'media_ref': None, 'offset': 0}
+
+    def link(u):
+        return {'kind': 'link', 'text': u, 'media_ref': None, 'offset': 0}
+
+    corpus = spark.createDataFrame([
+        doc('http://a.com/root',
+            [text('hub'), link('http://c.com/x'),
+             link('http://b.com/x'), link('http://b.com/x')]),
+        doc('http://b.com/x', [text('b')]),
+        doc('http://c.com/x', [text('c')]),
+    ], CORPUS_SCHEMA)
+    cfg = CrawlConfig(max_waves=3, max_dispatch_per_wave=1,
+                      frontier_priority='opic')
+    res = CrawlEngine(spark, corpus, config=cfg,
+                      store=SnapshotStore(tempfile.mkdtemp())).run(
+        ['http://a.com/root'])
+    return res.seen.select('url', 'wave', 'status')
+
+
+ORACLE_CRAWL_OPIC = """
+SELECT * FROM (VALUES
+  ('http://a.com/root', 0, 'reachable'),
+  ('http://b.com/x', 1, 'reachable'),
+  ('http://c.com/x', 2, 'reachable')
+) AS t(url, wave, status)
+"""
+
+
 def q_crawl_sitemap_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CrawlConfig.follow_sitemaps through the full engine: the seed
     host's robots.txt ``Sitemap:`` directive points at a sitemapindex,
@@ -4017,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_green_file_bypass': q_crawl_green_file_bypass,
         'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
         'crawl_dust_alias': q_crawl_dust_alias,
+        'crawl_opic_adaptive': q_crawl_opic_adaptive,
         'spans_fingerprint_golden': q_spans_fingerprint_golden,
         'spans_media_stats': q_spans_media_stats,
         'spans_parity_check': q_spans_parity_check,
@@ -4121,6 +4171,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
         'crawl_dust_alias': ORACLE_CRAWL_DUST,
+        'crawl_opic_adaptive': ORACLE_CRAWL_OPIC,
         'crawl_golden_statistics': ORACLE_CRAWL_STATS,
         'crawl_manyhosts_robots': ORACLE_CRAWL_MANYHOSTS,
         'crawl_politeness_budget': ORACLE_POLITENESS_BUDGET,

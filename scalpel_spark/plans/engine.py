@@ -921,7 +921,28 @@ class CrawlEngine:
                     allowed = allowed.withColumn('host_rank', F.lit(0).cast('long'))
                 allowed = allowed.withColumn(
                     'host_rank', F.coalesce(F.col('host_rank'), F.lit(0)).cast('long'))
-            allowed = allowed.withColumn('_score', F.expr(cfg.frontier_priority)).drop('host_rank')
+            if 'opic' in cfg.frontier_priority:
+                # OPIC importance (cash + history, integer ppb) from the
+                # state the PREVIOUS wave committed — unlike host_rank
+                # (frozen at run start from prior-run lineage), OPIC
+                # accumulates within the run, one O(wave) update per
+                # wave, so the frontier adapts mid-crawl. No state yet
+                # (wave 0, or priority never referenced it) scores 0 →
+                # FIFO, matching opic's fresh-crawl cold start.
+                state = self.store.load_current(self.spark, 'opic_state')
+                if state is not None:
+                    imp = state.select('host', (
+                        F.col('cash_ppb') + F.col('hist_ppb')).alias('opic'))
+                    n_imp = imp.count()
+                    right = (F.broadcast(imp)
+                             if n_imp <= cfg.broadcast_host_limit else imp)
+                    allowed = allowed.join(right, 'host', 'left')
+                if 'opic' not in allowed.columns:
+                    allowed = allowed.withColumn('opic', F.lit(0).cast('long'))
+                allowed = allowed.withColumn(
+                    'opic', F.coalesce(F.col('opic'), F.lit(0)).cast('long'))
+            allowed = allowed.withColumn(
+                '_score', F.expr(cfg.frontier_priority)).drop('host_rank', 'opic')
             if cfg.score_aging_per_wave:
                 # starvation control: every wave a row has waited since
                 # enqueue raises its effective score — _enq_wave (kept at
@@ -1281,6 +1302,36 @@ class CrawlEngine:
         if retry_requeue is not None:
             next_frontier = next_frontier.unionByName(retry_requeue)
 
+        # OPIC state update (only when the priority expression consumes
+        # it): this wave's dispatched hosts bank their cash and spend it
+        # along this wave's host-level lineage — the O(wave) incremental
+        # importance (graphrank.opic_update) the next wave's scoring
+        # reads back via load_current. Self-citations are excluded, like
+        # host_rank's ranking semantics; robots-excluded rows never hit
+        # the network, so they don't count as fetches. First tracked
+        # wave seeds equal cash over the hosts observed so far
+        # (opic_init); hosts discovered later enter with received cash
+        # (OPIC's new-page rule).
+        opic_state = None
+        if cfg.frontier_priority is not None and 'opic' in cfg.frontier_priority:
+            from scalpel_spark.operators.graphrank import opic_init, opic_update
+
+            fetched_hosts = (
+                seen_delta.filter(F.col('status') != 'robots_excluded')
+                .select(host_col(F.col('url')).alias('host')).distinct()
+            )
+            wave_edges = (
+                links_delta.filter(F.col('src_host') != F.col('dst_host'))
+                .select(F.col('src_host').alias('src'),
+                        F.col('dst_host').alias('dst'), 'n_links')
+            )
+            prev = self.store.load_current(self.spark, 'opic_state')
+            if prev is None:
+                prev = opic_init(fetched_hosts.unionByName(
+                    wave_edges.select(F.col('dst').alias('host'))).distinct())
+            opic_state = opic_update(prev, wave_edges, fetched_hosts,
+                                     weight='n_links')
+
         # 8. atomic snapshot commit (T4)
         tables = {
             'frontier': next_frontier,
@@ -1296,6 +1347,8 @@ class CrawlEngine:
             tables['content_seen_delta'] = content_delta
         if retry_delta is not None:
             tables['retry_delta'] = retry_delta
+        if opic_state is not None:
+            tables['opic_state'] = opic_state
         if cfg.follow_robots_txt:
             tables['host_state'] = getattr(self, '_host_state_snapshot', self._empty(HOST_STATE_SCHEMA))
         metrics_rows.append((wave, 'wave_total', -1, n_new, (time.time() - t_wave) * 1000))
