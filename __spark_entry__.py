@@ -2027,6 +2027,83 @@ WHERE (shared * 1000000) // LEAST(sa.n, sb.n) >= 400000
 """
 
 
+def q_soft404_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (soft404.soft404_flags) over a synthetic
+    5-host fetched corpus: per host, three error-template copies under
+    distinct paths in three spellings (double space / lowercase /
+    UPPERCASE — exercising the normalize step on both engines), one
+    REAL 404 with the same body (never flagged: status gate), one
+    unique article ABOUT 404s (never flagged: repetition gate), one
+    benign page repeated across paths (never a template: phrase gate),
+    and unique normal pages. Both engines learn templates and flag
+    independently."""
+    from scalpel_spark.operators import soft404
+
+    r = F.col('r')
+    hostname = F.concat(F.lit('h'), (F.expr('r div 10') % 5).cast('string'))
+    c = r % 10
+    text = (
+        F.when(c == 0, F.concat(F.lit('Sorry,  this page was not found on '),
+                                hostname))
+        .when(c.isin(1, 3), F.concat(
+            F.lit('sorry, this page was not found on '), hostname))
+        .when(c == 2, F.concat(F.lit('SORRY, THIS PAGE WAS NOT FOUND ON '),
+                               F.upper(hostname)))
+        .when(c == 4, F.concat(F.lit('The error 404 history essay number '),
+                               r.cast('string')))
+        .when(c == 5, F.lit('Welcome to our homepage'))
+        .otherwise(F.concat(F.lit('Document body '), r.cast('string')))
+    )
+    corpus = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('r')).select(
+        F.concat(F.lit('http://'), hostname, F.lit('.example.com/p'),
+                 r.cast('string')).alias('url'),
+        hostname.alias('host'),
+        F.when(c == 3, F.lit(404)).otherwise(F.lit(200)).alias('status'),
+        text.alias('text'))
+    return soft404.soft404_flags(corpus, min_paths=3).select(
+        'url', 'host', F.col('status').cast('long').alias('status'), 'sig',
+        'template_paths', 'is_soft404')
+
+
+ORACLE_SOFT404_FLAGS = """
+WITH rr AS (SELECT CAST(doc_id AS BIGINT) AS r FROM documents),
+corpus AS (
+  SELECT 'http://h' || ((r // 10) % 5) || '.example.com/p' || r AS url,
+         'h' || ((r // 10) % 5) AS host,
+         CASE WHEN r % 10 = 3 THEN 404 ELSE 200 END AS status,
+         CASE
+           WHEN r % 10 = 0 THEN 'Sorry,  this page was not found on h'
+                                || ((r // 10) % 5)
+           WHEN r % 10 IN (1, 3) THEN 'sorry, this page was not found on h'
+                                || ((r // 10) % 5)
+           WHEN r % 10 = 2 THEN 'SORRY, THIS PAGE WAS NOT FOUND ON H'
+                                || ((r // 10) % 5)
+           WHEN r % 10 = 4 THEN 'The error 404 history essay number ' || r
+           WHEN r % 10 = 5 THEN 'Welcome to our homepage'
+           ELSE 'Document body ' || r
+         END AS text
+  FROM rr),
+pages AS (
+  SELECT url, host, status,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig,
+         regexp_matches(lower(text),
+           'page not found|page was not found|file not found|error 404'
+           || '|404 not found|does not exist|no longer available'
+           || '|页面不存在|introuvable')
+           AS err
+  FROM corpus),
+templates AS (
+  SELECT host, sig, COUNT(DISTINCT url) AS template_paths
+  FROM pages WHERE status = 200 AND err
+  GROUP BY host, sig HAVING COUNT(DISTINCT url) >= 3)
+SELECT p.url, p.host, CAST(p.status AS BIGINT) AS status, p.sig,
+       CAST(t.template_paths AS BIGINT) AS template_paths,
+       (p.status = 200 AND t.template_paths IS NOT NULL) AS is_soft404
+FROM pages p LEFT JOIN templates t ON p.host = t.host AND p.sig = t.sig
+"""
+
+
 def q_crawl_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous-hash crawler sharding (scheduling.crawler_shards):
     one synthetic host per documents row, assigned to 7 crawler
@@ -4045,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_dust_rules': q_url_dust_rules,
         'url_dust_strip': q_url_dust_strip,
         'mirror_hosts': q_mirror_hosts,
+        'soft404_flags': q_soft404_flags,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -4155,6 +4233,7 @@ def oracle_sql() -> dict[str, str]:
         'url_dust_rules': ORACLE_DUST_RULES,
         'url_dust_strip': ORACLE_DUST_STRIP,
         'mirror_hosts': ORACLE_MIRROR_HOSTS,
+        'soft404_flags': ORACLE_SOFT404_FLAGS,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
