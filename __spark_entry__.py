@@ -1323,6 +1323,80 @@ FROM fin GROUP BY redirect_status, hops
 """
 
 
+def q_url_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical folding (operators/canonicals.fold_canonicals)
+    over a deterministic synthetic declaration set: per doc_id d with
+    host c((d div 25) % 4) — 1-hop folds (d≡1 mod 5 → d-1), 2-hop
+    chains (d≡2 → d-1 → d-2), a planted 2-cycle (d≡16/21 mod 25, plus
+    the chains entering it → unresolved at max_hops=4), cross-host
+    hijack declarations (d≡3 mod 5 → x.test, DROPPED by the same-host
+    policy → self), self-declarations (d≡4 → self), and no declaration
+    (d≡0). DuckDB twin: recursive CTE over the same honored edge set."""
+    from scalpel_spark.operators import canonicals
+
+    d = F.col('d')
+    u = lambda c: F.concat(  # noqa: E731
+        F.lit('http://c'), (F.floor(c / 25).cast('long') % 4).cast('string'),
+        F.lit('.test/p/'), c.cast('long').cast('string'))
+    docs = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('d'))
+    canon = (
+        F.when(d % 25 == 16, u(d + 5))
+        .when(d % 25 == 21, u(d - 5))
+        .when((d % 5 == 1) | (d % 5 == 2), u(d - 1))
+        .when(d % 5 == 3, F.concat(F.lit('http://x.test/p/'),
+                                   d.cast('string')))
+        .when(d % 5 == 4, u(d))
+        .otherwise(F.lit(None).cast('string')))
+    pages = docs.select(u(d).alias('url'), canon.alias('canonical'))
+    out = canonicals.fold_canonicals(docs.select(u(d).alias('url')), pages,
+                                     max_hops=4)
+    return out.groupBy('canonical_status', 'hops').agg(
+        F.count('*').alias('n_urls'),
+        F.min('url').alias('min_url'),
+        F.min('canonical_url').alias('min_canonical'))
+
+
+# The honored edge set replicates the same-host policy's OUTCOME (the
+# d≡3-mod-5 x.test declarations are the only cross-host ones, and the
+# Spark side drops them via parse_url host equality): edges exist only
+# for d≡1/2 mod 5 (with the d≡16/21-mod-25 cycle override).
+ORACLE_REL_CANONICAL = """
+WITH RECURSIVE
+doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+u AS (SELECT d,
+             'http://c' || ((d // 25) % 4) || '.test/p/' || d AS url
+      FROM doc),
+e AS (SELECT 'http://c' || ((d // 25) % 4) || '.test/p/' || d AS src,
+             CASE
+               WHEN d % 25 = 16 THEN 'http://c' || (((d + 5) // 25) % 4)
+                                     || '.test/p/' || (d + 5)
+               WHEN d % 25 = 21 THEN 'http://c' || (((d - 5) // 25) % 4)
+                                     || '.test/p/' || (d - 5)
+               ELSE 'http://c' || (((d - 1) // 25) % 4)
+                    || '.test/p/' || (d - 1)
+             END AS dst
+      FROM doc
+      WHERE d % 25 IN (16, 21) OR d % 5 IN (1, 2)),
+walk(url, cur, hops) AS (
+  SELECT url, url, 0 FROM u
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+  WHERE w.hops < 4),
+last AS (SELECT url, arg_max(cur, hops) AS canonical_url, MAX(hops) AS hops
+         FROM walk GROUP BY url),
+fin AS (SELECT l.url, l.canonical_url, l.hops,
+               CASE WHEN EXISTS(SELECT 1 FROM e WHERE e.src = l.canonical_url)
+                      THEN 'unresolved'
+                    WHEN l.hops = 0 THEN 'self'
+                    ELSE 'folded' END AS canonical_status
+        FROM last l)
+SELECT canonical_status, hops, COUNT(*) AS n_urls,
+       MIN(url) AS min_url, MIN(canonical_url) AS min_canonical
+FROM fin GROUP BY canonical_status, hops
+"""
+
+
 def q_fetch_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The live-deployment fetch source (sources/fetcher.fetch_frontier):
     host-partitioned Arrow-batched mapInPandas with the deterministic
@@ -4123,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_dust_strip': q_url_dust_strip,
         'mirror_hosts': q_mirror_hosts,
         'soft404_flags': q_soft404_flags,
+        'url_rel_canonical': q_url_rel_canonical,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -4234,6 +4309,7 @@ def oracle_sql() -> dict[str, str]:
         'url_dust_strip': ORACLE_DUST_STRIP,
         'mirror_hosts': ORACLE_MIRROR_HOSTS,
         'soft404_flags': ORACLE_SOFT404_FLAGS,
+        'url_rel_canonical': ORACLE_REL_CANONICAL,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,
