@@ -3979,6 +3979,44 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_canonical_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlEngine(canonical_map=...) through the full engine: with a
+    resolved rel=canonical fold injected (print-view page → clean page),
+    the alias seed collapses into the canonical URL's frontier entry
+    before seen-keying and fetch; without the map, reference literal-URL
+    dedup keeps both and the alias lands unreachable. Deterministic
+    VALUES oracle (same structure as crawl_dust_alias — the two engine
+    knobs share the _canonicalized integration point)."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    seeds = ['http://quotes.com', 'http://quotes.com/print/home']
+    cmap = spark.createDataFrame(
+        [('http://quotes.com/print/home', 'http://quotes.com')],
+        'src STRING, dst STRING')
+    out = None
+    for with_map in (True, False):
+        cfg = CrawlConfig(link_rule='second_contains_page', max_waves=1)
+        res = CrawlEngine(
+            spark, golden_site(spark, 'http'), config=cfg,
+            canonical_map=cmap if with_map else None).run(seeds)
+        part = res.seen.select(
+            F.lit(with_map).alias('folded'), 'url', 'status',
+            F.col('priority').cast('long').alias('priority'))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CRAWL_CANONICAL_FOLD = """
+SELECT * FROM (VALUES
+  (TRUE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com', 'reachable', CAST(0 AS BIGINT)),
+  (FALSE, 'http://quotes.com/print/home', 'unreachable', CAST(1 AS BIGINT))
+) AS t(folded, url, status, priority)
+"""
+
+
 def q_spans_fingerprint_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document span-sequence fingerprint (operators/spans.py) over the
     reference's golden 3-page site — the north-rule invariant ("span-sequence
@@ -4198,6 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'mirror_hosts': q_mirror_hosts,
         'soft404_flags': q_soft404_flags,
         'url_rel_canonical': q_url_rel_canonical,
+        'crawl_canonical_fold': q_crawl_canonical_fold,
         'cdx_revisit_index': q_cdx_revisit_index,
         'feed_discovery': q_feed_discovery,
         'crawl_host_rank': q_crawl_host_rank,
@@ -4310,6 +4349,7 @@ def oracle_sql() -> dict[str, str]:
         'mirror_hosts': ORACLE_MIRROR_HOSTS,
         'soft404_flags': ORACLE_SOFT404_FLAGS,
         'url_rel_canonical': ORACLE_REL_CANONICAL,
+        'crawl_canonical_fold': ORACLE_CRAWL_CANONICAL_FOLD,
         'cdx_revisit_index': ORACLE_CDX_REVISIT,
         'feed_discovery': ORACLE_FEED_DISCOVERY,
         'crawl_host_rank': ORACLE_CRAWL_HOST_RANK,

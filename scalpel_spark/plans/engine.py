@@ -253,6 +253,7 @@ class CrawlEngine:
         sitemap_pages: Optional[DataFrame] = None,
         feed_pages: Optional[DataFrame] = None,
         dust_rules: Optional[DataFrame] = None,
+        canonical_map: Optional[DataFrame] = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -305,6 +306,14 @@ class CrawlEngine:
         # evidence, and it applies first so the generic canonical form
         # stays the last word on URL identity.
         self.dust_rules = dust_rules
+        # resolved rel=canonical folds (operators/canonicals.fold_canonicals
+        # output restricted to folded rows: src → canonical_url) — when
+        # injected, a frontier URL that some already-fetched page declared
+        # an alias of is rewritten to its stable canonical target BEFORE
+        # DUST/seen-keying. Exact-URL rewrites beat inferred rules, so the
+        # map applies first; the join side is host-bounded in practice and
+        # left to AQE (broadcast when small, shuffle join beyond).
+        self.canonical_map = canonical_map
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -339,9 +348,16 @@ class CrawlEngine:
         fragment drop, vectorized ``canonical_frontier_udf``) BEFORE any
         hashing/seen-keying — one URL identity per page. Identity
         passthrough when the flag is off (reference parity: dedup on the
-        literal URL string). Injected DUST rules apply first (host-
-        specific ignorable params mined from content evidence), so both
-        rewrites share this single integration point."""
+        literal URL string). Injected rewrites share this single
+        integration point, most-specific first: the exact-URL
+        rel=canonical map, then host-specific DUST rules, then the
+        generic canonical form as the last word on URL identity."""
+        if self.canonical_map is not None:
+            cm = self.canonical_map.select(
+                F.col('src').alias('_cm_src'), F.col('dst').alias('_cm_dst'))
+            df = (df.join(cm, F.col(col) == F.col('_cm_src'), 'left')
+                  .withColumn(col, F.coalesce('_cm_dst', F.col(col)))
+                  .drop('_cm_src', '_cm_dst'))
         if self.dust_rules is not None:
             from scalpel_spark.operators.dust import strip_params
 

@@ -75,3 +75,49 @@ def test_urls_without_page_rows_pass_through(spark):
                 urls=[('http://a/p',), ('http://a/new',)])
     assert out['http://a/new']['canonical_status'] == 'self'
     assert out['http://a/p']['canonical_url'] == 'http://a/q'
+
+
+# engine wiring: CrawlEngine(canonical_map=...)
+
+
+def _run_engine(spark, seeds, cmap):
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import golden_site
+
+    cfg = CrawlConfig(link_rule='second_contains_page', max_waves=1)
+    store = SnapshotStore(tempfile.mkdtemp(prefix='canon-engine-'))
+    return CrawlEngine(spark, golden_site(spark, 'http'), config=cfg,
+                       canonical_map=cmap, store=store).run(seeds)
+
+
+def test_engine_canonical_map_collapses_alias_seed(spark):
+    cmap = spark.createDataFrame(
+        [('http://quotes.com/print/home', 'http://quotes.com')],
+        'src STRING, dst STRING')
+    res = _run_engine(
+        spark, ['http://quotes.com', 'http://quotes.com/print/home'], cmap)
+    rows = {r['url']: r for r in res.seen.collect()}
+    assert 'http://quotes.com/print/home' not in rows
+    assert rows['http://quotes.com']['status'] == 'reachable'
+
+
+def test_engine_without_map_keeps_alias_unreachable(spark):
+    res = _run_engine(
+        spark, ['http://quotes.com', 'http://quotes.com/print/home'], None)
+    rows = {r['url']: r for r in res.seen.collect()}
+    assert rows['http://quotes.com/print/home']['status'] == 'unreachable'
+    assert rows['http://quotes.com']['status'] == 'reachable'
+
+
+def test_engine_map_is_fixed_point_on_unmapped_urls(spark):
+    # a map whose srcs never occur must not change the crawl at all
+    cmap = spark.createDataFrame(
+        [('http://elsewhere.com/x', 'http://elsewhere.com')],
+        'src STRING, dst STRING')
+    res = _run_engine(spark, ['http://quotes.com'], cmap)
+    rows = {r['url']: r for r in res.seen.collect()}
+    assert rows['http://quotes.com']['status'] == 'reachable'

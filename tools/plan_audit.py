@@ -35,6 +35,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_global_budget',
         'crawl_canonicalized_seen',
         'crawl_dust_alias',
+        'crawl_canonical_fold',
         'crawl_opic_adaptive',
         'crawl_retry_requeue', 'crawl_ip_politeness',
         'crawl_priority_global', 'crawl_host_budget_table',
