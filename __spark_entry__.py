@@ -4017,6 +4017,88 @@ SELECT * FROM (VALUES
 """
 
 
+def q_media_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing (multimodal.sniff_content_type)
+    over deterministic synthetic payloads: 12 header families (JPEG,
+    PNG, GIF87a/89a, RIFF→WEBP, RIFF→WAV, PDF, gzip, MP4 ftyp, ID3
+    MP3, '<!doctype' HTML, unknown) built as hex strings from doc_id
+    and unhexed into real binary. Spark sniffs the BYTES (hex of the
+    first 16), the DuckDB twin classifies the same hex string with an
+    independent CASE — so every prefix rule and both two-part probes
+    (RIFF tag at bytes 9-12, ftyp at 5-8) are oracle-checked."""
+    from scalpel_spark.operators.multimodal import sniff_content_type
+
+    d = F.col('d')
+    filler = F.upper(F.substring(F.md5(d.cast('string')), 1, 8))
+    hexpay = (
+        F.when(d % 12 == 0, F.concat(F.lit('FFD8FFE0'), filler))
+        .when(d % 12 == 1, F.concat(F.lit('89504E470D0A1A0A'), filler))
+        .when(d % 12 == 2, F.concat(F.lit('474946383761'), filler))
+        .when(d % 12 == 3, F.concat(F.lit('474946383961'), filler))
+        .when(d % 12 == 4, F.concat(F.lit('52494646'), filler,
+                                    F.lit('57454250')))
+        .when(d % 12 == 5, F.concat(F.lit('52494646'), filler,
+                                    F.lit('57415645')))
+        .when(d % 12 == 6, F.concat(F.lit('25504446'), filler))
+        .when(d % 12 == 7, F.concat(F.lit('1F8B08'), filler))
+        .when(d % 12 == 8, F.concat(F.lit('0000001866747970'), filler))
+        .when(d % 12 == 9, F.concat(F.lit('494433'), filler))
+        .when(d % 12 == 10, F.concat(F.lit('3C21646F63747970'), filler))
+        .otherwise(F.concat(F.lit('DEADBEEF'), filler)))
+    docs = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('d'))
+    out = docs.select(
+        d, sniff_content_type(F.unhex(hexpay)).alias('content_type'))
+    return out.groupBy('content_type').agg(
+        F.count('*').alias('n'), F.min('d').alias('min_d'))
+
+
+ORACLE_MEDIA_SNIFF = """
+WITH doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+p AS (SELECT d,
+  CASE
+    WHEN d % 12 = 0 THEN 'FFD8FFE0' || f
+    WHEN d % 12 = 1 THEN '89504E470D0A1A0A' || f
+    WHEN d % 12 = 2 THEN '474946383761' || f
+    WHEN d % 12 = 3 THEN '474946383961' || f
+    WHEN d % 12 = 4 THEN '52494646' || f || '57454250'
+    WHEN d % 12 = 5 THEN '52494646' || f || '57415645'
+    WHEN d % 12 = 6 THEN '25504446' || f
+    WHEN d % 12 = 7 THEN '1F8B08' || f
+    WHEN d % 12 = 8 THEN '0000001866747970' || f
+    WHEN d % 12 = 9 THEN '494433' || f
+    WHEN d % 12 = 10 THEN '3C21646F63747970' || f
+    ELSE 'DEADBEEF' || f
+  END AS hx
+  FROM (SELECT d, UPPER(SUBSTR(md5(CAST(d AS VARCHAR)), 1, 8)) AS f
+        FROM doc)),
+c AS (SELECT d, CASE
+    WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+    WHEN hx LIKE '89504E470D0A1A0A%' THEN 'image/png'
+    WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%'
+      THEN 'image/gif'
+    WHEN hx LIKE '25504446%' THEN 'application/pdf'
+    WHEN hx LIKE '1F8B%' THEN 'application/gzip'
+    WHEN hx LIKE '504B0304%' THEN 'application/zip'
+    WHEN hx LIKE '4F676753%' THEN 'audio/ogg'
+    WHEN hx LIKE '494433%' THEN 'audio/mpeg'
+    WHEN hx LIKE '1A45DFA3%' THEN 'video/webm'
+    WHEN hx LIKE '3C21%' OR hx LIKE '3C68746D6C%' THEN 'text/html'
+    WHEN hx LIKE '3C3F786D6C%' THEN 'application/xml'
+    WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '57454250'
+      THEN 'image/webp'
+    WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '57415645'
+      THEN 'audio/wav'
+    WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '41564920'
+      THEN 'video/avi'
+    WHEN SUBSTR(hx, 9, 8) = '66747970' THEN 'video/mp4'
+    ELSE 'application/octet-stream'
+  END AS content_type FROM p)
+SELECT content_type, COUNT(*) AS n, MIN(d) AS min_d
+FROM c GROUP BY content_type
+"""
+
+
 def q_spans_fingerprint_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document span-sequence fingerprint (operators/spans.py) over the
     reference's golden 3-page site — the north-rule invariant ("span-sequence
@@ -4263,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'spans_media_stats': q_spans_media_stats,
         'spans_parity_check': q_spans_parity_check,
         'media_frontier_dedup': q_media_frontier_dedup,
+        'media_sniff_types': q_media_sniff_types,
     }
 
 
@@ -4375,5 +4458,6 @@ def oracle_sql() -> dict[str, str]:
         'spans_media_stats': ORACLE_SPANS_STATS,
         'spans_parity_check': ORACLE_SPANS_PARITY,
         'media_frontier_dedup': ORACLE_MEDIA_FRONTIER,
+        'media_sniff_types': ORACLE_MEDIA_SNIFF,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }

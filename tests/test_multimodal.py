@@ -134,3 +134,40 @@ def test_media_frontier_dedup_and_host_parse(spark):
     seen = spark.createDataFrame([('img://hA/1',)], 'media_ref string')
     fresh = {r['media_ref'] for r in mm.media_frontier(docs, seen_media=seen).collect()}
     assert fresh == {'img://hB/2', 'img://hA/3'}
+
+
+def test_sniff_content_type_magic_bytes(spark):
+    """sniff_content_type: every prefix family, both two-part probes
+    (RIFF tag, ISO-BMFF ftyp), and the octet-stream fallback — built
+    from real byte literals, not hex strings."""
+    cases = [
+        (b'\xff\xd8\xff\xe0' + b'JFIF....', 'image/jpeg'),
+        (b'\x89PNG\r\n\x1a\n' + b'....', 'image/png'),
+        (b'GIF87a....', 'image/gif'),
+        (b'GIF89a....', 'image/gif'),
+        (b'%PDF-1.7\n', 'application/pdf'),
+        (b'\x1f\x8b\x08....', 'application/gzip'),
+        (b'PK\x03\x04....', 'application/zip'),
+        (b'OggS....', 'audio/ogg'),
+        (b'ID3\x04....', 'audio/mpeg'),
+        (b'\x1a\x45\xdf\xa3....', 'video/webm'),
+        (b'<!doctype html>', 'text/html'),
+        (b'<html><body>', 'text/html'),
+        (b'<?xml version="1.0"?>', 'application/xml'),
+        (b'RIFF\x00\x00\x00\x00WEBPVP8 ', 'image/webp'),
+        (b'RIFF\x00\x00\x00\x00WAVEfmt ', 'audio/wav'),
+        (b'RIFF\x00\x00\x00\x00AVI LIST', 'video/avi'),
+        (b'\x00\x00\x00\x18ftypisom', 'video/mp4'),
+        # RIFF with an unknown tag falls through to octet-stream
+        (b'RIFF\x00\x00\x00\x00XXXX....', 'application/octet-stream'),
+        (b'random body text', 'application/octet-stream'),
+        (b'', 'application/octet-stream'),
+    ]
+    df = spark.createDataFrame(
+        [(i, payload) for i, (payload, _) in enumerate(cases)],
+        'i int, payload binary')
+    got = {r['i']: r['ct']
+           for r in df.select('i', mm.sniff_content_type(
+               F.col('payload')).alias('ct')).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
