@@ -2423,6 +2423,93 @@ FROM agg
 """
 
 
+def q_conditional_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-revisit planning (scheduling.conditional_fetch_plan)
+    over a deterministic synthetic 3-wave capture history built from
+    documents: content versions bump at wave w when (d+w) % 3 == 0,
+    ETags exist where d % 3 != 0, Last-Modified where d % 2 == 0 — so
+    the output exercises all three fetch modes, the RFC 9110 validator
+    precedence, and the per-host Laplace-smoothed 304-rate arithmetic,
+    each recomputed independently by the DuckDB twin."""
+    from scalpel_spark.operators.scheduling import conditional_fetch_plan
+
+    d = F.col('d')
+    w = F.col('wave')
+    c1 = F.when((d + 1) % 3 == 0, 1).otherwise(0)
+    c2 = F.when((d + 2) % 3 == 0, 1).otherwise(0)
+    v = (F.when(w >= 1, c1).otherwise(0)
+         + F.when(w >= 2, c2).otherwise(0)).cast('long')
+    hist = (
+        _t(spark, sf_dir, 'documents')
+        .select(F.col('doc_id').cast('long').alias('d'))
+        .select(d, F.explode(F.sequence(F.lit(0), F.lit(2))).alias('wave'))
+        .select(
+            F.concat(F.lit('http://h'), (d % 7).cast('string'),
+                     F.lit('.test/p'), d.cast('string')).alias('url'),
+            F.concat(F.lit('h'), (d % 7).cast('string')).alias('host'),
+            w.alias('wave'),
+            F.concat(F.lit('c'), d.cast('string'), F.lit(':'),
+                     v.cast('string')).alias('content_hash'),
+            F.when(d % 3 != 0,
+                   F.concat(F.lit('e'), d.cast('string'), F.lit('-'),
+                            v.cast('string'))).alias('etag'),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit('lm'), d.cast('string'), F.lit('-'),
+                            v.cast('string'))).alias('last_modified'),
+        ))
+    out = conditional_fetch_plan(hist)
+    # NULL validators -> '' at the comparison boundary only (sorting
+    # mixed None/str rows is undefined); the operator API keeps NULLs.
+    return out.withColumn('etag', F.coalesce('etag', F.lit(''))) \
+              .withColumn('last_modified', F.coalesce('last_modified', F.lit('')))
+
+
+ORACLE_CONDITIONAL_FETCH = """
+WITH doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+hist AS (
+  SELECT 'http://h' || CAST(d % 7 AS VARCHAR) || '.test/p'
+           || CAST(d AS VARCHAR) AS url,
+         'h' || CAST(d % 7 AS VARCHAR) AS host,
+         w.wave,
+         (CASE WHEN w.wave >= 1 AND (d + 1) % 3 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN w.wave >= 2 AND (d + 2) % 3 = 0 THEN 1 ELSE 0 END) AS v,
+         d
+  FROM doc CROSS JOIN (SELECT unnest([0, 1, 2]) AS wave) w),
+obs AS (
+  SELECT url, host, wave,
+         CASE WHEN d % 3 != 0
+              THEN 'e' || CAST(d AS VARCHAR) || '-' || CAST(v AS VARCHAR)
+              END AS etag,
+         CASE WHEN d % 2 = 0
+              THEN 'lm' || CAST(d AS VARCHAR) || '-' || CAST(v AS VARCHAR)
+              END AS last_modified,
+         CASE WHEN lag(v) OVER (PARTITION BY url ORDER BY wave) IS NULL
+              THEN NULL
+              WHEN v = lag(v) OVER (PARTITION BY url ORDER BY wave) THEN 1
+              ELSE 0 END AS unchanged
+  FROM hist),
+last AS (
+  SELECT url, host, CAST(wave AS BIGINT) AS last_wave, etag, last_modified,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY wave DESC) AS rn
+  FROM obs),
+rates AS (
+  SELECT host,
+         CAST(COUNT(unchanged) AS BIGINT) AS host_pairs,
+         CAST(COALESCE(SUM(unchanged), 0) AS BIGINT) AS host_unchanged
+  FROM obs GROUP BY host)
+SELECT l.url, l.host, l.last_wave,
+       CASE WHEN l.etag IS NOT NULL THEN 'conditional_etag'
+            WHEN l.last_modified IS NOT NULL THEN 'conditional_ims'
+            ELSE 'full' END AS fetch_mode,
+       COALESCE(l.etag, '') AS etag,
+       COALESCE(l.last_modified, '') AS last_modified,
+       r.host_pairs, r.host_unchanged,
+       CAST(((r.host_unchanged + 1) * 1000000) // (r.host_pairs + 2)
+            AS BIGINT) AS expected_304_ppm
+FROM last l JOIN rates r USING (host) WHERE l.rn = 1
+"""
+
+
 def q_adaptive_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-rate budget backoff over a deterministic synthetic fetch log
     derived from orders (both engines rebuild the same (host, status)
@@ -4326,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_trap_scores': q_url_trap_scores,
         'plan_host_budgets': q_plan_host_budgets,
         'adaptive_backoff': q_adaptive_backoff,
+        'conditional_fetch_plan': q_conditional_fetch_plan,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -4440,6 +4528,7 @@ def oracle_sql() -> dict[str, str]:
         'url_trap_scores': ORACLE_URL_TRAPS,
         'plan_host_budgets': ORACLE_PLAN_BUDGETS,
         'adaptive_backoff': ORACLE_ADAPTIVE_BACKOFF,
+        'conditional_fetch_plan': ORACLE_CONDITIONAL_FETCH,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,

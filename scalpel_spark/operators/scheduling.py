@@ -275,3 +275,74 @@ def crawler_shards(hosts: DataFrame, n_shards: int, host_col: str = 'host',
         .groupBy('host').agg(F.max('sc').alias('m'))
         .select('host', F.col('m.shard').alias('shard'))
     )
+
+
+def conditional_fetch_plan(history: DataFrame) -> DataFrame:
+    """Plan the next revisit of each URL as a conditional or full fetch —
+    the HTTP cache-validator loop (RFC 9110 §13) the reference never
+    reaches because it refetches everything unconditionally
+    (``any_io/static_spider.py`` ``_fetch``): a revisit that sends
+    ``If-None-Match``/``If-Modified-Since`` costs a 304 with no payload
+    when the page is unchanged, which at web scale is most fetches.
+
+    ``history`` is the capture log: one row per (url, host, wave,
+    content_hash, etag, last_modified) fetch, validators nullable (and
+    ``''`` treated as absent — an empty ETag is not a validator). Per
+    URL the LAST capture (max wave) decides the mode, with the RFC 9110
+    §13.1.3 precedence — a server that gave an ETag gets
+    ``If-None-Match``, not both:
+
+        conditional_etag   last capture has an ETag
+        conditional_ims    no ETag but a Last-Modified
+        full               no validator ever sent
+
+    The payoff estimate is per host (per-URL histories are short):
+    across consecutive same-URL capture pairs, the fraction whose
+    content_hash held, Laplace-smoothed so one-capture hosts predict
+    50/50 instead of 0/0 —
+
+        expected_304_ppm = 1e6 * (n_unchanged + 1) div (n_pairs + 2)
+
+    integer-exact, reproducible on any partitioning. Scale shape: one
+    per-URL lag window (parallel across URLs) + one max_by groupBy(url)
+    + one groupBy(host) whose host-sized result joins back broadcast —
+    document payloads never move.
+
+    Returns (url, host, last_wave, fetch_mode, etag, last_modified,
+    host_pairs, host_unchanged, expected_304_ppm).
+    """
+    w = Window.partitionBy('url').orderBy('wave')
+    prev = F.lag('content_hash').over(w)
+    obs = history.select(
+        'url', 'host', 'wave',
+        F.nullif(F.col('etag'), F.lit('')).alias('etag'),
+        F.nullif(F.col('last_modified'), F.lit('')).alias('last_modified'),
+        F.when(prev.isNull(), None)
+        .when(F.col('content_hash') == prev, 1).otherwise(0)
+        .alias('unchanged'),
+    )
+    # last capture per URL: row_number over the SAME (url, wave) sort the
+    # lag window uses — one shuffle serves both. Not max_by: the last
+    # capture's validator may be NULL and must stay NULL (max_by-style
+    # aggregates skip nulls, which would leak a stale ETag forward).
+    wl = Window.partitionBy('url').orderBy(F.desc('wave'))
+    last = (obs.withColumn('_rn', F.row_number().over(wl))
+            .filter(F.col('_rn') == 1)
+            .select('url', 'host', F.col('wave').cast('long').alias('last_wave'),
+                    'etag', 'last_modified'))
+    rates = obs.groupBy('host').agg(
+        F.count('unchanged').cast('long').alias('host_pairs'),
+        F.coalesce(F.sum('unchanged'), F.lit(0)).cast('long')
+        .alias('host_unchanged'),
+    ).withColumn(
+        'expected_304_ppm',
+        F.expr('((host_unchanged + 1) * 1000000) div (host_pairs + 2)')
+        .cast('long'))
+    mode = (
+        F.when(F.col('etag').isNotNull(), 'conditional_etag')
+        .when(F.col('last_modified').isNotNull(), 'conditional_ims')
+        .otherwise('full'))
+    return (last.join(F.broadcast(rates), 'host')
+            .select('url', 'host', 'last_wave', mode.alias('fetch_mode'),
+                    'etag', 'last_modified', 'host_pairs',
+                    'host_unchanged', 'expected_304_ppm'))

@@ -236,3 +236,57 @@ def test_crawler_shards_plan_stays_jvm(spark):
     plan = scheduling.crawler_shards(_hostdf(spark, 4), 3)._jdf \
         .queryExecution().executedPlan().toString()
     assert 'Python' not in plan and 'BatchEvalPython' not in plan
+
+
+HIST_SCHEMA = ('url STRING, host STRING, wave INT, content_hash STRING, '
+               'etag STRING, last_modified STRING')
+
+
+def test_conditional_fetch_plan_validator_precedence(spark):
+    """ETag wins over Last-Modified (RFC 9110 13.1.3); the LAST capture's
+    validators decide — a stale ETag from an earlier capture must not
+    leak forward; '' counts as absent."""
+    hist = spark.createDataFrame([
+        # u1: last capture has both -> conditional_etag
+        ('u1', 'h1', 0, 'A', None, None),
+        ('u1', 'h1', 1, 'A', 'e1', 'Mon'),
+        # u2: last capture only Last-Modified -> conditional_ims
+        ('u2', 'h1', 0, 'B', 'e0', None),
+        ('u2', 'h1', 1, 'B', None, 'Tue'),
+        # u3: never any validator -> full
+        ('u3', 'h1', 0, 'C', None, None),
+        # u4: empty-string validators are absent -> full
+        ('u4', 'h1', 0, 'D', '', ''),
+    ], HIST_SCHEMA)
+    out = {r['url']: r for r in
+           scheduling.conditional_fetch_plan(hist).collect()}
+    assert out['u1']['fetch_mode'] == 'conditional_etag'
+    assert out['u1']['etag'] == 'e1'
+    assert out['u2']['fetch_mode'] == 'conditional_ims'
+    assert out['u2']['etag'] is None      # stale e0 must not leak forward
+    assert out['u2']['last_modified'] == 'Tue'
+    assert out['u3']['fetch_mode'] == 'full'
+    assert out['u4']['fetch_mode'] == 'full'
+    assert out['u1']['last_wave'] == 1
+
+
+def test_conditional_fetch_plan_expected_304_rate(spark):
+    """Per-host Laplace-smoothed unchanged rate over consecutive pairs:
+    h1 has 3 pairs / 2 unchanged -> (2+1)/(3+2); a single-capture host
+    has 0 pairs -> 1/2 exactly."""
+    hist = spark.createDataFrame([
+        ('u1', 'h1', 0, 'A', None, None),
+        ('u1', 'h1', 1, 'A', None, None),   # unchanged
+        ('u1', 'h1', 2, 'B', None, None),   # changed
+        ('u2', 'h1', 0, 'X', None, None),
+        ('u2', 'h1', 1, 'X', None, None),   # unchanged
+        ('u3', 'h2', 0, 'Z', None, None),   # no pairs on h2
+    ], HIST_SCHEMA)
+    out = {r['url']: r for r in
+           scheduling.conditional_fetch_plan(hist).collect()}
+    assert out['u1']['host_pairs'] == 3
+    assert out['u1']['host_unchanged'] == 2
+    assert out['u1']['expected_304_ppm'] == (3 * 1_000_000) // 5
+    assert out['u2']['expected_304_ppm'] == out['u1']['expected_304_ppm']
+    assert out['u3']['host_pairs'] == 0
+    assert out['u3']['expected_304_ppm'] == 500_000
