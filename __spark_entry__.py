@@ -4186,6 +4186,72 @@ FROM c GROUP BY content_type
 """
 
 
+def q_media_sniff_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing (multimodal.sniff_charset) over deterministic
+    synthetic payloads crossing 6 BOM states (none / UTF-8 / UTF-16
+    both endians / UTF-32 both endians) with 4 body families (meta
+    charset, http-equiv charset, plain ASCII, high-byte latin-1).
+    Spark sniffs real BYTES (BOM hex + latin-1-encoded body); the
+    DuckDB twin re-derives the verdict from the same body STRING with
+    its own regex/ASCII checks and the BOM rule — so the precedence
+    ladder, both meta forms, and the windows-1252 default are all
+    oracle-checked."""
+    from scalpel_spark.operators.multimodal import sniff_charset
+
+    d = F.col('d')
+    filler = F.substring(F.md5(d.cast('string')), 1, 8)
+    html = (
+        F.when(d % 4 == 0,
+               F.concat(F.lit('<meta charset="shift_jis"><p>'), filler))
+        .when(d % 4 == 1,
+              F.concat(F.lit('<meta http-equiv="content-type" '
+                             'content="text/html; charset=ISO-8859-2"><p>'),
+                       filler))
+        .when(d % 4 == 2, F.concat(F.lit('<p>plain '), filler))
+        .otherwise(F.concat(F.lit('café '), filler)))
+    bom = (
+        F.when(d % 6 == 1, 'EFBBBF')
+        .when(d % 6 == 2, 'FEFF')
+        .when(d % 6 == 3, 'FFFE')
+        .when(d % 6 == 4, '0000FEFF')
+        .when(d % 6 == 5, 'FFFE0000')
+        .otherwise(''))
+    payload = F.unhex(F.concat(bom, F.hex(F.encode(html, 'ISO-8859-1'))))
+    docs = _t(spark, sf_dir, 'documents').select(
+        F.col('doc_id').cast('long').alias('d'))
+    out = docs.select(d, sniff_charset(payload).alias('charset'))
+    return out.groupBy('charset').agg(
+        F.count('*').alias('n'), F.min('d').alias('min_d'))
+
+
+ORACLE_MEDIA_CHARSET = """
+WITH doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+p AS (SELECT d, d % 6 AS bom,
+  CASE
+    WHEN d % 4 = 0 THEN '<meta charset="shift_jis"><p>' || f
+    WHEN d % 4 = 1 THEN '<meta http-equiv="content-type" '
+      || 'content="text/html; charset=ISO-8859-2"><p>' || f
+    WHEN d % 4 = 2 THEN '<p>plain ' || f
+    ELSE 'café ' || f
+  END AS html
+  FROM (SELECT d, SUBSTR(md5(CAST(d AS VARCHAR)), 1, 8) AS f FROM doc)),
+c AS (SELECT d, CASE
+    WHEN bom = 1 THEN 'utf-8'
+    WHEN bom = 2 THEN 'utf-16be'
+    WHEN bom = 3 THEN 'utf-16le'
+    WHEN bom = 4 THEN 'utf-32be'
+    WHEN bom = 5 THEN 'utf-32le'
+    WHEN regexp_extract(lower(html),
+        'charset\\s*=\\s*["'']?([a-z0-9_\\-]+)', 1) != ''
+      THEN regexp_extract(lower(html),
+        'charset\\s*=\\s*["'']?([a-z0-9_\\-]+)', 1)
+    WHEN regexp_matches(html, '^[\\x01-\\x7f]*$') THEN 'ascii'
+    ELSE 'windows-1252'
+  END AS charset FROM p)
+SELECT charset, COUNT(*) AS n, MIN(d) AS min_d FROM c GROUP BY charset
+"""
+
+
 def q_spans_fingerprint_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document span-sequence fingerprint (operators/spans.py) over the
     reference's golden 3-page site — the north-rule invariant ("span-sequence
@@ -4434,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'spans_parity_check': q_spans_parity_check,
         'media_frontier_dedup': q_media_frontier_dedup,
         'media_sniff_types': q_media_sniff_types,
+        'media_sniff_charset': q_media_sniff_charset,
     }
 
 
@@ -4548,5 +4615,6 @@ def oracle_sql() -> dict[str, str]:
         'spans_parity_check': ORACLE_SPANS_PARITY,
         'media_frontier_dedup': ORACLE_MEDIA_FRONTIER,
         'media_sniff_types': ORACLE_MEDIA_SNIFF,
+        'media_sniff_charset': ORACLE_MEDIA_CHARSET,
         # crawl_synthetic_politeness: iterative wave loop — rows-only check
     }

@@ -258,3 +258,53 @@ def sniff_content_type(payload: Column) -> Column:
     out = out.when(F.substring(hx, 9, 8) == '66747970',  # 'ftyp' @ bytes 5-8
                    F.lit('video/mp4'))
     return out.otherwise(F.lit('application/octet-stream'))
+
+
+# -- charset sniffing (BOM + meta prescan) ------------------------------------
+
+# (uppercase-hex BOM, charset). Longest first: UTF-32 BOMs contain the
+# UTF-16 ones as prefixes and must win.
+BOM_PREFIXES = (
+    ('0000FEFF', 'utf-32be'),
+    ('FFFE0000', 'utf-32le'),
+    ('EFBBBF', 'utf-8'),
+    ('FEFF', 'utf-16be'),
+    ('FFFE', 'utf-16le'),
+)
+
+
+def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
+    """Guess a text payload's encoding the way browsers do (WHATWG
+    encoding sniffing, batch analog) — the reference decodes with
+    whatever httpx picked from the header, which at web scale is wrong
+    or missing for a long tail of pages. Precedence:
+
+    1. byte-order mark (UTF-32 before UTF-16 — prefix containment);
+    2. ``<meta charset=...>`` / ``http-equiv`` form inside the first
+       1024 bytes (the WHATWG prescan window), matched case-insensitively
+       on a latin-1 view of the prefix (latin-1 is total on bytes, so
+       the prescan never throws);
+    3. the server-declared charset (optional ``declared`` column), which
+       real sniffers trust only below in-band evidence;
+    4. pure-ASCII prescan window → ``ascii``;
+    5. otherwise ``windows-1252`` — the WHATWG default.
+
+    Pure JVM column algebra (hex prefix tests + one decode + one regexp)
+    — no UDF, whole-stage codegen. The ASCII test inspects the prescan
+    window, not the full payload — same trade every streaming sniffer
+    makes; treat ``ascii`` as "ascii so far".
+    """
+    hx = F.hex(F.substring(payload, 1, 4))
+    out = None
+    for bom, cs in BOM_PREFIXES:
+        cond = hx.startswith(bom)
+        out = F.when(cond, F.lit(cs)) if out is None else out.when(cond, F.lit(cs))
+    prescan = F.lower(F.decode(F.substring(payload, 1, 1024), 'ISO-8859-1'))
+    meta = F.regexp_extract(
+        prescan, r'charset\s*=\s*["\']?([a-z0-9_\-]+)', 1)
+    out = out.when(meta != '', meta)
+    if declared is not None:
+        d = F.lower(F.trim(declared))
+        out = out.when(d.isNotNull() & (d != ''), d)
+    out = out.when(prescan.rlike('^[\\x01-\\x7f]*$'), F.lit('ascii'))
+    return out.otherwise(F.lit('windows-1252'))

@@ -171,3 +171,45 @@ def test_sniff_content_type_magic_bytes(spark):
                F.col('payload')).alias('ct')).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i][0], got[i], want)
+
+
+def test_sniff_charset_precedence_ladder(spark):
+    """BOM > meta prescan > declared header > ascii > windows-1252;
+    UTF-32 BOMs beat their UTF-16 prefixes."""
+    cases = [
+        # (payload, declared, want)
+        (b'\x00\x00\xfe\xffXX', None, 'utf-32be'),
+        (b'\xff\xfe\x00\x00XX', None, 'utf-32le'),
+        (b'\xef\xbb\xbfhello', None, 'utf-8'),
+        (b'\xfe\xffhi', None, 'utf-16be'),
+        (b'\xff\xfeh\x00i\x00', None, 'utf-16le'),
+        # BOM beats meta AND declared
+        (b'\xef\xbb\xbf<meta charset="shift_jis">', 'koi8-r', 'utf-8'),
+        # meta prescan, both forms, case-insensitive, quotes optional
+        (b'<meta charset="Shift_JIS">', None, 'shift_jis'),
+        (b"<META CHARSET='EUC-KR'>", None, 'euc-kr'),
+        (b'<meta http-equiv="Content-Type" '
+         b'content="text/html; charset=ISO-8859-2">', None, 'iso-8859-2'),
+        (b'<meta charset=utf-8>', None, 'utf-8'),
+        # meta beats declared
+        (b'<meta charset="big5">x', 'utf-8', 'big5'),
+        # declared beats the ascii fallback
+        (b'plain ascii body', 'KOI8-R ', 'koi8-r'),
+        # ascii fallback when nothing declared
+        (b'plain ascii body', None, 'ascii'),
+        (b'', None, 'ascii'),
+        # high bytes, no evidence -> WHATWG default
+        (b'caf\xe9 body', None, 'windows-1252'),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, d) for i, (p, d, _) in enumerate(cases)],
+        'i int, payload binary, declared string')
+    got = {r['i']: r['cs'] for r in df.select(
+        'i', mm.sniff_charset(F.col('payload'), F.col('declared'))
+        .alias('cs')).collect()}
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i][0], got[i], want)
+    # without the declared column, declared rows fall through to ascii
+    got2 = {r['i']: r['cs'] for r in df.select(
+        'i', mm.sniff_charset(F.col('payload')).alias('cs')).collect()}
+    assert got2[11] == 'ascii'
