@@ -2423,6 +2423,52 @@ FROM agg
 """
 
 
+def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven incremental recrawl (sitemap.sitemap_delta): both
+    engines synthesize the same entry list (lastmod day = doc_id % 28
+    + 1 for every 3rd doc) and capture table (every 2nd doc captured
+    at 2026-01-15), so all four actions appear and the lexicographic
+    W3C comparison, max-lastmod dup collapse, and left-join semantics
+    are pinned by the DuckDB twin."""
+    from scalpel_spark.operators.sitemap import sitemap_delta
+
+    docs = _t(spark, sf_dir, 'documents')
+    did = F.col('doc_id').cast('long')
+    u = F.concat(F.lit('https://'), F.col('source'),
+                 F.lit('.example.com/doc/'), F.col('doc_id').cast('string'))
+    entries = docs.select(
+        u.alias('loc'),
+        F.when(did % 3 == 0,
+               F.concat(F.lit('2026-01-'),
+                        F.lpad((did % 28 + 1).cast('string'), 2, '0')))
+        .otherwise(F.lit('')).alias('lastmod'))
+    captures = docs.filter(did % 2 == 0).select(
+        u.alias('url'), F.lit('2026-01-15').alias('last_capture'))
+    return sitemap_delta(entries, captures)
+
+
+ORACLE_SITEMAP_DELTA = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS did,
+                  'https://' || source || '.example.com/doc/' || doc_id AS u
+           FROM documents),
+e AS (SELECT u AS loc,
+             CASE WHEN did % 3 = 0
+                  THEN '2026-01-' || lpad(CAST(did % 28 + 1 AS VARCHAR), 2, '0')
+                  ELSE '' END AS lastmod
+      FROM d),
+g AS (SELECT loc, MAX(lastmod) AS lastmod FROM e GROUP BY loc),
+caps AS (SELECT u AS url, '2026-01-15' AS last_capture FROM d
+         WHERE did % 2 = 0)
+SELECT g.loc, g.lastmod,
+       COALESCE(c.last_capture, '') AS last_capture,
+       CASE WHEN c.url IS NULL THEN 'new'
+            WHEN g.lastmod = '' THEN 'unknown'
+            WHEN g.lastmod > c.last_capture THEN 'refetch'
+            ELSE 'skip' END AS action
+FROM g LEFT JOIN caps c ON g.loc = c.url
+"""
+
+
 def q_conditional_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional-revisit planning (scheduling.conditional_fetch_plan)
     over a deterministic synthetic 3-wave capture history built from
@@ -4480,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'plan_host_budgets': q_plan_host_budgets,
         'adaptive_backoff': q_adaptive_backoff,
         'conditional_fetch_plan': q_conditional_fetch_plan,
+        'sitemap_delta': q_sitemap_delta,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -4596,6 +4643,7 @@ def oracle_sql() -> dict[str, str]:
         'plan_host_budgets': ORACLE_PLAN_BUDGETS,
         'adaptive_backoff': ORACLE_ADAPTIVE_BACKOFF,
         'conditional_fetch_plan': ORACLE_CONDITIONAL_FETCH,
+        'sitemap_delta': ORACLE_SITEMAP_DELTA,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,

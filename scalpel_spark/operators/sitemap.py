@@ -92,3 +92,47 @@ def robots_sitemap_urls(robots: DataFrame, host_col: str = 'host',
         F.col(host_col).alias('host'),
         F.posexplode(urls).alias('pos', 'sitemap_url'),
     ).select('host', F.col('pos').cast('long').alias('pos'), 'sitemap_url')
+
+
+def sitemap_delta(entries: DataFrame, captures: DataFrame,
+                  loc_col: str = 'loc', lastmod_col: str = 'lastmod',
+                  url_col: str = 'url',
+                  capture_col: str = 'last_capture') -> DataFrame:
+    """Sitemap-driven incremental recrawl: classify each sitemap loc
+    against the capture history so the next wave fetches only what the
+    site itself says changed — the loop ``<lastmod>`` exists for, and
+    the companion of :func:`~scalpel_spark.operators.scheduling.
+    conditional_fetch_plan` (validators decide HOW to refetch; lastmod
+    decides WHETHER).
+
+        new      never captured
+        refetch  lastmod present and after the last capture
+        skip     lastmod present and not after it
+        unknown  captured but the sitemap gives no lastmod — fall back
+                 to change_rates / conditional fetch
+
+    Timestamps compare as strings: W3C datetimes (the sitemaps-protocol
+    format) sort lexicographically in UTC, so no timezone-parsing
+    ambiguity can desync engines. ``captures`` must be unique per URL
+    (the seen table is); duplicate locs across sitemaps collapse to
+    their max lastmod first (any sitemap claiming newer content wins) —
+    one sitemap-sized groupBy, then one equi-join against the capture
+    table (entries are the small side at corpus scale; AQE broadcasts).
+
+    Returns (loc, lastmod, last_capture, action), lastmod/last_capture
+    '' when absent.
+    """
+    e = entries.groupBy(F.col(loc_col).alias('loc')).agg(
+        F.max(F.coalesce(F.col(lastmod_col), F.lit(''))).alias('lastmod'))
+    c = captures.select(F.col(url_col).alias('loc'),
+                        F.col(capture_col).alias('last_capture'))
+    j = e.join(c, 'loc', 'left')
+    action = (
+        F.when(F.col('last_capture').isNull(), 'new')
+        .when(F.col('lastmod') == '', 'unknown')
+        .when(F.col('lastmod') > F.col('last_capture'), 'refetch')
+        .otherwise('skip'))
+    return j.select(
+        'loc', 'lastmod',
+        F.coalesce('last_capture', F.lit('')).alias('last_capture'),
+        action.alias('action'))

@@ -92,3 +92,37 @@ def test_sitemap_entries_plan_is_map_side(spark):
     plan = sitemap.sitemap_entries(_pages(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'Exchange' not in plan  # pure narrow pass, no shuffle
+
+
+def test_sitemap_delta_actions(spark):
+    """new / refetch / skip / unknown classification; duplicate locs
+    collapse to max lastmod; boundary equality is skip (not after)."""
+    from scalpel_spark.operators.sitemap import sitemap_delta
+
+    entries = spark.createDataFrame([
+        ('https://a/new', '2026-01-10'),
+        ('https://a/changed', '2026-01-20'),
+        ('https://a/same', '2026-01-15'),      # == capture -> skip
+        ('https://a/old', '2026-01-01'),
+        ('https://a/nolastmod', ''),
+        # duplicate loc across sitemaps: max lastmod wins -> refetch
+        ('https://a/dup', '2026-01-01'),
+        ('https://a/dup', '2026-01-30'),
+    ], 'loc string, lastmod string')
+    captures = spark.createDataFrame([
+        ('https://a/changed', '2026-01-15'),
+        ('https://a/same', '2026-01-15'),
+        ('https://a/old', '2026-01-15'),
+        ('https://a/nolastmod', '2026-01-15'),
+        ('https://a/dup', '2026-01-15'),
+    ], 'url string, last_capture string')
+    out = {r['loc']: r for r in sitemap_delta(entries, captures).collect()}
+    assert len(out) == 6
+    assert out['https://a/new']['action'] == 'new'
+    assert out['https://a/new']['last_capture'] == ''
+    assert out['https://a/changed']['action'] == 'refetch'
+    assert out['https://a/same']['action'] == 'skip'
+    assert out['https://a/old']['action'] == 'skip'
+    assert out['https://a/nolastmod']['action'] == 'unknown'
+    assert out['https://a/dup']['action'] == 'refetch'
+    assert out['https://a/dup']['lastmod'] == '2026-01-30'
