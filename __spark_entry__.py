@@ -2423,6 +2423,59 @@ FROM agg
 """
 
 
+def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-Robots-Tag directive flags (directives.robots_directives) over
+    8 deterministic tag families covering every semantic branch:
+    unrestricted ('', 'all'), each directive alone (mixed case), 'none'
+    implication, multi-token lists with stray spaces, and the
+    free-text-colon trap (unavailable_after) that a substring match
+    would false-positive on. DuckDB recomputes the same token-boundary
+    regexes independently."""
+    from scalpel_spark.operators.directives import robots_directives
+
+    d = F.col('d')
+    tag = (
+        F.when(d % 8 == 0, F.lit(''))
+        .when(d % 8 == 1, F.lit('noindex'))
+        .when(d % 8 == 2, F.lit('NOFOLLOW'))
+        .when(d % 8 == 3, F.lit('none'))
+        .when(d % 8 == 4, F.lit('noindex, nofollow'))
+        .when(d % 8 == 5, F.lit('noarchive ,noindex'))
+        .when(d % 8 == 6, F.lit('unavailable_after: 25 Jun 2027'))
+        .otherwise(F.lit('all')))
+    pages = (_t(spark, sf_dir, 'documents')
+             .select(F.col('doc_id').cast('long').alias('d'))
+             .select(F.concat(F.lit('https://x.test/p'), d.cast('string'))
+                     .alias('url'), d.alias('d'), tag.alias('robots_tag')))
+    flags = robots_directives(pages).join(pages.select('url', 'd'), 'url')
+    return flags.groupBy('noindex', 'nofollow', 'noarchive').agg(
+        F.count('*').alias('n'), F.min('d').alias('min_d'))
+
+
+ORACLE_ROBOTS_DIRECTIVES = """
+WITH doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+p AS (SELECT d, CASE
+    WHEN d % 8 = 0 THEN ''
+    WHEN d % 8 = 1 THEN 'noindex'
+    WHEN d % 8 = 2 THEN 'NOFOLLOW'
+    WHEN d % 8 = 3 THEN 'none'
+    WHEN d % 8 = 4 THEN 'noindex, nofollow'
+    WHEN d % 8 = 5 THEN 'noarchive ,noindex'
+    WHEN d % 8 = 6 THEN 'unavailable_after: 25 Jun 2027'
+    ELSE 'all' END AS tag
+  FROM doc),
+f AS (SELECT d,
+  regexp_matches(tag, '(?i)(?:^|,)\\s*noindex\\s*(?:,|$)')
+    OR regexp_matches(tag, '(?i)(?:^|,)\\s*none\\s*(?:,|$)') AS noindex,
+  regexp_matches(tag, '(?i)(?:^|,)\\s*nofollow\\s*(?:,|$)')
+    OR regexp_matches(tag, '(?i)(?:^|,)\\s*none\\s*(?:,|$)') AS nofollow,
+  regexp_matches(tag, '(?i)(?:^|,)\\s*noarchive\\s*(?:,|$)') AS noarchive
+  FROM p)
+SELECT noindex, nofollow, noarchive, COUNT(*) AS n, MIN(d) AS min_d
+FROM f GROUP BY noindex, nofollow, noarchive
+"""
+
+
 def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven incremental recrawl (sitemap.sitemap_delta): both
     engines synthesize the same entry list (lastmod day = doc_id % 28
@@ -4527,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'adaptive_backoff': q_adaptive_backoff,
         'conditional_fetch_plan': q_conditional_fetch_plan,
         'sitemap_delta': q_sitemap_delta,
+        'robots_directives': q_robots_directives,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -4644,6 +4698,7 @@ def oracle_sql() -> dict[str, str]:
         'adaptive_backoff': ORACLE_ADAPTIVE_BACKOFF,
         'conditional_fetch_plan': ORACLE_CONDITIONAL_FETCH,
         'sitemap_delta': ORACLE_SITEMAP_DELTA,
+        'robots_directives': ORACLE_ROBOTS_DIRECTIVES,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
