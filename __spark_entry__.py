@@ -2657,6 +2657,74 @@ FROM agg
 """
 
 
+def q_retry_after_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-After honoring (scheduling.retry_after_backoff) over a
+    deterministic synthetic fetch log from orders: 429s carry numeric
+    delta-seconds on even keys and an HTTP-date (default_secs fallback)
+    on odd, 503s carry numerics on every 3rd key and nothing otherwise,
+    200/500 rows never count — pinning the directive gate, the numeric
+    parse, the date fallback, max-hold, and the ceil wave division."""
+    from scalpel_spark.operators import scheduling
+
+    orders = _t(spark, sf_dir, 'orders')
+    k = F.col('o_orderkey')
+    st = (F.when(k % 17 == 0, 429)
+          .when(k % 13 == 0, 503)
+          .when(k % 11 == 0, 500)
+          .otherwise(200).cast('int'))
+    fetches = orders.select(
+        F.concat(F.lit('h'), F.pmod(F.col('o_custkey'), F.lit(20))
+                 .cast('string')).alias('host'),
+        st.alias('http_status'), k.alias('k'),
+    ).select(
+        'host', 'http_status',
+        F.when((F.col('http_status') == 429) & (F.col('k') % 2 == 0),
+               (F.col('k') % 300).cast('string'))
+        .when(F.col('http_status') == 429,
+              F.lit('Wed, 01 Jan 2027 00:00:00 GMT'))
+        .when((F.col('http_status') == 503) & (F.col('k') % 3 == 0),
+              (F.col('k') % 120).cast('string'))
+        .alias('retry_after'),
+    )
+    return scheduling.retry_after_backoff(
+        fetches, wave_duration_ms=60_000, current_wave=7, default_secs=90)
+
+
+ORACLE_RETRY_AFTER = """
+WITH fetches AS (
+  SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         CASE WHEN o_orderkey % 17 = 0 THEN 429
+              WHEN o_orderkey % 13 = 0 THEN 503
+              WHEN o_orderkey % 11 = 0 THEN 500
+              ELSE 200 END AS st,
+         o_orderkey AS k
+  FROM orders),
+r AS (SELECT host, st,
+        CASE WHEN st = 429 AND k % 2 = 0 THEN CAST(k % 300 AS VARCHAR)
+             WHEN st = 429 THEN 'Wed, 01 Jan 2027 00:00:00 GMT'
+             WHEN st = 503 AND k % 3 = 0 THEN CAST(k % 120 AS VARCHAR)
+             END AS retry_after
+      FROM fetches),
+d AS (SELECT host,
+        CASE WHEN (st = 429 OR st = 503) AND retry_after IS NOT NULL
+                  AND retry_after != ''
+             THEN CASE WHEN regexp_matches(retry_after, '^[0-9]{1,9}$')
+                       THEN CAST(retry_after AS BIGINT)
+                       ELSE 90 END
+             END AS secs
+      FROM r),
+agg AS (SELECT host,
+          CAST(SUM(CASE WHEN secs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_directives,
+          CAST(COALESCE(MAX(secs), 0) AS BIGINT) AS hold_secs
+        FROM d GROUP BY host)
+SELECT host, n_directives, hold_secs,
+       CAST(8 + (hold_secs * 1000 + 59999) // 60000 AS BIGINT)
+         AS resume_wave
+FROM agg
+"""
+
+
 def q_recrawl_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Age × authority recrawl picks over a deterministic synthetic seen
     table (both engines build identical rows, so score and order are
@@ -4581,6 +4649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'conditional_fetch_plan': q_conditional_fetch_plan,
         'sitemap_delta': q_sitemap_delta,
         'robots_directives': q_robots_directives,
+        'retry_after_backoff': q_retry_after_backoff,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -4699,6 +4768,7 @@ def oracle_sql() -> dict[str, str]:
         'conditional_fetch_plan': ORACLE_CONDITIONAL_FETCH,
         'sitemap_delta': ORACLE_SITEMAP_DELTA,
         'robots_directives': ORACLE_ROBOTS_DIRECTIVES,
+        'retry_after_backoff': ORACLE_RETRY_AFTER,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,

@@ -346,3 +346,50 @@ def conditional_fetch_plan(history: DataFrame) -> DataFrame:
             .select('url', 'host', 'last_wave', mode.alias('fetch_mode'),
                     'etag', 'last_modified', 'host_pairs',
                     'host_unchanged', 'expected_304_ppm'))
+
+
+def retry_after_backoff(fetches: DataFrame, wave_duration_ms: int,
+                        current_wave: int,
+                        default_secs: int = 60) -> DataFrame:
+    """Honor explicit ``Retry-After`` directives (RFC 9110 §10.2.3) —
+    the server-side half of back-off that :func:`adaptive_backoff`'s
+    error-rate heuristic can't see: a 429/503 carrying ``Retry-After``
+    is not a trend to be estimated, it is an instruction with a number
+    in it, and ignoring it is how crawlers get IP-banned.
+
+    ``fetches`` is one row per fetch outcome with (host, http_status,
+    retry_after) — the raw header value, NULL/'' when absent. Only
+    429/503 rows with a header count as directives. Delta-seconds
+    values parse exactly; HTTP-date values (the header's other form)
+    fall back to ``default_secs`` — converting a date needs "now",
+    which belongs at fetch time (the fetcher logs delta-seconds), not
+    in a deterministic batch plan. Per host the LONGEST hold wins, and
+    the host re-enters the frontier at
+
+        resume_wave = current_wave + 1 + ceil(hold_secs*1000
+                                              / wave_duration_ms)
+
+    (a host with no directive resumes next wave). Integer arithmetic
+    throughout; one hash-shuffle groupBy(host) carrying two counters.
+    Compose by anti-joining the frontier against hosts whose
+    resume_wave > next wave.
+
+    Returns (host, n_directives, hold_secs, resume_wave).
+    """
+    st = F.col('http_status')
+    ra = F.col('retry_after')
+    is_directive = ((st == 429) | (st == 503)) & ra.isNotNull() & (ra != '')
+    secs = F.when(
+        is_directive,
+        F.when(ra.rlike('^[0-9]{1,9}$'), ra.cast('long'))
+        .otherwise(F.lit(default_secs).cast('long')))
+    agg = fetches.groupBy('host').agg(
+        F.sum(F.when(is_directive, 1).otherwise(0)).cast('long')
+        .alias('n_directives'),
+        F.coalesce(F.max(secs), F.lit(0)).cast('long').alias('hold_secs'),
+    )
+    resume = (F.lit(current_wave + 1)
+              + F.expr(f'(hold_secs * 1000 + {wave_duration_ms} - 1) '
+                       f'div {wave_duration_ms}')).cast('long')
+    return agg.select('host', 'n_directives', 'hold_secs',
+                      resume.alias('resume_wave'))

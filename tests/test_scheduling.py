@@ -290,3 +290,30 @@ def test_conditional_fetch_plan_expected_304_rate(spark):
     assert out['u2']['expected_304_ppm'] == out['u1']['expected_304_ppm']
     assert out['u3']['host_pairs'] == 0
     assert out['u3']['expected_304_ppm'] == 500_000
+
+
+def test_retry_after_backoff(spark):
+    """Only 429/503 rows with a header are directives; numeric seconds
+    parse exactly, HTTP-dates fall back to default_secs, longest hold
+    wins, ceil-division to waves, directive-free hosts resume next
+    wave."""
+    fetches = spark.createDataFrame([
+        ('h1', 429, '120'),          # 120s -> ceil(120000/60000)=2 waves
+        ('h1', 503, '30'),           # shorter, loses the max
+        ('h1', 200, '999'),          # 200 never a directive
+        ('h2', 503, 'Fri, 01 Jan 2027 00:00:00 GMT'),  # date -> default
+        ('h3', 429, None),           # no header -> not a directive
+        ('h3', 429, ''),             # empty -> not a directive
+        ('h4', 200, None),
+    ], 'host string, http_status int, retry_after string')
+    out = {r['host']: r for r in scheduling.retry_after_backoff(
+        fetches, wave_duration_ms=60_000, current_wave=5,
+        default_secs=90).collect()}
+    assert out['h1']['n_directives'] == 2
+    assert out['h1']['hold_secs'] == 120
+    assert out['h1']['resume_wave'] == 5 + 1 + 2
+    assert out['h2']['hold_secs'] == 90           # date form -> default
+    assert out['h2']['resume_wave'] == 5 + 1 + 2  # ceil(90/60) = 2
+    assert out['h3']['n_directives'] == 0
+    assert out['h3']['resume_wave'] == 6
+    assert out['h4']['resume_wave'] == 6
