@@ -4271,6 +4271,67 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CrawlConfig.respect_meta_robots through the full engine: a p1 ->
+    p2 -> p3 chain where p1 is noindex and p2 is nofollow. Respected,
+    p1 emits no items (fetch/links unaffected) and p2's endorsement of
+    p3 is void, so p3 is never discovered; unrespected, the identical
+    tagged corpus crawls and indexes everything — pinned by a
+    deterministic VALUES oracle over both runs' seen rows and items."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import CORPUS_SCHEMA
+
+    def doc(u, spans, tag):
+        return {'doc_id': u, 'spans': spans, 'http_status': 200,
+                'scheme': 'http', 'readable': None, 'fetch_ms': 1.0,
+                'robots_tag': tag}
+
+    def span(kind, text, off):
+        return {'kind': kind, 'text': text, 'media_ref': None,
+                'offset': off}
+
+    schema = CORPUS_SCHEMA.add('robots_tag', 'string')
+    corpus = spark.createDataFrame([
+        doc('http://a.com/p1',
+            [span('text', 'q1', 0), span('text', 'a1', 1),
+             span('link', 'http://a.com/p2', 2)], 'noindex'),
+        doc('http://a.com/p2',
+            [span('text', 'q2', 0), span('text', 'a2', 1),
+             span('link', 'http://a.com/p3', 2)], 'nofollow'),
+        doc('http://a.com/p3',
+            [span('text', 'q3', 0), span('text', 'a3', 1)], None),
+    ], schema)
+    out = None
+    for respected in (True, False):
+        cfg = CrawlConfig(max_waves=4, respect_meta_robots=respected)
+        res = CrawlEngine(spark, corpus, config=cfg).run(['http://a.com/p1'])
+        seen_part = res.seen.select(
+            F.lit(respected).alias('respected'), F.lit('seen').alias('kind'),
+            F.concat('url', F.lit(':'), 'status').alias('key'))
+        item_part = res.items.select(
+            F.lit(respected).alias('respected'), F.lit('item').alias('kind'),
+            F.concat('doc_id', F.lit(':'), 'quote').alias('key'))
+        part = seen_part.unionByName(item_part)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+ORACLE_CRAWL_META_ROBOTS = """
+SELECT * FROM (VALUES
+  (TRUE,  'seen', 'http://a.com/p1:reachable'),
+  (TRUE,  'seen', 'http://a.com/p2:reachable'),
+  (TRUE,  'item', 'http://a.com/p2:q2'),
+  (FALSE, 'seen', 'http://a.com/p1:reachable'),
+  (FALSE, 'seen', 'http://a.com/p2:reachable'),
+  (FALSE, 'seen', 'http://a.com/p3:reachable'),
+  (FALSE, 'item', 'http://a.com/p1:q1'),
+  (FALSE, 'item', 'http://a.com/p2:q2'),
+  (FALSE, 'item', 'http://a.com/p3:q3')
+) AS t(respected, kind, key)
+"""
+
+
 def q_media_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type sniffing (multimodal.sniff_content_type)
     over deterministic synthetic payloads: 12 header families (JPEG,
@@ -4650,6 +4711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sitemap_delta': q_sitemap_delta,
         'robots_directives': q_robots_directives,
         'retry_after_backoff': q_retry_after_backoff,
+        'crawl_meta_robots': q_crawl_meta_robots,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
         'pipeline_decontaminate': q_decontaminate,
@@ -4769,6 +4831,7 @@ def oracle_sql() -> dict[str, str]:
         'sitemap_delta': ORACLE_SITEMAP_DELTA,
         'robots_directives': ORACLE_ROBOTS_DIRECTIVES,
         'retry_after_backoff': ORACLE_RETRY_AFTER,
+        'crawl_meta_robots': ORACLE_CRAWL_META_ROBOTS,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,

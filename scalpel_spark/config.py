@@ -55,6 +55,13 @@ class CrawlConfig:
     # signature set persists as content_seen_delta; forget() drops a
     # signature only when no remaining document still holds it.
     content_dedup: bool = False
+    # X-Robots-Tag / meta-robots page-level indexing control (beyond the
+    # reference, which has no index): when True the corpus must carry a
+    # robots_tag column; a noindex page is fetched and its links followed
+    # but it emits NO items, a nofollow page keeps its items but its
+    # outlinks never reach the frontier or the host-rank lineage
+    # (operators/directives.py). Default off: reference parity unchanged.
+    respect_meta_robots: bool = False
     # engine knobs
     link_rule: str = 'all'  # or 'second_contains_page' (reference integration parse)
     max_dispatch_per_host_per_wave: Optional[int] = None  # politeness budget; None = unbounded
@@ -257,7 +264,7 @@ _INT_FIELDS = {'min_request_delay', 'max_request_delay', 'max_dispatch_per_host_
                'cuckoo_shards', 'max_retries', 'sitemap_index_hops'}
 _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration', 'score_aging_per_wave'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps',
-                'follow_feeds'}
+                'follow_feeds', 'respect_meta_robots'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
 _STR_SEQ_FIELDS = {'blocklist_hosts'}
 

@@ -34,6 +34,26 @@ def _has(tag: Column, token: str) -> Column:
     return tag.rlike(_TOKEN.format(token))
 
 
+def noindex_col(tag: Column) -> Column:
+    """True when the directive string forbids indexing (``noindex`` or
+    ``none``). Per-row column algebra — when the tag rides the corpus
+    row (the engine's case) no join is needed at all."""
+    t = F.coalesce(tag, F.lit(''))
+    return _has(t, 'noindex') | _has(t, 'none')
+
+
+def nofollow_col(tag: Column) -> Column:
+    """True when the directive string forbids following links
+    (``nofollow`` or ``none``)."""
+    t = F.coalesce(tag, F.lit(''))
+    return _has(t, 'nofollow') | _has(t, 'none')
+
+
+def noarchive_col(tag: Column) -> Column:
+    """True when the directive string forbids archiving a copy."""
+    return _has(F.coalesce(tag, F.lit('')), 'noarchive')
+
+
 def robots_directives(pages: DataFrame, url_col: str = 'url',
                       tag_col: str = 'robots_tag') -> DataFrame:
     """Parse directive strings into per-URL boolean flags.
@@ -43,13 +63,12 @@ def robots_directives(pages: DataFrame, url_col: str = 'url',
     tag means no restrictions. Returns (url, noindex, nofollow,
     noarchive).
     """
-    tag = F.coalesce(F.col(tag_col), F.lit(''))
-    none = _has(tag, 'none')
+    tag = F.col(tag_col)
     return pages.select(
         F.col(url_col).alias('url'),
-        (_has(tag, 'noindex') | none).alias('noindex'),
-        (_has(tag, 'nofollow') | none).alias('nofollow'),
-        _has(tag, 'noarchive').alias('noarchive'),
+        noindex_col(tag).alias('noindex'),
+        nofollow_col(tag).alias('nofollow'),
+        noarchive_col(tag).alias('noarchive'),
     )
 
 

@@ -297,6 +297,10 @@ class CrawlEngine:
         if self.config.follow_feeds and feed_pages is None:
             raise ValueError('follow_feeds requires a feed_pages '
                              'DataFrame (url string, body string)')
+        if self.config.respect_meta_robots and 'robots_tag' not in corpus.columns:
+            raise ValueError('respect_meta_robots requires a robots_tag '
+                             'column on the corpus (X-Robots-Tag header / '
+                             'meta robots content, NULL when absent)')
         # mined DUST rules (operators/dust.mine_param_rules output:
         # host, param[, support]) — when injected, every URL entering the
         # frontier (seeds, links, sitemap/feed locs) first drops its
@@ -1140,10 +1144,13 @@ class CrawlEngine:
         # mode changes nothing about frontier/dedup/robots semantics
         # (any_io/selenium_spider.py subclasses share the whole loop)
         render_cols = ['render'] if 'render' in self.corpus.columns else []
+        # meta-robots tag rides the corpus row only when the knob consumes
+        # it — plans stay byte-identical with the knob off
+        tag_cols = ['robots_tag'] if cfg.respect_meta_robots else []
 
         def base_fetch(allowed_df: DataFrame) -> DataFrame:
             corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms',
-                                        *render_cols)
+                                        *render_cols, *tag_cols)
             out = allowed_df.join(corpus, allowed_df['url'] == corpus['doc_id'], 'left')
             found = F.col('doc_id').isNotNull()
             ok = F.when(
@@ -1214,7 +1221,24 @@ class CrawlEngine:
             seen_delta = seen_delta.unionByName(excluded)
 
         docs = fetched.filter(F.col('status') == 'reachable').select(
-            'url', 'priority', 'spans', 'fetch_ms', *render_cols)
+            'url', 'priority', 'spans', 'fetch_ms', *render_cols, *tag_cols)
+
+        # 5a'. meta-robots directives (opt-in, CrawlConfig.
+        # respect_meta_robots; operators/directives.py): per-row flag
+        # columns, no join — the tag already rides the fetched row.
+        # noindex withholds a page's ITEMS (docs/seen stay complete: the
+        # fetch happened, span parity is per fetch, and its links still
+        # count); nofollow withholds a page's OUTLINKS from both the
+        # frontier and the host-rank lineage (its endorsements are void)
+        # while its items stay.
+        indexable_docs = follow_docs = docs
+        if cfg.respect_meta_robots:
+            from scalpel_spark.operators.directives import (nofollow_col,
+                                                            noindex_col)
+
+            tag = F.col('robots_tag')
+            indexable_docs = docs.filter(~noindex_col(tag))
+            follow_docs = docs.filter(~nofollow_col(tag))
 
         # 5c. content-digest dedup (opt-in, CrawlConfig.content_dedup):
         # one items emission per unique span-sequence fingerprint. The
@@ -1223,12 +1247,12 @@ class CrawlEngine:
         # first-discovered wins, matching FIFO semantics) prunes
         # within-wave ones. docs/seen are untouched: dedup is an ITEMS
         # policy, the fetch record stays complete.
-        items_src = docs
+        items_src = indexable_docs
         content_delta = None
         if cfg.content_dedup:
             from scalpel_spark.operators.spans import span_signature_col
 
-            sigged = docs.withColumn('csig', span_signature_col(F.col('spans')))
+            sigged = indexable_docs.withColumn('csig', span_signature_col(F.col('spans')))
             prior_sigs = self._state('content_seen_delta', 'csig long, wave int')
             fresh = sigged.join(prior_sigs.select('csig'), 'csig', 'left_anti')
             w_sig = Window.partitionBy('csig').orderBy('priority')
@@ -1271,7 +1295,7 @@ class CrawlEngine:
         )
 
         # 7. follow (F2/J4/P3/W2): raw-link anti-join → absolutize → priorities
-        outlinks = extract_outlinks(docs, cfg.link_rule)
+        outlinks = extract_outlinks(follow_docs, cfg.link_rule)
         followed_state = self._state('followed_delta', 'url string')
         reachable_urls = seen_state.filter(F.col('status') == 'reachable').select('url')
         follow_block = followed_state.select('url').unionByName(reachable_urls)

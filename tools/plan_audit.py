@@ -41,7 +41,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_priority_global', 'crawl_host_budget_table',
         'crawl_rank_recrawl', 'crawl_sitemap_bootstrap',
         'crawl_robots_refresh', 'crawl_feed_bootstrap',
-        'crawl_score_aging'}
+        'crawl_score_aging', 'crawl_meta_robots'}
 
 CHECKS = {
     'frontier_dedup_anti_join': ['LeftAnti'],

@@ -50,6 +50,9 @@ def main() -> None:
     ap.add_argument('--global-budget', type=int, default=None, metavar='K',
                     help='global fetch-capacity cap: at most K dispatches per '
                          'wave across ALL hosts (FIFO by priority)')
+    ap.add_argument('--meta-robots-every', type=int, default=0, metavar='N',
+                    help='respect_meta_robots demo: tag every Nth page '
+                         'noindex and every (N+1)th nofollow (0 = knob off)')
     ap.add_argument('--content-dedup', action='store_true',
                     help='emit items once per unique span-sequence fingerprint '
                          '(Heritrix-style digest dedup)')
@@ -98,6 +101,15 @@ def main() -> None:
         links_per_page=args.links_per_page,
     )
     robots = synthetic_robots(spark, n_hosts=args.n_hosts)
+    if args.meta_robots_every:
+        from pyspark.sql import functions as _F
+
+        n = args.meta_robots_every
+        h = _F.abs(_F.xxhash64('doc_id'))
+        corpus = corpus.withColumn(
+            'robots_tag',
+            _F.when(h % n == 0, 'noindex')
+            .when(h % n == 1, 'nofollow'))
     blocklist = tuple(h.strip() for h in args.blocklist_hosts.split(',') if h.strip())
     cfg = CrawlConfig(
         follow_robots_txt=True,
@@ -110,6 +122,7 @@ def main() -> None:
         politeness_scope=args.politeness_scope,
         max_dispatch_per_wave=args.global_budget,
         content_dedup=args.content_dedup,
+        respect_meta_robots=bool(args.meta_robots_every),
         max_retries=args.max_retries,
         frontier_priority=args.frontier_priority,
         score_aging_per_wave=args.score_aging,
