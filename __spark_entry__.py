@@ -2480,9 +2480,10 @@ def q_sitemap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap-driven incremental recrawl (sitemap.sitemap_delta): both
     engines synthesize the same entry list (lastmod day = doc_id % 28
     + 1 for every 3rd doc) and capture table (every 2nd doc captured
-    at 2026-01-15), so all four actions appear and the lexicographic
-    W3C comparison, max-lastmod dup collapse, and left-join semantics
-    are pinned by the DuckDB twin."""
+    at 2026-01-15), so all four actions appear and the instant-based
+    W3C comparison (date-only lastmod = end of day, so the same-day
+    boundary refetches), max-lastmod dup collapse, and left-join
+    semantics are pinned by the DuckDB twin."""
     from scalpel_spark.operators.sitemap import sitemap_delta
 
     docs = _t(spark, sf_dir, 'documents')
@@ -2516,7 +2517,17 @@ SELECT g.loc, g.lastmod,
        COALESCE(c.last_capture, '') AS last_capture,
        CASE WHEN c.url IS NULL THEN 'new'
             WHEN g.lastmod = '' THEN 'unknown'
-            WHEN g.lastmod > c.last_capture THEN 'refetch'
+            WHEN TRY_CAST(CASE WHEN regexp_matches(g.lastmod,
+                     '^\\d{4}-\\d{2}-\\d{2}$')
+                   THEN g.lastmod || 'T23:59:59' ELSE g.lastmod END
+                   AS TIMESTAMP) IS NULL
+                 OR TRY_CAST(c.last_capture AS TIMESTAMP) IS NULL
+              THEN 'unknown'
+            WHEN TRY_CAST(CASE WHEN regexp_matches(g.lastmod,
+                     '^\\d{4}-\\d{2}-\\d{2}$')
+                   THEN g.lastmod || 'T23:59:59' ELSE g.lastmod END
+                   AS TIMESTAMP) > TRY_CAST(c.last_capture AS TIMESTAMP)
+              THEN 'refetch'
             ELSE 'skip' END AS action
 FROM g LEFT JOIN caps c ON g.loc = c.url
 """
@@ -4334,31 +4345,42 @@ SELECT * FROM (VALUES
 
 def q_media_sniff_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte content-type sniffing (multimodal.sniff_content_type)
-    over deterministic synthetic payloads: 12 header families (JPEG,
-    PNG, GIF87a/89a, RIFF→WEBP, RIFF→WAV, PDF, gzip, MP4 ftyp, ID3
-    MP3, '<!doctype' HTML, unknown) built as hex strings from doc_id
-    and unhexed into real binary. Spark sniffs the BYTES (hex of the
-    first 16), the DuckDB twin classifies the same hex string with an
-    independent CASE — so every prefix rule and both two-part probes
-    (RIFF tag at bytes 9-12, ftyp at 5-8) are oracle-checked."""
+    over deterministic synthetic payloads: 14 header families (JPEG,
+    PNG, GIF87a/89a, RIFF→WEBP, RIFF→WAV, PDF, gzip, isom-brand MP4,
+    ID3 MP3, mixed-case whitespace-led HTML ×2, AVIF and M4A ftyp
+    brands, unknown) built as hex strings from doc_id and unhexed into
+    real binary. Spark sniffs the BYTES; the DuckDB twin classifies
+    the same hex with an independent CASE — the markup families decode
+    back to VARCHAR so the WHATWG whitespace/case tolerance is
+    recomputed, and the ftyp brand split (AVIF/HEIC/M4A vs MP4) plus
+    the RIFF tag probe are both pinned."""
     from scalpel_spark.operators.multimodal import sniff_content_type
 
     d = F.col('d')
     filler = F.upper(F.substring(F.md5(d.cast('string')), 1, 8))
+    # hex('<!DocType HTML pub') / hex('  \n<HTML><p>') / hex('ftypavif')
+    # / hex('ftypM4A ') below — WHATWG case/whitespace fidelity and the
+    # ISO-BMFF brand split are part of the oracle-checked surface
     hexpay = (
-        F.when(d % 12 == 0, F.concat(F.lit('FFD8FFE0'), filler))
-        .when(d % 12 == 1, F.concat(F.lit('89504E470D0A1A0A'), filler))
-        .when(d % 12 == 2, F.concat(F.lit('474946383761'), filler))
-        .when(d % 12 == 3, F.concat(F.lit('474946383961'), filler))
-        .when(d % 12 == 4, F.concat(F.lit('52494646'), filler,
+        F.when(d % 14 == 0, F.concat(F.lit('FFD8FFE0'), filler))
+        .when(d % 14 == 1, F.concat(F.lit('89504E470D0A1A0A'), filler))
+        .when(d % 14 == 2, F.concat(F.lit('474946383761'), filler))
+        .when(d % 14 == 3, F.concat(F.lit('474946383961'), filler))
+        .when(d % 14 == 4, F.concat(F.lit('52494646'), filler,
                                     F.lit('57454250')))
-        .when(d % 12 == 5, F.concat(F.lit('52494646'), filler,
+        .when(d % 14 == 5, F.concat(F.lit('52494646'), filler,
                                     F.lit('57415645')))
-        .when(d % 12 == 6, F.concat(F.lit('25504446'), filler))
-        .when(d % 12 == 7, F.concat(F.lit('1F8B08'), filler))
-        .when(d % 12 == 8, F.concat(F.lit('0000001866747970'), filler))
-        .when(d % 12 == 9, F.concat(F.lit('494433'), filler))
-        .when(d % 12 == 10, F.concat(F.lit('3C21646F63747970'), filler))
+        .when(d % 14 == 6, F.concat(F.lit('25504446'), filler))
+        .when(d % 14 == 7, F.concat(F.lit('1F8B08'), filler))
+        .when(d % 14 == 8, F.concat(F.lit('0000001866747970'), filler))
+        .when(d % 14 == 9, F.concat(F.lit('494433'), filler))
+        .when(d % 14 == 10,
+              F.lit('3C21446F63547970652048544D4C20707562'))
+        .when(d % 14 == 11, F.lit('20200A3C48544D4C3E3C703E'))
+        .when(d % 14 == 12, F.concat(F.lit('0000001C667479706176696606'),
+                                     filler))
+        .when(d % 14 == 13, F.concat(F.lit('0000001C667479704D344120'),
+                                     filler))
         .otherwise(F.concat(F.lit('DEADBEEF'), filler)))
     docs = _t(spark, sf_dir, 'documents').select(
         F.col('doc_id').cast('long').alias('d'))
@@ -4372,22 +4394,31 @@ ORACLE_MEDIA_SNIFF = """
 WITH doc AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
 p AS (SELECT d,
   CASE
-    WHEN d % 12 = 0 THEN 'FFD8FFE0' || f
-    WHEN d % 12 = 1 THEN '89504E470D0A1A0A' || f
-    WHEN d % 12 = 2 THEN '474946383761' || f
-    WHEN d % 12 = 3 THEN '474946383961' || f
-    WHEN d % 12 = 4 THEN '52494646' || f || '57454250'
-    WHEN d % 12 = 5 THEN '52494646' || f || '57415645'
-    WHEN d % 12 = 6 THEN '25504446' || f
-    WHEN d % 12 = 7 THEN '1F8B08' || f
-    WHEN d % 12 = 8 THEN '0000001866747970' || f
-    WHEN d % 12 = 9 THEN '494433' || f
-    WHEN d % 12 = 10 THEN '3C21646F63747970' || f
+    WHEN d % 14 = 0 THEN 'FFD8FFE0' || f
+    WHEN d % 14 = 1 THEN '89504E470D0A1A0A' || f
+    WHEN d % 14 = 2 THEN '474946383761' || f
+    WHEN d % 14 = 3 THEN '474946383961' || f
+    WHEN d % 14 = 4 THEN '52494646' || f || '57454250'
+    WHEN d % 14 = 5 THEN '52494646' || f || '57415645'
+    WHEN d % 14 = 6 THEN '25504446' || f
+    WHEN d % 14 = 7 THEN '1F8B08' || f
+    WHEN d % 14 = 8 THEN '0000001866747970' || f
+    WHEN d % 14 = 9 THEN '494433' || f
+    WHEN d % 14 = 10 THEN '3C21446F63547970652048544D4C20707562'
+    WHEN d % 14 = 11 THEN '20200A3C48544D4C3E3C703E'
+    WHEN d % 14 = 12 THEN '0000001C667479706176696606' || f
+    WHEN d % 14 = 13 THEN '0000001C667479704D344120' || f
     ELSE 'DEADBEEF' || f
   END AS hx
   FROM (SELECT d, UPPER(SUBSTR(md5(CAST(d AS VARCHAR)), 1, 8)) AS f
         FROM doc)),
-c AS (SELECT d, CASE
+-- markup families decode to VARCHAR (pure ASCII) so the WHATWG
+-- whitespace-skip + case-insensitive tag match is recomputed
+-- independently, not assumed from the generating rule
+c AS (SELECT d, hx,
+  CASE WHEN d % 14 IN (10, 11) THEN decode(unhex(hx)) END AS body
+  FROM p),
+t AS (SELECT d, CASE
     WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
     WHEN hx LIKE '89504E470D0A1A0A%' THEN 'image/png'
     WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%'
@@ -4398,19 +4429,31 @@ c AS (SELECT d, CASE
     WHEN hx LIKE '4F676753%' THEN 'audio/ogg'
     WHEN hx LIKE '494433%' THEN 'audio/mpeg'
     WHEN hx LIKE '1A45DFA3%' THEN 'video/webm'
-    WHEN hx LIKE '3C21%' OR hx LIKE '3C68746D6C%' THEN 'text/html'
-    WHEN hx LIKE '3C3F786D6C%' THEN 'application/xml'
     WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '57454250'
       THEN 'image/webp'
     WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '57415645'
       THEN 'audio/wav'
     WHEN hx LIKE '52494646%' AND SUBSTR(hx, 17, 8) = '41564920'
       THEN 'video/avi'
-    WHEN SUBSTR(hx, 9, 8) = '66747970' THEN 'video/mp4'
+    WHEN SUBSTR(hx, 9, 8) = '66747970' THEN
+      CASE SUBSTR(hx, 17, 8)
+        WHEN '61766966' THEN 'image/avif'
+        WHEN '61766973' THEN 'image/avif'
+        WHEN '68656963' THEN 'image/heic'
+        WHEN '68656978' THEN 'image/heic'
+        WHEN '6D696631' THEN 'image/heic'
+        WHEN '4D344120' THEN 'audio/mp4'
+        ELSE 'video/mp4' END
+    WHEN body IS NOT NULL AND regexp_matches(lower(body),
+      '^[\\t\\n\\x0c\\r ]*<\\?xml') THEN 'application/xml'
+    WHEN body IS NOT NULL AND regexp_matches(lower(body),
+      '^[\\t\\n\\x0c\\r ]*<(?:!doctype html|html|head|body|script|iframe|'
+      || 'h1|div|font|table|a |a>|style|title|b>|b |br|p>|p |!--)')
+      THEN 'text/html'
     ELSE 'application/octet-stream'
-  END AS content_type FROM p)
+  END AS content_type FROM c)
 SELECT content_type, COUNT(*) AS n, MIN(d) AS min_d
-FROM c GROUP BY content_type
+FROM t GROUP BY content_type
 """
 
 
@@ -4470,9 +4513,10 @@ c AS (SELECT d, CASE
     WHEN bom = 4 THEN 'utf-32be'
     WHEN bom = 5 THEN 'utf-32le'
     WHEN regexp_extract(lower(html),
-        'charset\\s*=\\s*["'']?([a-z0-9_\\-]+)', 1) != ''
+        '<meta[^>]*?[^a-z0-9_\\-]charset\\s*=\\s*["'']?([a-z0-9_\\-]+)',
+        1) != ''
       THEN regexp_extract(lower(html),
-        'charset\\s*=\\s*["'']?([a-z0-9_\\-]+)', 1)
+        '<meta[^>]*?[^a-z0-9_\\-]charset\\s*=\\s*["'']?([a-z0-9_\\-]+)', 1)
     WHEN regexp_matches(html, '^[\\x01-\\x7f]*$') THEN 'ascii'
     ELSE 'windows-1252'
   END AS charset FROM p)

@@ -211,8 +211,9 @@ def media_frontier(docs: DataFrame, seen_media: DataFrame | None = None) -> Data
 # -- content-type sniffing (magic bytes) -------------------------------------
 
 # (uppercase-hex prefix of the payload, sniffed type). Order matters only
-# for readability — prefixes are mutually exclusive. RIFF and MP4 need a
-# second probe deeper in the header and are handled separately below.
+# for readability — prefixes are mutually exclusive. RIFF and ISO-BMFF
+# need a second probe deeper in the header, and markup needs a
+# whitespace/case-tolerant text probe — both handled separately below.
 MAGIC_PREFIXES = (
     ('FFD8FF', 'image/jpeg'),
     ('89504E470D0A1A0A', 'image/png'),
@@ -224,10 +225,27 @@ MAGIC_PREFIXES = (
     ('4F676753', 'audio/ogg'),        # OggS
     ('494433', 'audio/mpeg'),         # ID3
     ('1A45DFA3', 'video/webm'),       # EBML (matroska/webm)
-    ('3C21', 'text/html'),            # '<!' (doctype/comment)
-    ('3C68746D6C', 'text/html'),      # '<html'
-    ('3C3F786D6C', 'application/xml'),  # '<?xml'
 )
+
+# ISO base-media 'ftyp' brands (bytes 9-12, uppercase hex) that are NOT
+# video — the container is shared by images (AVIF/HEIC) and audio (M4A),
+# so the brand disambiguates exactly like the RIFF tag does.
+FTYP_BRANDS = (
+    ('61766966', 'image/avif'),   # 'avif'
+    ('61766973', 'image/avif'),   # 'avis' (AVIF sequence)
+    ('68656963', 'image/heic'),   # 'heic'
+    ('68656978', 'image/heic'),   # 'heix'
+    ('6D696631', 'image/heic'),   # 'mif1'
+    ('4D344120', 'audio/mp4'),    # 'M4A '
+)
+
+# WHATWG MIME sniffing: markup matches after skipping leading tab/LF/FF/
+# CR/space, case-insensitively. Checked on a latin-1 view of the prefix
+# (total on bytes — never throws) AFTER every binary signature misses.
+_WS = r'[\t\n\x0c\r ]*'
+_HTML_TAG_RE = (_WS + r'<(?:!doctype html|html|head|body|script|iframe|'
+                r'h1|div|font|table|a |a>|style|title|b>|b |br|p>|p |!--)')
+_XML_RE = _WS + r'<\?xml'
 
 
 def sniff_content_type(payload: Column) -> Column:
@@ -237,11 +255,14 @@ def sniff_content_type(payload: Column) -> Column:
     ``any_io/static_spider.py``; browsers and Common Crawl both sniff).
 
     Pure JVM column algebra: one ``hex()`` of the first 16 bytes plus
-    prefix tests — no UDF, so the classification runs inside
-    whole-stage codegen and costs one projection. Container formats
-    with a two-part signature probe deeper: RIFF (bytes 9-12 pick
-    WEBP/WAV/AVI) and the ISO base-media 'ftyp' box at bytes 5-8
-    (MP4). Unknown prefixes come back ``application/octet-stream``.
+    prefix tests, and one latin-1 decode + regexp for the markup probes
+    — no UDF, everything inside whole-stage codegen. Container formats
+    with a two-part signature probe deeper: RIFF bytes 9-12 pick
+    WEBP/WAV/AVI, and the ISO base-media 'ftyp' box brand at bytes 9-12
+    picks AVIF/HEIC/M4A vs MP4 (the container is shared across
+    image/audio/video). HTML/XML match the WHATWG way: leading
+    whitespace skipped, case-insensitive tag list. Unknown payloads
+    come back ``application/octet-stream``.
     """
     hx = F.hex(F.substring(payload, 1, 16))
     out = None
@@ -255,8 +276,14 @@ def sniff_content_type(payload: Column) -> Column:
                    F.lit('audio/wav'))
     out = out.when(hx.startswith('52494646') & (riff_tag == '41564920'),
                    F.lit('video/avi'))
-    out = out.when(F.substring(hx, 9, 8) == '66747970',  # 'ftyp' @ bytes 5-8
-                   F.lit('video/mp4'))
+    ftyp = F.substring(hx, 9, 8) == '66747970'  # 'ftyp' @ bytes 5-8
+    brand = F.substring(hx, 17, 8)              # brand @ bytes 9-12
+    for bhex, ctype in FTYP_BRANDS:
+        out = out.when(ftyp & (brand == bhex), F.lit(ctype))
+    out = out.when(ftyp, F.lit('video/mp4'))
+    text = F.lower(F.decode(F.substring(payload, 1, 64), 'ISO-8859-1'))
+    out = out.when(text.rlike('^' + _XML_RE), F.lit('application/xml'))
+    out = out.when(text.rlike('^' + _HTML_TAG_RE), F.lit('text/html'))
     return out.otherwise(F.lit('application/octet-stream'))
 
 
@@ -283,7 +310,9 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
     2. ``<meta charset=...>`` / ``http-equiv`` form inside the first
        1024 bytes (the WHATWG prescan window), matched case-insensitively
        on a latin-1 view of the prefix (latin-1 is total on bytes, so
-       the prescan never throws);
+       the prescan never throws) — anchored to a ``<meta`` element, so
+       ``accept-charset`` form attributes or ``charset=`` query strings
+       in links can never hijack the verdict;
     3. the server-declared charset (optional ``declared`` column), which
        real sniffers trust only below in-band evidence;
     4. pure-ASCII prescan window → ``ascii``;
@@ -300,8 +329,12 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
         cond = hx.startswith(bom)
         out = F.when(cond, F.lit(cs)) if out is None else out.when(cond, F.lit(cs))
     prescan = F.lower(F.decode(F.substring(payload, 1, 1024), 'ISO-8859-1'))
+    # anchored to a <meta> element (WHATWG prescan honors meta only);
+    # [^>]* keeps the match inside the tag, and the non-alnum guard
+    # before 'charset' rejects accept-charset
     meta = F.regexp_extract(
-        prescan, r'charset\s*=\s*["\']?([a-z0-9_\-]+)', 1)
+        prescan,
+        r'<meta[^>]*?[^a-z0-9_\-]charset\s*=\s*["\']?([a-z0-9_\-]+)', 1)
     out = out.when(meta != '', meta)
     if declared is not None:
         d = F.lower(F.trim(declared))

@@ -342,7 +342,10 @@ def conditional_fetch_plan(history: DataFrame) -> DataFrame:
         F.when(F.col('etag').isNotNull(), 'conditional_etag')
         .when(F.col('last_modified').isNotNull(), 'conditional_ims')
         .otherwise('full'))
-    return (last.join(F.broadcast(rates), 'host')
+    # no broadcast hint: host cardinality is unbounded at web scale, and
+    # AQE already broadcasts when the rates aggregate is actually small
+    # (same policy as the engine's host_state join)
+    return (last.join(rates, 'host')
             .select('url', 'host', 'last_wave', mode.alias('fetch_mode'),
                     'etag', 'last_modified', 'host_pairs',
                     'host_unchanged', 'expected_304_ppm'))

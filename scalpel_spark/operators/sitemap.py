@@ -106,18 +106,29 @@ def sitemap_delta(entries: DataFrame, captures: DataFrame,
     decides WHETHER).
 
         new      never captured
-        refetch  lastmod present and after the last capture
-        skip     lastmod present and not after it
-        unknown  captured but the sitemap gives no lastmod — fall back
-                 to change_rates / conditional fetch
+        refetch  lastmod parses and is after the last capture
+        skip     lastmod parses and is not after it
+        unknown  captured but no lastmod, or a lastmod/capture that
+                 does not parse as a timestamp — fall back to
+                 change_rates / conditional fetch
 
-    Timestamps compare as strings: W3C datetimes (the sitemaps-protocol
-    format) sort lexicographically in UTC, so no timezone-parsing
-    ambiguity can desync engines. ``captures`` must be unique per URL
-    (the seen table is); duplicate locs across sitemaps collapse to
-    their max lastmod first (any sitemap claiming newer content wins) —
-    one sitemap-sized groupBy, then one equi-join against the capture
-    table (entries are the small side at corpus scale; AQE broadcasts).
+    Timestamps compare as INSTANTS (``try_cast`` to timestamp), not
+    strings: W3C datetimes carry ±hh:mm offsets and mixed granularity
+    in the wild, and a lexicographic compare mis-orders both (an
+    '02:00-07:00' lastmod IS after an '05:00Z' capture). A date-only
+    lastmod means "changed sometime that day" and is treated as END of
+    day (T23:59:59), so it beats any same-day capture — conservative
+    toward refetching; captures should carry full precision. Offsetless
+    values parse in the session timezone on both sides, so their
+    relative order is timezone-invariant.
+
+    ``captures`` must be unique per URL (the seen table is); duplicate
+    locs across sitemaps collapse to their max lastmod first (any
+    sitemap claiming newer content wins; max over W3C strings of mixed
+    offsets is heuristic — same-host sitemaps share a format in
+    practice) — one sitemap-sized groupBy, then one equi-join against
+    the capture table (entries are the small side at corpus scale; AQE
+    broadcasts).
 
     Returns (loc, lastmod, last_capture, action), lastmod/last_capture
     '' when absent.
@@ -127,10 +138,16 @@ def sitemap_delta(entries: DataFrame, captures: DataFrame,
     c = captures.select(F.col(url_col).alias('loc'),
                         F.col(capture_col).alias('last_capture'))
     j = e.join(c, 'loc', 'left')
+    lm = F.col('lastmod')
+    lm_ts = (F.when(lm.rlike(r'^\d{4}-\d{2}-\d{2}$'),
+                    F.concat(lm, F.lit('T23:59:59')))
+             .otherwise(lm)).try_cast('timestamp')
+    cap_ts = F.col('last_capture').try_cast('timestamp')
     action = (
         F.when(F.col('last_capture').isNull(), 'new')
-        .when(F.col('lastmod') == '', 'unknown')
-        .when(F.col('lastmod') > F.col('last_capture'), 'refetch')
+        .when(lm == '', 'unknown')
+        .when(lm_ts.isNull() | cap_ts.isNull(), 'unknown')
+        .when(lm_ts > cap_ts, 'refetch')
         .otherwise('skip'))
     return j.select(
         'loc', 'lastmod',

@@ -153,11 +153,21 @@ def test_sniff_content_type_magic_bytes(spark):
         (b'\x1a\x45\xdf\xa3....', 'video/webm'),
         (b'<!doctype html>', 'text/html'),
         (b'<html><body>', 'text/html'),
+        # WHATWG: leading whitespace skipped, case-insensitive
+        (b'  \r\n\t<HTML><BODY>', 'text/html'),
+        (b'<!DOCTYPE HTML PUBLIC', 'text/html'),
+        (b'\n<DIV class="x">', 'text/html'),
         (b'<?xml version="1.0"?>', 'application/xml'),
+        (b' <?XML version="1.0"?>', 'application/xml'),
         (b'RIFF\x00\x00\x00\x00WEBPVP8 ', 'image/webp'),
         (b'RIFF\x00\x00\x00\x00WAVEfmt ', 'audio/wav'),
         (b'RIFF\x00\x00\x00\x00AVI LIST', 'video/avi'),
         (b'\x00\x00\x00\x18ftypisom', 'video/mp4'),
+        # ISO-BMFF brand disambiguation: the container is not always video
+        (b'\x00\x00\x00\x1cftypavif', 'image/avif'),
+        (b'\x00\x00\x00\x1cftypheic', 'image/heic'),
+        (b'\x00\x00\x00\x1cftypmif1', 'image/heic'),
+        (b'\x00\x00\x00\x1cftypM4A ', 'audio/mp4'),
         # RIFF with an unknown tag falls through to octet-stream
         (b'RIFF\x00\x00\x00\x00XXXX....', 'application/octet-stream'),
         (b'random body text', 'application/octet-stream'),
@@ -193,6 +203,10 @@ def test_sniff_charset_precedence_ladder(spark):
         (b'<meta charset=utf-8>', None, 'utf-8'),
         # meta beats declared
         (b'<meta charset="big5">x', 'utf-8', 'big5'),
+        # only META declarations count: accept-charset on a form and
+        # charset= in a link query string never hijack the verdict
+        (b'<form accept-charset="utf-8">caf\xe9', None, 'windows-1252'),
+        (b'<a href="/x?charset=utf-8">caf\xe9</a>', None, 'windows-1252'),
         # declared beats the ascii fallback
         (b'plain ascii body', 'KOI8-R ', 'koi8-r'),
         # ascii fallback when nothing declared
@@ -212,4 +226,6 @@ def test_sniff_charset_precedence_ladder(spark):
     # without the declared column, declared rows fall through to ascii
     got2 = {r['i']: r['cs'] for r in df.select(
         'i', mm.sniff_charset(F.col('payload')).alias('cs')).collect()}
-    assert got2[11] == 'ascii'
+    declared_idx = next(i for i, (p, d, _) in enumerate(cases)
+                        if p == b'plain ascii body' and d is not None)
+    assert got2[declared_idx] == 'ascii'

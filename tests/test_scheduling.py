@@ -238,7 +238,7 @@ def test_crawler_shards_plan_stays_jvm(spark):
     assert 'Python' not in plan and 'BatchEvalPython' not in plan
 
 
-HIST_SCHEMA = ('url STRING, host STRING, wave INT, content_hash STRING, '
+CAP_HIST_SCHEMA = ('url STRING, host STRING, wave INT, content_hash STRING, '
                'etag STRING, last_modified STRING')
 
 
@@ -257,7 +257,7 @@ def test_conditional_fetch_plan_validator_precedence(spark):
         ('u3', 'h1', 0, 'C', None, None),
         # u4: empty-string validators are absent -> full
         ('u4', 'h1', 0, 'D', '', ''),
-    ], HIST_SCHEMA)
+    ], CAP_HIST_SCHEMA)
     out = {r['url']: r for r in
            scheduling.conditional_fetch_plan(hist).collect()}
     assert out['u1']['fetch_mode'] == 'conditional_etag'
@@ -281,7 +281,7 @@ def test_conditional_fetch_plan_expected_304_rate(spark):
         ('u2', 'h1', 0, 'X', None, None),
         ('u2', 'h1', 1, 'X', None, None),   # unchanged
         ('u3', 'h2', 0, 'Z', None, None),   # no pairs on h2
-    ], HIST_SCHEMA)
+    ], CAP_HIST_SCHEMA)
     out = {r['url']: r for r in
            scheduling.conditional_fetch_plan(hist).collect()}
     assert out['u1']['host_pairs'] == 3

@@ -96,33 +96,45 @@ def test_sitemap_entries_plan_is_map_side(spark):
 
 def test_sitemap_delta_actions(spark):
     """new / refetch / skip / unknown classification; duplicate locs
-    collapse to max lastmod; boundary equality is skip (not after)."""
+    collapse to max lastmod; instant equality is skip (not after);
+    date-only lastmod = end-of-day (conservative refetch)."""
     from scalpel_spark.operators.sitemap import sitemap_delta
 
     entries = spark.createDataFrame([
         ('https://a/new', '2026-01-10'),
         ('https://a/changed', '2026-01-20'),
-        ('https://a/same', '2026-01-15'),      # == capture -> skip
+        ('https://a/same', '2026-01-15T10:00:00'),   # == capture instant
+        ('https://a/sameday', '2026-01-15'),         # date-only: end of day
         ('https://a/old', '2026-01-01'),
         ('https://a/nolastmod', ''),
+        ('https://a/garbage', 'soon(tm)'),           # unparseable
         # duplicate loc across sitemaps: max lastmod wins -> refetch
         ('https://a/dup', '2026-01-01'),
         ('https://a/dup', '2026-01-30'),
+        # the lexicographic-compare trap: -07:00 lastmod is a LATER
+        # instant than the Z capture despite sorting before it
+        ('https://a/offset', '2026-08-19T02:00:00-07:00'),
     ], 'loc string, lastmod string')
     captures = spark.createDataFrame([
-        ('https://a/changed', '2026-01-15'),
-        ('https://a/same', '2026-01-15'),
-        ('https://a/old', '2026-01-15'),
-        ('https://a/nolastmod', '2026-01-15'),
-        ('https://a/dup', '2026-01-15'),
+        ('https://a/changed', '2026-01-15T10:00:00'),
+        ('https://a/same', '2026-01-15T10:00:00'),
+        ('https://a/sameday', '2026-01-15T10:00:00'),
+        ('https://a/old', '2026-01-15T10:00:00'),
+        ('https://a/nolastmod', '2026-01-15T10:00:00'),
+        ('https://a/garbage', '2026-01-15T10:00:00'),
+        ('https://a/dup', '2026-01-15T10:00:00'),
+        ('https://a/offset', '2026-08-19T05:00:00Z'),
     ], 'url string, last_capture string')
     out = {r['loc']: r for r in sitemap_delta(entries, captures).collect()}
-    assert len(out) == 6
+    assert len(out) == 9
     assert out['https://a/new']['action'] == 'new'
     assert out['https://a/new']['last_capture'] == ''
     assert out['https://a/changed']['action'] == 'refetch'
     assert out['https://a/same']['action'] == 'skip'
+    assert out['https://a/sameday']['action'] == 'refetch'
     assert out['https://a/old']['action'] == 'skip'
     assert out['https://a/nolastmod']['action'] == 'unknown'
+    assert out['https://a/garbage']['action'] == 'unknown'
     assert out['https://a/dup']['action'] == 'refetch'
     assert out['https://a/dup']['lastmod'] == '2026-01-30'
+    assert out['https://a/offset']['action'] == 'refetch'

@@ -51,8 +51,9 @@ def main() -> None:
                     help='global fetch-capacity cap: at most K dispatches per '
                          'wave across ALL hosts (FIFO by priority)')
     ap.add_argument('--meta-robots-every', type=int, default=0, metavar='N',
-                    help='respect_meta_robots demo: tag every Nth page '
-                         'noindex and every (N+1)th nofollow (0 = knob off)')
+                    help='respect_meta_robots demo: pages whose doc_id '
+                         'hash %% N == 0 get noindex, == 1 get nofollow '
+                         '(N >= 2; 0 = knob off)')
     ap.add_argument('--content-dedup', action='store_true',
                     help='emit items once per unique span-sequence fingerprint '
                          '(Heritrix-style digest dedup)')
@@ -105,6 +106,9 @@ def main() -> None:
         from pyspark.sql import functions as _F
 
         n = args.meta_robots_every
+        if n < 2:
+            ap.error('--meta-robots-every needs N >= 2 (N=1 would tag '
+                     'every page noindex and leave nofollow unreachable)')
         h = _F.abs(_F.xxhash64('doc_id'))
         corpus = corpus.withColumn(
             'robots_tag',
