@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     'tpch_shipping_priority',
     'skew_salted_aggregation',
     'similarity_lsh_ann',
+    # round-3 additions: LLM-curation and crawl-scheduling representatives
+    'line_dedup',
+    'semdedup',
+    'host_rank',
+    'url_dust_rules',
+    'cdx_revisit_index',
 ]
 
 
