@@ -2789,28 +2789,34 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.semdedup(_t(spark, sf_dir, 'embeddings'), k=4, iters=2, threshold=0.4)
 
 
-def _kmeans_cte(k: int, iters: int, quant: int = 1000) -> str:
+def _kmeans_cte(k: int, iters: int, quant: int = 1000, prefix: str = '',
+                q_sql: str | None = None) -> str:
     """DuckDB twin of clustering.kmeans_assign as a CTE chain ending in
-    asg{iters}: init centroids = the k smallest vec_ids, then per round
-    argmin assignment (quantized squared L2, ties to smaller cell) and
-    rounded-mean centroid recompute."""
-    parts = [f"""q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+    {prefix}asg{iters}: init centroids = the k smallest vec_ids, then per
+    round argmin assignment (quantized squared L2, ties to smaller cell)
+    and rounded-mean centroid recompute. ``q_sql`` overrides the source
+    CTE body (must yield (vec_id, qv)) — the PQ oracle feeds per-subspace
+    slices through the same chain; ``prefix`` namespaces the CTEs so
+    several chains coexist in one statement."""
+    p = prefix
+    q_sql = q_sql or f"""SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                  x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-dims AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q),
-cent0 AS (SELECT vec_id AS cell, d, x AS c FROM dims
-          WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))"""]
+           FROM embeddings"""
+    parts = [f"""{p}q AS ({q_sql}),
+{p}dims AS (SELECT vec_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM {p}q),
+{p}cent0 AS (SELECT vec_id AS cell, d, x AS c FROM {p}dims
+          WHERE vec_id IN (SELECT vec_id FROM {p}q ORDER BY vec_id LIMIT {k}))"""]
     for i in range(1, iters + 1):
-        parts.append(f"""cv{i} AS (SELECT cell, list(c ORDER BY d) AS cvec FROM cent{i - 1} GROUP BY cell),
-scored{i} AS (SELECT q.vec_id, cv{i}.cell,
+        parts.append(f"""{p}cv{i} AS (SELECT cell, list(c ORDER BY d) AS cvec FROM {p}cent{i - 1} GROUP BY cell),
+{p}scored{i} AS (SELECT {p}q.vec_id, {p}cv{i}.cell,
                   list_sum(list_transform(range(1, len(qv) + 1),
                                           j -> (qv[j] - cvec[j]) * (qv[j] - cvec[j]))) AS d2
-           FROM q CROSS JOIN cv{i}),
-asg{i} AS (SELECT vec_id, cell FROM (
+           FROM {p}q CROSS JOIN {p}cv{i}),
+{p}asg{i} AS (SELECT vec_id, cell FROM (
              SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-             FROM scored{i}) WHERE rn = 1),
-cent{i} AS (SELECT a.cell, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c
-            FROM dims v JOIN asg{i} a USING (vec_id) GROUP BY a.cell, d)""")
+             FROM {p}scored{i}) WHERE rn = 1),
+{p}cent{i} AS (SELECT a.cell, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c
+            FROM {p}dims v JOIN {p}asg{i} a USING (vec_id) GROUP BY a.cell, d)""")
     return ',\n'.join(parts)
 
 
@@ -2827,6 +2833,66 @@ dup AS (SELECT DISTINCT a.vec_id FROM v a JOIN v b ON a.cell = b.cell AND b.vec_
         WHERE floor(list_cosine_similarity(a.ev, b.ev) * 1000000 + 0.5) / 1000000 >= 0.4)
 SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell, (d.vec_id IS NULL) AS keep
 FROM v LEFT JOIN dup d ON v.vec_id = d.vec_id
+"""
+
+
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk): 4 subspaces × 4
+    subcentroids, 2 Lloyd rounds per subspace, asymmetric-distance
+    search for 5 queries. The DuckDB twin replays every subspace's
+    k-means bit-for-bit through the shared _kmeans_cte chain (sliced
+    source), rebuilds the codes/codebooks, and recomputes the ADC sums
+    and ranking — integer arithmetic end to end."""
+    return similarity.pq_topk(_t(spark, sf_dir, 'embeddings'),
+                              n_queries=5, k=3, m=4, ksub=4, iters=2)
+
+
+def _pq_oracle(m: int = 4, ksub: int = 4, iters: int = 2,
+               quant: int = 1000, n_queries: int = 5, k: int = 3) -> str:
+    def hi(j):
+        return 'dim' if j == m - 1 else f'{j + 1} * w'
+
+    chains = ',\n'.join(
+        _kmeans_cte(ksub, iters, quant, prefix=f's{j}_',
+                    q_sql=(f'SELECT vec_id, list_slice(qv, {j} * w + 1, '
+                           f'{hi(j)}) AS qv FROM pq_src'))
+        for j in range(m))
+    codes = ' UNION ALL '.join(
+        f'SELECT vec_id, {j} AS sub, cell FROM s{j}_asg{iters}'
+        for j in range(m))
+    cbs = ' UNION ALL '.join(
+        f'SELECT {j} AS sub, cell, cvec FROM s{j}_cv{iters}'
+        for j in range(m))
+    qsubs = ' UNION ALL '.join(
+        f'SELECT vec_id AS query_id, {j} AS sub, '
+        f'list_slice(qv, {j} * w + 1, {hi(j)}) AS qs '
+        f'FROM pq_src WHERE vec_id < {n_queries}'
+        for j in range(m))
+    return f"""
+WITH pq_src AS (SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv,
+         GREATEST(1, len(embedding) // {m}) AS w,
+         len(embedding) AS dim
+       FROM embeddings),
+{chains},
+pq_codes AS ({codes}),
+pq_cbs AS ({cbs}),
+pq_qs AS ({qsubs}),
+pq_dist AS (SELECT query_id, sub, cell,
+       list_sum(list_transform(range(1, len(qs) + 1),
+                i -> (qs[i] - cvec[i]) * (qs[i] - cvec[i]))) AS d2
+     FROM pq_qs JOIN pq_cbs USING (sub)),
+pq_scored AS (SELECT query_id, vec_id AS neighbor_id, SUM(d2) AS adc_d2
+     FROM pq_codes JOIN pq_dist USING (sub, cell)
+     WHERE query_id != vec_id GROUP BY 1, 2),
+pq_ranked AS (SELECT query_id, neighbor_id, adc_d2,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2, neighbor_id) AS rank
+     FROM pq_scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM pq_ranked WHERE rank <= {k}
 """
 
 
@@ -4726,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_score_aging': q_crawl_score_aging,
         'crawl_robots_refresh': q_crawl_robots_refresh,
         'similarity_quantized_topk': q_similarity_quantized_topk,
+        'similarity_pq_topk': q_similarity_pq_topk,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
@@ -4846,6 +4913,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_score_aging': ORACLE_CRAWL_SCORE_AGING,
         'crawl_robots_refresh': ORACLE_CRAWL_ROBOTS_REFRESH,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
+        'similarity_pq_topk': _pq_oracle(),
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,

@@ -63,6 +63,18 @@ def kmeans_assign(
     Returns (vec_id, cell) — the assignment AFTER the last recompute,
     i.e. the ``iters``-th assignment pass.
     """
+    return kmeans_fit(emb, k, iters, quant)[0]
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 4, iters: int = 2, quant: int = 1000
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`kmeans_assign` plus the fitted codebook: returns
+    ``(assignments (vec_id, cell), codebook (cell, cv))`` where ``cv`` is
+    the quantized-integer centroid vector USED FOR the last assignment
+    pass — exactly the vectors a product-quantization encoder needs to
+    score queries against (``similarity.pq_topk``). Same determinism
+    contract as :func:`kmeans_assign`."""
     v = _quantized(emb, quant)
     # init: centroids = the k SMALLEST vec_ids' vectors (cell id = vec_id)
     # — an ordered limit, not `vec_id < k`, so id spaces that don't start
@@ -71,7 +83,7 @@ def kmeans_assign(
     cent = v.join(F.broadcast(init_ids), 'vec_id').select(
         F.col('vec_id').alias('cell'), F.posexplode('q').alias('d', 'c')
     )
-    asg = None
+    asg = cent_vec = None
     for _ in range(iters):
         cent_vec = (
             cent.groupBy('cell')
@@ -119,7 +131,10 @@ def kmeans_assign(
             .groupBy('cell', 'd')
             .agg(F.floor(F.avg('x') + 0.5).cast('long').alias('c'))
         )
-    return asg.select('vec_id', F.col('cell').cast('long').alias('cell'))
+    return (
+        asg.select('vec_id', F.col('cell').cast('long').alias('cell')),
+        cent_vec.select(F.col('cell').cast('long').alias('cell'), 'cv'),
+    )
 
 
 def semdedup(

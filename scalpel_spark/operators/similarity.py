@@ -327,3 +327,104 @@ def quantized_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
         .filter(F.col('rank') <= k)
         .select('query_id', 'neighbor_id', F.col('rank').cast('long').alias('rank'), 'score')
     )
+
+
+# -- product quantization (IVF-PQ's compression half) -------------------------
+
+
+def pq_fit(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 2,
+           quant: int = 1000, dim: int | None = None
+           ) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al., PAMI 2011): split the vector
+    into ``m`` contiguous subspaces, run the SAME deterministic Lloyd
+    rounds as ``clustering.kmeans_fit`` on each slice, and encode every
+    vector as its ``m`` nearest-subcentroid ids — ``m`` small ints in
+    place of ``dim`` floats, the compression that makes billion-vector
+    ANN memory-resident (``quantize_embeddings`` shrinks 4×; PQ shrinks
+    ~dim·4/m bytes per vector).
+
+    Returns ``(codes, codebooks)``:
+
+    * ``codes`` (vec_id, sub, cell) — long form, one row per subspace,
+      the shape the ADC join consumes directly;
+    * ``codebooks`` (sub, cell, cv) — the quantized-integer subcentroid
+      vectors used for the last assignment pass.
+
+    Scale shape: the driver loop runs ``m`` times (m is a small constant
+    — 4-16 in practice) over metadata-width frames; each subspace is one
+    independent kmeans_fit plan (shuffle-free assignment, one partial-agg
+    exchange per Lloyd round). ``dim`` defaults to a one-row probe (PQ is
+    only defined over uniform dimensionality); the last subspace absorbs
+    any remainder when ``dim % m != 0``. Determinism: same init / tie /
+    integer-quantization contract as kmeans_fit, so the DuckDB oracle
+    replays every subspace bit-identically.
+    """
+    from scalpel_spark.operators.clustering import kmeans_fit
+
+    if dim is None:
+        dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
+    w = max(1, dim // m)
+    codes = codebooks = None
+    for j in range(m):
+        start, length = j * w + 1, (dim - j * w) if j == m - 1 else w
+        sub = emb.select(
+            'vec_id', F.slice(F.col('embedding'), start, length).alias('embedding'))
+        asg_j, cb_j = kmeans_fit(sub, ksub, iters, quant)
+        cj = asg_j.select('vec_id', F.lit(j).cast('long').alias('sub'), 'cell')
+        bj = cb_j.select(F.lit(j).cast('long').alias('sub'), 'cell', 'cv')
+        codes = cj if codes is None else codes.unionByName(cj)
+        codebooks = bj if codebooks is None else codebooks.unionByName(bj)
+    return codes, codebooks
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, m: int = 4,
+            ksub: int = 4, iters: int = 2, quant: int = 1000) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC): the query
+    stays exact, the corpus is its codes — per query and subspace, the
+    squared-L2 table to every subcentroid is ``ksub × m`` integers
+    (broadcast), and a corpus vector's approximate distance is the SUM of
+    its codes' table entries. The corpus is never re-scanned per query
+    and never carries vectors through the ranking: the ADC join moves
+    (vec_id, sub, cell) rows only, the per-(query, vector) sum is one
+    partial-agg groupBy, and the top-k is the usual rank window.
+
+    Recall < 1 by construction (quantization error) — the compression/
+    recall dial is (m, ksub). Returns (query_id, neighbor_id, rank,
+    adc_d2) ranked by ascending approximate distance, ties on smaller
+    neighbor_id; integer-exact end to end, DuckDB-oracled.
+    """
+    dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
+    codes, codebooks = pq_fit(emb, m, ksub, iters, quant, dim=dim)
+    w = max(1, dim // m)
+    # query side: quantized slice per subspace (same slicing as pq_fit)
+    qv = emb.filter(F.col('vec_id') < n_queries).select(
+        F.col('vec_id').alias('query_id'),
+        F.transform(F.col('embedding').cast('array<double>'),
+                    lambda x: F.floor(x * quant + 0.5).cast('long')).alias('q'))
+    subs = F.array(*[
+        F.struct(
+            F.lit(j).cast('long').alias('sub'),
+            F.slice(F.col('q'), j * w + 1,
+                    (dim - j * w) if j == m - 1 else w).alias('qs'))
+        for j in range(m)])
+    qsub = qv.select('query_id', F.explode(subs).alias('s')).select(
+        'query_id', F.col('s.sub').alias('sub'), F.col('s.qs').alias('qs'))
+    d2 = F.aggregate(
+        F.zip_with('qs', 'cv', lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast('long'), lambda acc, x: acc + x)
+    # ksub × m × n_queries rows — broadcast into the codes join
+    dist = qsub.join(F.broadcast(codebooks), 'sub').select(
+        'query_id', 'sub', 'cell', d2.alias('d2'))
+    scored = (
+        codes.join(F.broadcast(dist), ['sub', 'cell'])
+        .groupBy('query_id', F.col('vec_id').alias('neighbor_id'))
+        .agg(F.sum('d2').cast('long').alias('adc_d2'))
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+    )
+    wnd = Window.partitionBy('query_id').orderBy('adc_d2', 'neighbor_id')
+    return (
+        scored.withColumn('rank', F.row_number().over(wnd))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id',
+                F.col('rank').cast('long').alias('rank'), 'adc_d2')
+    )

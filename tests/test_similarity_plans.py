@@ -129,3 +129,53 @@ def test_quantized_topk_recall_vs_exact(spark):
         hits += r['neighbor_id'] in ex[r['query_id']]
     # int8 surrogate ranking keeps most of the exact top-5
     assert hits / total >= 0.6, (hits, total)
+
+
+def test_pq_fit_codes_shape_and_duplicate_vectors_share_codes(spark):
+    """One code row per (vec, subspace); codes come from the codebook;
+    identical vectors encode identically."""
+    rows = [
+        (0, [1.0, 1.0, 9.0, 9.0]),
+        (1, [1.0, 1.0, 9.0, 9.0]),    # duplicate of 0
+        (2, [9.0, 9.0, 1.0, 1.0]),
+        (3, [9.1, 9.1, 1.1, 1.1]),
+        (4, [1.1, 1.1, 9.1, 9.1]),
+        (5, [5.0, 5.0, 5.0, 5.0]),
+    ]
+    emb_df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    codes, books = similarity.pq_fit(emb_df, m=2, ksub=2, iters=2)
+    got = codes.collect()
+    assert len(got) == len(rows) * 2
+    cmap = {(r['vec_id'], r['sub']): r['cell'] for r in got}
+    assert cmap[(0, 0)] == cmap[(1, 0)] and cmap[(0, 1)] == cmap[(1, 1)]
+    book_cells = {(r['sub'], r['cell']) for r in books.collect()}
+    assert all((r['sub'], r['cell']) in book_cells for r in got)
+    # subspace width: codebook vectors are dim/m = 2 wide
+    assert all(len(r['cv']) == 2 for r in books.collect())
+
+
+def test_pq_topk_cluster_order_and_code_granularity(spark):
+    """ADC distance is query-to-CENTROID: same-cell vectors share one
+    adc_d2 (ties break on neighbor_id), own-cluster beats the opposite
+    cluster, and the plan stays JVM-side."""
+    rows = [
+        # ids 0/1 seed the codebooks (init = k smallest vec_ids), so the
+        # seeds must span both clusters or Lloyd degenerates to one cell
+        (0, [1.0, 1.0, 9.0, 9.0]),
+        (1, [9.0, 9.0, 1.0, 1.0]),
+        (2, [1.0, 1.0, 9.0, 9.0]),    # exact twin of query 0
+        (3, [1.2, 1.2, 8.8, 8.8]),    # same cluster as 0
+        (4, [8.8, 8.8, 1.2, 1.2]),
+        (5, [9.2, 9.2, 0.8, 0.8]),
+    ]
+    emb_df = spark.createDataFrame(rows, 'vec_id long, embedding array<float>')
+    out = similarity.pq_topk(emb_df, n_queries=1, k=5, m=2, ksub=2, iters=2)
+    got = {r['rank']: (r['neighbor_id'], r['adc_d2']) for r in out.collect()}
+    # same codes -> same ADC distance -> id ascending within the cluster
+    assert [got[r][0] for r in (1, 2)] == [2, 3]
+    assert got[1][1] == got[2][1]
+    # the opposite cluster is strictly farther
+    own = got[1][1]
+    assert all(d > own for n, d in got.values() if n in (1, 4, 5))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
