@@ -2896,6 +2896,94 @@ FROM pq_ranked WHERE rank <= {k}
 """
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (similarity.ivf_pq_topk): coarse label cells bound the
+    candidate set (nprobe=2), PQ codes of the RESIDUAL vector bound the
+    storage, ADC sums rank. The DuckDB twin recomputes the coarse
+    quantizer, the probe ranking, the residuals, every subspace's
+    k-means (shared _kmeans_cte over a residual source), the codes and
+    codebooks, and the cell-restricted ADC ranking — all integer."""
+    return similarity.ivf_pq_topk(_t(spark, sf_dir, 'embeddings'),
+                                  n_queries=5, k=3, nprobe=2,
+                                  m=4, ksub=4, iters=2)
+
+
+def _ivf_pq_oracle(m: int = 4, ksub: int = 4, iters: int = 2,
+                   nprobe: int = 2, quant: int = 1000,
+                   n_queries: int = 5, k: int = 3) -> str:
+    def hi(j, w='w', dim='dim'):
+        return dim if j == m - 1 else f'{j + 1} * {w}'
+
+    chains = ',\n'.join(
+        _kmeans_cte(ksub, iters, quant=1, prefix=f's{j}_',
+                    q_sql=(f'SELECT vec_id, list_slice(qv, {j} * w + 1, '
+                           f'{hi(j)}) AS qv FROM res_src'))
+        for j in range(m))
+    codes = ' UNION ALL '.join(
+        f'SELECT vec_id, {j} AS sub, cell AS code FROM s{j}_asg{iters}'
+        for j in range(m))
+    cbs = ' UNION ALL '.join(
+        f'SELECT {j} AS sub, cell AS code, cvec FROM s{j}_cv{iters}'
+        for j in range(m))
+    qsubs = ' UNION ALL '.join(
+        f'SELECT query_id, cell, {j} AS sub, '
+        f'list_slice(r, {j} * w + 1, {hi(j)}) AS rs FROM qres'
+        for j in range(m))
+    return f"""
+WITH src AS (SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {quant} + 0.5) AS BIGINT)) AS qv
+       FROM embeddings),
+icent AS (SELECT label AS cell, d, CAST(floor(AVG(x) + 0.5) AS BIGINT) AS c
+       FROM (SELECT vec_id, label, unnest(qv) AS x,
+                    generate_subscripts(qv, 1) AS d FROM src)
+       GROUP BY label, d),
+icv AS (SELECT cell, list(c ORDER BY d) AS cvec FROM icent GROUP BY cell),
+iscored AS (SELECT src.vec_id, icv.cell,
+       list_sum(list_transform(range(1, len(qv) + 1),
+                j -> (qv[j] - cvec[j]) * (qv[j] - cvec[j]))) AS d2
+       FROM src CROSS JOIN icv),
+iprobe AS (SELECT vec_id, cell,
+       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       FROM iscored),
+res_src AS (SELECT s.vec_id, p.cell,
+       list_transform(range(1, len(s.qv) + 1),
+                      j -> s.qv[j] - icv.cvec[j]) AS qv,
+       GREATEST(1, len(s.qv) // {m}) AS w, len(s.qv) AS dim
+       FROM src s
+       JOIN iprobe p ON s.vec_id = p.vec_id AND p.rn = 1
+       JOIN icv ON icv.cell = p.cell),
+{chains},
+pq_codes AS ({codes}),
+pq_cbs AS ({cbs}),
+qres AS (SELECT s.vec_id AS query_id, p.cell,
+       list_transform(range(1, len(s.qv) + 1),
+                      j -> s.qv[j] - icv.cvec[j]) AS r,
+       GREATEST(1, len(s.qv) // {m}) AS w, len(s.qv) AS dim
+       FROM src s
+       JOIN iprobe p ON s.vec_id = p.vec_id AND p.rn <= {nprobe}
+       JOIN icv ON icv.cell = p.cell
+       WHERE s.vec_id < {n_queries}),
+qsubs AS ({qsubs}),
+dist AS (SELECT query_id, cell, sub, code,
+       list_sum(list_transform(range(1, len(rs) + 1),
+                i -> (rs[i] - cvec[i]) * (rs[i] - cvec[i]))) AS d2
+       FROM qsubs JOIN pq_cbs USING (sub)),
+cand AS (SELECT c.vec_id, p.cell, c.sub, c.code
+       FROM pq_codes c JOIN iprobe p ON c.vec_id = p.vec_id AND p.rn = 1),
+adc AS (SELECT query_id, vec_id AS neighbor_id, SUM(d2) AS adc_d2
+       FROM cand JOIN dist USING (cell, sub, code)
+       WHERE query_id != vec_id GROUP BY 1, 2),
+ranked AS (SELECT query_id, neighbor_id, adc_d2,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2, neighbor_id) AS rank
+       FROM adc)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(adc_d2 AS BIGINT) AS adc_d2
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = textops.classifier_weights(spark, n_buckets=1024, seed=7)
     return textops.classifier_scores(_t(spark, sf_dir, 'documents'), w,
@@ -4793,6 +4881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_robots_refresh': q_crawl_robots_refresh,
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'similarity_pq_topk': q_similarity_pq_topk,
+        'similarity_ivf_pq': q_similarity_ivf_pq,
         'line_dedup': q_line_dedup,
         'dedup_substr_strike': q_substr_strike,
         'line_quality_filter': q_line_quality_filter,
@@ -4914,6 +5003,7 @@ def oracle_sql() -> dict[str, str]:
         'crawl_robots_refresh': ORACLE_CRAWL_ROBOTS_REFRESH,
         'similarity_quantized_topk': ORACLE_QUANTIZED_TOPK,
         'similarity_pq_topk': _pq_oracle(),
+        'similarity_ivf_pq': _ivf_pq_oracle(),
         'line_dedup': ORACLE_LINE_DEDUP,
         'dedup_substr_strike': ORACLE_SUBSTR_STRIKE,
         'line_quality_filter': ORACLE_LINE_QUALITY,

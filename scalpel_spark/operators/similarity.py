@@ -173,6 +173,30 @@ def lsh_bucket_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     )
 
 
+def _ivf_quantized(emb: DataFrame, quant: int) -> DataFrame:
+    return emb.select(
+        'vec_id', 'label',
+        F.transform(F.col('embedding').cast('array<double>'),
+                    lambda x: F.floor(x * quant + 0.5).cast('long')).alias('q'),
+    )
+
+
+def _ivf_cent_vec(v: DataFrame) -> DataFrame:
+    """Per-label mean centroid vectors (cell, cv) over quantized rows —
+    the coarse quantizer shared by :func:`_ivf_probes` and
+    :func:`ivf_pq_topk` (which also needs the vectors themselves for
+    residual encoding)."""
+    dims = v.select('vec_id', 'label', F.posexplode('q').alias('d', 'x'))
+    cent = dims.groupBy('label', 'd').agg(
+        F.floor(F.avg('x') + 0.5).cast('long').alias('c')
+    )
+    return (
+        cent.groupBy('label')
+        .agg(F.array_sort(F.collect_list(F.struct('d', 'c'))).alias('pairs'))
+        .select(F.col('label').alias('cell'), F.transform('pairs', lambda p: p['c']).alias('cv'))
+    )
+
+
 def _ivf_probes(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame:
     """Shared IVF probe ranking: (vec_id, label, cell, rn) — every vector's
     ``nprobe`` nearest centroids by squared L2 with the probe rank ``rn``
@@ -182,20 +206,8 @@ def _ivf_probes(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame
     the same ranked frame instead of recomputing the centroid aggregation
     per side. All arithmetic on floor(x*quant+0.5) integers so assignment
     is bit-exact across engines (ties break on smaller label)."""
-    v = emb.select(
-        'vec_id', 'label',
-        F.transform(F.col('embedding').cast('array<double>'),
-                    lambda x: F.floor(x * quant + 0.5).cast('long')).alias('q'),
-    )
-    dims = v.select('vec_id', 'label', F.posexplode('q').alias('d', 'x'))
-    cent = dims.groupBy('label', 'd').agg(
-        F.floor(F.avg('x') + 0.5).cast('long').alias('c')
-    )
-    cent_vec = (
-        cent.groupBy('label')
-        .agg(F.array_sort(F.collect_list(F.struct('d', 'c'))).alias('pairs'))
-        .select(F.col('label').alias('cell'), F.transform('pairs', lambda p: p['c']).alias('cv'))
-    )
+    v = _ivf_quantized(emb, quant)
+    cent_vec = _ivf_cent_vec(v)
     dist = F.aggregate(
         F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast('long'), lambda acc, x: acc + x,
@@ -424,6 +436,87 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, m: int = 4,
     wnd = Window.partitionBy('query_id').orderBy('adc_d2', 'neighbor_id')
     return (
         scored.withColumn('rank', F.row_number().over(wnd))
+        .filter(F.col('rank') <= k)
+        .select('query_id', 'neighbor_id',
+                F.col('rank').cast('long').alias('rank'), 'adc_d2')
+    )
+
+
+def ivf_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
+                nprobe: int = 2, m: int = 4, ksub: int = 4, iters: int = 2,
+                quant: int = 1000) -> DataFrame:
+    """IVFADC (Jégou et al., PAMI 2011 §III): the canonical billion-scale
+    ANN index — IVF coarse cells bound WHERE to look, PQ codes of the
+    RESIDUAL (vector − its cell centroid) bound WHAT is stored, and
+    search is asymmetric distance over candidates in the query's
+    ``nprobe`` nearest cells only. Residual encoding is what makes the
+    codebooks sharp: residuals concentrate near zero regardless of which
+    cell a vector lives in, so ksub subcentroids cover them far better
+    than they cover raw vectors.
+
+    All integer: quantized vectors, integer centroid means, integer
+    residuals (PQ runs with quant=1 over residuals that are already
+    ints). Per query and probed cell the distance table is ksub × m
+    ints; candidates never carry vectors — the scoring join moves
+    (vec_id, cell, sub, code) rows and one partial-agg sum produces the
+    per-(query, candidate) ADC distance. Returns (query_id, neighbor_id,
+    rank, adc_d2), ascending distance, ties on smaller neighbor_id.
+    """
+    v = _ivf_quantized(emb, quant).persist()
+    cent_vec = _ivf_cent_vec(v)
+    d2c = F.aggregate(
+        F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast('long'), lambda acc, x: acc + x)
+    scored = v.crossJoin(F.broadcast(cent_vec)).select(
+        'vec_id', 'cell', d2c.alias('d2'))
+    wp = Window.partitionBy('vec_id').orderBy('d2', 'cell')
+    probes = (scored.withColumn('rn', F.row_number().over(wp))
+              .filter(F.col('rn') <= nprobe))
+    primary = probes.filter(F.col('rn') == 1).select('vec_id', 'cell')
+
+    # corpus residuals vs the primary cell -> PQ codebooks over residuals
+    # (quant=1: the residuals are already quantized integers)
+    res = (v.join(primary, 'vec_id')
+           .join(F.broadcast(cent_vec), 'cell')
+           .select('vec_id', 'cell',
+                   F.zip_with('q', 'cv', lambda x, c: (x - c).cast('double'))
+                   .alias('embedding')))
+    codes_raw, books_raw = pq_fit(res, m=m, ksub=ksub, iters=iters, quant=1)
+    codes = codes_raw.select('vec_id', 'sub', F.col('cell').alias('code'))
+    books = books_raw.select('sub', F.col('cell').alias('code'), 'cv')
+
+    # query residual PER PROBED CELL (the residual depends on the cell)
+    dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
+    w = max(1, dim // m)
+    qres = (v.filter(F.col('vec_id') < n_queries)
+            .join(probes.select('vec_id', 'cell'), 'vec_id')
+            .join(F.broadcast(cent_vec), 'cell')
+            .select(F.col('vec_id').alias('query_id'), 'cell',
+                    F.zip_with('q', 'cv', lambda x, c: x - c).alias('r')))
+    subs = F.array(*[
+        F.struct(
+            F.lit(j).cast('long').alias('sub'),
+            F.slice(F.col('r'), j * w + 1,
+                    (dim - j * w) if j == m - 1 else w).alias('rs'))
+        for j in range(m)])
+    qsub = qres.select('query_id', 'cell', F.explode(subs).alias('s')).select(
+        'query_id', 'cell', F.col('s.sub').alias('sub'), F.col('s.rs').alias('rs'))
+    d2 = F.aggregate(
+        F.zip_with('rs', 'cv', lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast('long'), lambda acc, x: acc + x)
+    # n_queries × nprobe × m × ksub rows — broadcast into the codes join
+    dist = qsub.join(F.broadcast(books), 'sub').select(
+        'query_id', 'cell', 'sub', 'code', d2.alias('d2'))
+    cand = codes.join(primary, 'vec_id')
+    adc = (
+        cand.join(F.broadcast(dist), ['cell', 'sub', 'code'])
+        .groupBy('query_id', F.col('vec_id').alias('neighbor_id'))
+        .agg(F.sum('d2').cast('long').alias('adc_d2'))
+        .filter(F.col('query_id') != F.col('neighbor_id'))
+    )
+    wnd = Window.partitionBy('query_id').orderBy('adc_d2', 'neighbor_id')
+    return (
+        adc.withColumn('rank', F.row_number().over(wnd))
         .filter(F.col('rank') <= k)
         .select('query_id', 'neighbor_id',
                 F.col('rank').cast('long').alias('rank'), 'adc_d2')

@@ -179,3 +179,30 @@ def test_pq_topk_cluster_order_and_code_granularity(spark):
     assert all(d > own for n, d in got.values() if n in (1, 4, 5))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'Python' not in plan
+
+
+def test_ivf_pq_topk_probe_bound_and_residual_codes(spark):
+    """IVFADC: with nprobe=1 candidates come only from the query's
+    primary cell; nprobe=2 reaches the second cell; twin vectors share
+    residual codes so they tie at the same ADC distance (id order)."""
+    rows = [
+        (0, [1.0, 1.0, 9.0, 9.0], 0),
+        (1, [1.0, 1.0, 9.0, 9.0], 0),   # twin of query 0
+        (2, [1.4, 1.4, 8.6, 8.6], 0),
+        (3, [9.0, 9.0, 1.0, 1.0], 1),
+        (4, [8.6, 8.6, 1.4, 1.4], 1),
+    ]
+    emb_df = spark.createDataFrame(
+        rows, 'vec_id long, embedding array<float>, label int')
+    narrow = similarity.ivf_pq_topk(emb_df, n_queries=1, k=5, nprobe=1,
+                                    m=2, ksub=2, iters=1)
+    got1 = {r['neighbor_id'] for r in narrow.collect()}
+    assert got1 == {1, 2}             # own cell only
+    wide = similarity.ivf_pq_topk(emb_df, n_queries=1, k=5, nprobe=2,
+                                  m=2, ksub=2, iters=1)
+    rows2 = sorted((r['rank'], r['neighbor_id'], r['adc_d2'])
+                   for r in wide.collect())
+    assert {r[1] for r in rows2} == {1, 2, 3, 4}
+    assert rows2[0][1] == 1           # twin ranks first
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert 'Python' not in plan
