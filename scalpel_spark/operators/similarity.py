@@ -208,16 +208,27 @@ def _ivf_probes(emb: DataFrame, quant: int = 1000, nprobe: int = 1) -> DataFrame
     is bit-exact across engines (ties break on smaller label)."""
     v = _ivf_quantized(emb, quant)
     cent_vec = _ivf_cent_vec(v)
+    return _probe_rank(v, cent_vec, nprobe, carry=('label',)).select(
+        'vec_id', 'label', F.col('cell').cast('long').alias('cell'), 'rn')
+
+
+def _probe_rank(v: DataFrame, cent_vec: DataFrame, nprobe: int,
+                carry: tuple[str, ...] = ()) -> DataFrame:
+    """The ONE probe-ranking code path every IVF consumer shares
+    (:func:`_ivf_probes` and :func:`ivf_pq_topk`): squared-L2 against the
+    broadcast centroid frame, row_number over (d2, cell), keep the top
+    ``nprobe``. Tie/quantization contract changes here change everywhere
+    — and match the DuckDB oracle twins — by construction."""
     dist = F.aggregate(
         F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast('long'), lambda acc, x: acc + x,
     )
-    scored = v.crossJoin(F.broadcast(cent_vec)).select('vec_id', 'label', 'cell', dist.alias('d2'))
+    scored = v.crossJoin(F.broadcast(cent_vec)).select(
+        'vec_id', *carry, 'cell', dist.alias('d2'))
     w = Window.partitionBy('vec_id').orderBy('d2', 'cell')
     return (
         scored.withColumn('rn', F.row_number().over(w))
         .filter(F.col('rn') <= nprobe)
-        .select('vec_id', 'label', F.col('cell').cast('long').alias('cell'), 'rn')
     )
 
 
@@ -375,10 +386,11 @@ def pq_fit(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 2,
 
     if dim is None:
         dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
-    w = max(1, dim // m)
+    if m > dim:
+        raise ValueError(f'pq: m={m} subspaces need at least m dimensions '
+                         f'(embedding dim is {dim})')
     codes = codebooks = None
-    for j in range(m):
-        start, length = j * w + 1, (dim - j * w) if j == m - 1 else w
+    for j, (start, length) in enumerate(_sub_bounds(m, dim)):
         sub = emb.select(
             'vec_id', F.slice(F.col('embedding'), start, length).alias('embedding'))
         asg_j, cb_j = kmeans_fit(sub, ksub, iters, quant)
@@ -387,6 +399,25 @@ def pq_fit(emb: DataFrame, m: int = 4, ksub: int = 4, iters: int = 2,
         codes = cj if codes is None else codes.unionByName(cj)
         codebooks = bj if codebooks is None else codebooks.unionByName(bj)
     return codes, codebooks
+
+
+def _sub_bounds(m: int, dim: int) -> list[tuple[int, int]]:
+    """(1-based start, length) of each PQ subspace — the ONE copy of the
+    slicing arithmetic shared by encoding (pq_fit) and both query-table
+    builders; the last subspace absorbs the remainder when dim % m != 0.
+    Callers guard m <= dim (pq_fit raises), so lengths are positive."""
+    w = max(1, dim // m)
+    return [(j * w + 1, (dim - j * w) if j == m - 1 else w)
+            for j in range(m)]
+
+
+def _sub_slices(col: Column, m: int, dim: int) -> Column:
+    """Exploded-ready array<struct<sub, qs>> of a vector's PQ subspace
+    slices, bit-identical to pq_fit's encoding slices."""
+    return F.array(*[
+        F.struct(F.lit(j).cast('long').alias('sub'),
+                 F.slice(col, start, length).alias('qs'))
+        for j, (start, length) in enumerate(_sub_bounds(m, dim))])
 
 
 def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, m: int = 4,
@@ -407,19 +438,13 @@ def pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3, m: int = 4,
     """
     dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
     codes, codebooks = pq_fit(emb, m, ksub, iters, quant, dim=dim)
-    w = max(1, dim // m)
     # query side: quantized slice per subspace (same slicing as pq_fit)
     qv = emb.filter(F.col('vec_id') < n_queries).select(
         F.col('vec_id').alias('query_id'),
         F.transform(F.col('embedding').cast('array<double>'),
                     lambda x: F.floor(x * quant + 0.5).cast('long')).alias('q'))
-    subs = F.array(*[
-        F.struct(
-            F.lit(j).cast('long').alias('sub'),
-            F.slice(F.col('q'), j * w + 1,
-                    (dim - j * w) if j == m - 1 else w).alias('qs'))
-        for j in range(m)])
-    qsub = qv.select('query_id', F.explode(subs).alias('s')).select(
+    qsub = qv.select('query_id',
+                     F.explode(_sub_slices(F.col('q'), m, dim)).alias('s')).select(
         'query_id', F.col('s.sub').alias('sub'), F.col('s.qs').alias('qs'))
     d2 = F.aggregate(
         F.zip_with('qs', 'cv', lambda x, c: (x - c) * (x - c)),
@@ -462,16 +487,10 @@ def ivf_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     per-(query, candidate) ADC distance. Returns (query_id, neighbor_id,
     rank, adc_d2), ascending distance, ties on smaller neighbor_id.
     """
+    dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
     v = _ivf_quantized(emb, quant).persist()
     cent_vec = _ivf_cent_vec(v)
-    d2c = F.aggregate(
-        F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
-        F.lit(0).cast('long'), lambda acc, x: acc + x)
-    scored = v.crossJoin(F.broadcast(cent_vec)).select(
-        'vec_id', 'cell', d2c.alias('d2'))
-    wp = Window.partitionBy('vec_id').orderBy('d2', 'cell')
-    probes = (scored.withColumn('rn', F.row_number().over(wp))
-              .filter(F.col('rn') <= nprobe))
+    probes = _probe_rank(v, cent_vec, nprobe)
     primary = probes.filter(F.col('rn') == 1).select('vec_id', 'cell')
 
     # corpus residuals vs the primary cell -> PQ codebooks over residuals
@@ -481,26 +500,21 @@ def ivf_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
            .select('vec_id', 'cell',
                    F.zip_with('q', 'cv', lambda x, c: (x - c).cast('double'))
                    .alias('embedding')))
-    codes_raw, books_raw = pq_fit(res, m=m, ksub=ksub, iters=iters, quant=1)
+    codes_raw, books_raw = pq_fit(res, m=m, ksub=ksub, iters=iters, quant=1,
+                                  dim=dim)
     codes = codes_raw.select('vec_id', 'sub', F.col('cell').alias('code'))
     books = books_raw.select('sub', F.col('cell').alias('code'), 'cv')
 
     # query residual PER PROBED CELL (the residual depends on the cell)
-    dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
-    w = max(1, dim // m)
     qres = (v.filter(F.col('vec_id') < n_queries)
             .join(probes.select('vec_id', 'cell'), 'vec_id')
             .join(F.broadcast(cent_vec), 'cell')
             .select(F.col('vec_id').alias('query_id'), 'cell',
                     F.zip_with('q', 'cv', lambda x, c: x - c).alias('r')))
-    subs = F.array(*[
-        F.struct(
-            F.lit(j).cast('long').alias('sub'),
-            F.slice(F.col('r'), j * w + 1,
-                    (dim - j * w) if j == m - 1 else w).alias('rs'))
-        for j in range(m)])
-    qsub = qres.select('query_id', 'cell', F.explode(subs).alias('s')).select(
-        'query_id', 'cell', F.col('s.sub').alias('sub'), F.col('s.rs').alias('rs'))
+    qsub = qres.select(
+        'query_id', 'cell',
+        F.explode(_sub_slices(F.col('r'), m, dim)).alias('s')).select(
+        'query_id', 'cell', F.col('s.sub').alias('sub'), F.col('s.qs').alias('rs'))
     d2 = F.aggregate(
         F.zip_with('rs', 'cv', lambda x, c: (x - c) * (x - c)),
         F.lit(0).cast('long'), lambda acc, x: acc + x)
