@@ -2984,6 +2984,42 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (textops.normalize_unicode) over
+    deterministic synthetic text: combining-accent sequences that must
+    compose, precomposed twins that must pass through, a combining ring,
+    and plain ASCII. DuckDB's native nfc_normalize is the oracle — the
+    pandas-UDF normalization must match it byte-for-byte."""
+    from scalpel_spark.operators.textops import normalize_unicode
+
+    d = F.col('d')
+    filler = F.substring(F.md5(d.cast('string')), 1, 8)
+    text = (
+        F.when(d % 4 == 0, F.concat(F.lit('café '), filler))
+        .when(d % 4 == 1, F.concat(F.lit('café '), filler))
+        .when(d % 4 == 2, F.concat(F.lit('Å '), filler))
+        .otherwise(filler))
+    docs = _t(spark, sf_dir, 'documents').select(
+        'doc_id', F.col('doc_id').cast('long').alias('d')
+    ).select('doc_id', text.alias('text'))
+    return normalize_unicode(docs, 'NFC')
+
+
+ORACLE_TEXT_NFC = """
+WITH doc AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS d FROM documents),
+p AS (SELECT doc_id, CASE
+    WHEN d % 4 = 0 THEN 'café ' || f
+    WHEN d % 4 = 1 THEN 'café ' || f
+    WHEN d % 4 = 2 THEN 'Å ' || f
+    ELSE f END AS text
+  FROM (SELECT doc_id, d, SUBSTR(md5(CAST(d AS VARCHAR)), 1, 8) AS f
+        FROM doc))
+SELECT doc_id, nfc_normalize(text) AS norm_unicode,
+       nfc_normalize(text) != text AS changed
+FROM p
+"""
+
+
 def q_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = textops.classifier_weights(spark, n_buckets=1024, seed=7)
     return textops.classifier_scores(_t(spark, sf_dir, 'documents'), w,
@@ -4851,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'text_quality_scores': q_text_quality_scores,
         'text_token_counts': q_text_token_counts,
         'text_normalize': q_text_normalize,
+        'text_normalize_unicode': q_text_normalize_unicode,
         'text_fingerprints': q_text_fingerprints,
         'text_redact_pii': q_text_redact_pii,
         'text_repetition': q_text_repetition,
@@ -4972,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         'text_quality_scores': _quality_oracle(),
         'text_token_counts': ORACLE_TOKEN_COUNTS,
         'text_normalize': ORACLE_TEXT_NORMALIZE,
+        'text_normalize_unicode': ORACLE_TEXT_NFC,
         'text_fingerprints': ORACLE_FINGERPRINTS,
         'text_redact_pii': _redact_oracle(),
         'text_repetition': ORACLE_REPETITION,

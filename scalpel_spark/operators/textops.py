@@ -461,3 +461,45 @@ def bigram_lm_scores(docs: DataFrame, model: DataFrame | None = None) -> DataFra
         F.expr('sum(cond_ppm) div count(*)').alias('avg_cond_ppm'),
         F.min('cond_ppm').alias('min_cond_ppm'),
     )
+
+
+def normalize_unicode(docs: DataFrame, form: str = 'NFC',
+                      text_col: str = 'text') -> DataFrame:
+    """Unicode normalization of the text column — the step BEFORE
+    :func:`normalize_text` in a real pipeline: the same word typed with
+    a combining accent (``e`` + U+0301) and the precomposed form (``é``)
+    are different byte strings, so every hash-based dedup operator in
+    this repo treats them as different documents until they are
+    normalized. Web text mixes both constantly (editors, CMSes, and
+    copy-paste disagree).
+
+    Spark has no JVM normalizer builtin, so this is one of the repo's
+    few sanctioned vectorized pandas UDFs (Arrow-batched
+    ``Series.str.normalize`` — same lane as URL canonicalization, never
+    per-row Python). ``form='NFC'`` is byte-reproducible by DuckDB's
+    ``nfc_normalize`` (the oracle); ``'NFKC'`` additionally folds
+    compatibility forms (ligatures, fullwidth ASCII) — the aggressive
+    pre-dedup choice.
+
+    Map-side only. Returns (doc_id, norm_unicode, changed).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf's hint inference rejects the strings; the
+    # explicit returnType carries the schema
+    @pandas_udf(T.StringType())
+    def _norm(s):
+        return s.str.normalize(form)
+
+    # two-step projection so the UDF runs once per row (referencing the
+    # same UDF expression twice in one select can evaluate it twice —
+    # Python nodes get no common-subexpression elimination)
+    tmp = docs.select(
+        'doc_id', F.col(text_col).alias('_orig'),
+        _norm(F.col(text_col)).alias('norm_unicode'))
+    return tmp.select(
+        'doc_id', 'norm_unicode',
+        (F.col('norm_unicode') != F.col('_orig')).alias('changed'))

@@ -388,3 +388,31 @@ def test_bigram_lm_scores_external_model(spark):
     assert r['n_bigrams'] == 2
     assert r['avg_cond_ppm'] == 500000
     assert r['min_cond_ppm'] == 0
+
+
+def test_normalize_unicode_nfc_and_nfkc(spark):
+    """Combining sequences compose under NFC; compatibility forms
+    (fullwidth, ligature) fold only under NFKC; None stays None."""
+    from scalpel_spark.operators.textops import normalize_unicode
+
+    docs = spark.createDataFrame([
+        ('d1', 'café'),          # e + combining acute
+        ('d2', 'café'),           # precomposed
+        ('d3', 'ＡＢ'),        # fullwidth AB
+        ('d4', 'ﬁle'),            # fi ligature
+        ('d5', 'plain'),
+        ('d6', None),
+    ], 'doc_id string, text string')
+    nfc = {r['doc_id']: (r['norm_unicode'], r['changed'])
+           for r in normalize_unicode(docs, 'NFC').collect()}
+    assert nfc['d1'] == ('café', True)
+    assert nfc['d2'] == ('café', False)
+    assert nfc['d3'] == ('ＡＢ', False)   # NFC keeps fullwidth
+    assert nfc['d5'] == ('plain', False)
+    assert nfc['d6'][0] is None
+    nfkc = {r['doc_id']: r['norm_unicode']
+            for r in normalize_unicode(docs, 'NFKC').collect()}
+    assert nfkc['d3'] == 'AB'
+    assert nfkc['d4'] == 'file'
+    # after NFC, d1 and d2 fingerprint identically (the dedup motivation)
+    assert nfc['d1'][0] == nfc['d2'][0]

@@ -22,7 +22,8 @@ sys.path.insert(0, '.')
 # (url canonicalization, and the once-per-host robots.txt parse of
 # robots_rfc9309 — its per-URL matching is JVM-side)
 PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
-             'robots_rfc9309', 'fetch_mapinpandas'}
+             'robots_rfc9309', 'fetch_mapinpandas',
+             'text_normalize_unicode'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
