@@ -2736,6 +2736,54 @@ FROM agg
 """
 
 
+def q_latency_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-aware politeness (scheduling.latency_budget) over a
+    deterministic synthetic fetch log from orders (fetch_ms =
+    (k % 97)/10 + 1 — identical IEEE double arithmetic on both
+    engines, floored to integer microseconds): per-host mean latency →
+    delay-factor pause → wave budget, min/max clamps exercised by the
+    spread of per-host means."""
+    from scalpel_spark.operators import scheduling
+
+    orders = _t(spark, sf_dir, 'orders')
+    k = F.col('o_orderkey')
+    fetches = orders.select(
+        F.concat(F.lit('h'), F.pmod(F.col('o_custkey'), F.lit(20))
+                 .cast('string')).alias('host'),
+        ((k % 97).cast('double') / 10.0 + 1.0).alias('fetch_ms'),
+    )
+    return scheduling.latency_budget(
+        fetches, wave_duration_ms=60_000, delay_factor_ppm=2_000_000,
+        min_budget=1, max_budget=5_000)
+
+
+ORACLE_LATENCY_BUDGET = """
+WITH fetches AS (
+  SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         CAST(o_orderkey % 97 AS DOUBLE) / 10.0 + 1.0 AS fetch_ms
+  FROM orders),
+agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(CAST(floor(fetch_ms * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_us
+  FROM fetches GROUP BY host),
+d AS (
+  SELECT host, n_fetches, sum_us // n_fetches AS mean_fetch_us
+  FROM agg),
+b AS (
+  SELECT host, n_fetches, mean_fetch_us,
+         (2000000 * mean_fetch_us) // 1000000 AS delay_us
+  FROM d)
+SELECT host, n_fetches, mean_fetch_us, delay_us,
+       LEAST(CAST(5000 AS BIGINT),
+             GREATEST(CAST(1 AS BIGINT),
+                      60000000 // GREATEST(CAST(1 AS BIGINT), delay_us)))
+         AS budget
+FROM b
+"""
+
+
 def q_recrawl_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Age × authority recrawl picks over a deterministic synthetic seen
     table (both engines build identical rows, so score and order are
@@ -4948,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sitemap_delta': q_sitemap_delta,
         'robots_directives': q_robots_directives,
         'retry_after_backoff': q_retry_after_backoff,
+        'latency_budget': q_latency_budget,
         'crawl_meta_robots': q_crawl_meta_robots,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
@@ -5071,6 +5120,7 @@ def oracle_sql() -> dict[str, str]:
         'sitemap_delta': ORACLE_SITEMAP_DELTA,
         'robots_directives': ORACLE_ROBOTS_DIRECTIVES,
         'retry_after_backoff': ORACLE_RETRY_AFTER,
+        'latency_budget': ORACLE_LATENCY_BUDGET,
         'crawl_meta_robots': ORACLE_CRAWL_META_ROBOTS,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,

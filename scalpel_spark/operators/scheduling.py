@@ -396,3 +396,49 @@ def retry_after_backoff(fetches: DataFrame, wave_duration_ms: int,
                        f'div {wave_duration_ms}')).cast('long')
     return agg.select('host', 'n_directives', 'hold_secs',
                       resume.alias('resume_wave'))
+
+
+def latency_budget(fetches: DataFrame, wave_duration_ms: int,
+                   delay_factor_ppm: int = 2_000_000,
+                   min_budget: int = 1,
+                   max_budget: int | None = None) -> DataFrame:
+    """Latency-aware politeness (Heritrix's ``delay-factor``): the pause
+    between a host's dispatches scales with the server's OWN measured
+    response time — a 5 s server asked again 100 ms later is being
+    DDoSed by a polite-on-paper crawler, and robots.txt can't say so.
+    With the default factor 2.0 (2e6 ppm, Heritrix's default) a host
+    answering in ``t`` gets ``2t`` of quiet between requests.
+
+        mean_us  = sum(floor(fetch_ms*1000)) div n        (integer µs)
+        delay_us = (delay_factor_ppm * mean_us) div 1e6
+        budget   = clamp(min_budget, max_budget,
+                         wave_duration_ms*1000 div max(1, delay_us))
+
+    Integer arithmetic end to end (per-row µs floors, ppm factor), so
+    budgets reproduce on any engine/partitioning. One partial-agg
+    groupBy(host) carrying two counters. The output's (host, budget)
+    feeds ``CrawlEngine(host_budgets=...)`` directly — effective budget
+    there is least(uniform knob, robots-delay-derived, table) — closing
+    the observe → adapt → dispatch loop for latency the way
+    :func:`adaptive_backoff` closes it for errors and
+    :func:`retry_after_backoff` for explicit server instructions.
+
+    Returns (host, n_fetches, mean_fetch_us, delay_us, budget).
+    """
+    us = F.floor(F.col('fetch_ms') * 1000).cast('long')
+    agg = fetches.groupBy('host').agg(
+        F.count(F.lit(1)).cast('long').alias('n_fetches'),
+        F.sum(us).cast('long').alias('_sum_us'),
+    )
+    mean_us = F.expr('_sum_us div n_fetches')
+    out = agg.select(
+        'host', 'n_fetches', mean_us.alias('mean_fetch_us'),
+    ).withColumn(
+        'delay_us', F.expr(f'({delay_factor_ppm} * mean_fetch_us) div 1000000')
+    )
+    budget = F.greatest(
+        F.lit(min_budget).cast('long'),
+        F.expr(f'({wave_duration_ms} * 1000) div greatest(1L, delay_us)'))
+    if max_budget is not None:
+        budget = F.least(budget, F.lit(max_budget).cast('long'))
+    return out.withColumn('budget', budget)
