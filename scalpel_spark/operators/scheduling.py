@@ -423,22 +423,31 @@ def latency_budget(fetches: DataFrame, wave_duration_ms: int,
     :func:`adaptive_backoff` closes it for errors and
     :func:`retry_after_backoff` for explicit server instructions.
 
+    Rows with NULL fetch_ms (a timeout logged without timing) are
+    excluded up front — counting them against count(*) would dilute the
+    mean and RAISE the budget, the opposite of polite; a host with no
+    timed fetch at all drops out of the output and keeps whatever
+    default budget policy applies.
+
     Returns (host, n_fetches, mean_fetch_us, delay_us, budget).
     """
+    wave_us = wave_duration_ms * 1000  # compute in Python: an inline
+    # `{ms} * 1000` SQL literal is INT*INT and overflows past ~35 min
     us = F.floor(F.col('fetch_ms') * 1000).cast('long')
-    agg = fetches.groupBy('host').agg(
-        F.count(F.lit(1)).cast('long').alias('n_fetches'),
-        F.sum(us).cast('long').alias('_sum_us'),
-    )
+    agg = (fetches.filter(F.col('fetch_ms').isNotNull())
+           .groupBy('host').agg(
+               F.count(F.lit(1)).cast('long').alias('n_fetches'),
+               F.sum(us).cast('long').alias('_sum_us'),
+           ))
     mean_us = F.expr('_sum_us div n_fetches')
     out = agg.select(
         'host', 'n_fetches', mean_us.alias('mean_fetch_us'),
     ).withColumn(
-        'delay_us', F.expr(f'({delay_factor_ppm} * mean_fetch_us) div 1000000')
+        'delay_us', F.expr(f'({delay_factor_ppm}L * mean_fetch_us) div 1000000')
     )
     budget = F.greatest(
         F.lit(min_budget).cast('long'),
-        F.expr(f'({wave_duration_ms} * 1000) div greatest(1L, delay_us)'))
+        F.expr(f'{wave_us}L div greatest(1L, delay_us)'))
     if max_budget is not None:
         budget = F.least(budget, F.lit(max_budget).cast('long'))
     return out.withColumn('budget', budget)

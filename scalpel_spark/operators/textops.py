@@ -4,6 +4,9 @@ quality scoring, token counting, document fingerprinting.
 All pure JVM column algebra (whole-stage codegen; no Python UDFs), with
 DuckDB-oracle-portable arithmetic: integer hashes from
 ``functions/texthash.py``, float outputs rounded at fixed precision.
+One carve-out: :func:`normalize_unicode` uses an Arrow-batched pandas
+UDF (Spark has no JVM Unicode normalizer) — the same sanctioned lane as
+URL canonicalization, listed in the plan auditor's PANDAS_OK set.
 
 At 100 TB these are embarrassingly parallel map-side transforms — zero
 shuffles except the final (tiny) per-language aggregations.
@@ -483,7 +486,6 @@ def normalize_unicode(docs: DataFrame, form: str = 'NFC',
 
     Map-side only. Returns (doc_id, norm_unicode, changed).
     """
-    import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 

@@ -323,20 +323,28 @@ def test_latency_budget_scales_with_response_time(spark):
     """delay = factor x mean fetch time; slow hosts get small budgets,
     fast hosts are clamped by max_budget, floor at min_budget."""
     fetches = spark.createDataFrame([
-        ('fast', 10.0), ('fast', 20.0),          # mean 15ms -> delay 30ms
-        ('slow', 5000.0),                        # delay 10s > wave -> min
-        ('zero', 0.0),                           # delay 0 -> max cap
+        ('fast', 10.0), ('fast', 20.0),    # mean 15ms -> delay 30ms
+        ('fast', None),                    # untimed row must not dilute
+        ('slow', 5000.0),                  # delay 10s -> 6 slots per 60s
+        ('glacial', 50_000.0),             # delay 100s > wave -> min floor
+        ('zero', 0.0),                     # delay 0 -> max cap
+        ('untimed', None),                 # no timed fetch -> absent
     ], 'host string, fetch_ms double')
     out = {r['host']: r for r in scheduling.latency_budget(
         fetches, wave_duration_ms=60_000, delay_factor_ppm=2_000_000,
         min_budget=1, max_budget=10_000).collect()}
+    assert 'untimed' not in out
+    assert out['fast']['n_fetches'] == 2
     assert out['fast']['mean_fetch_us'] == 15_000
     assert out['fast']['delay_us'] == 30_000
     assert out['fast']['budget'] == 60_000_000 // 30_000   # 2000
     assert out['slow']['budget'] == 6                      # 60s / 10s
+    assert out['glacial']['budget'] == 1                   # min floor
     assert out['zero']['delay_us'] == 0
     assert out['zero']['budget'] == 10_000                 # capped
-    # without a cap, a zero-delay host gets the whole wave in slots
+    # without a cap, a zero-delay host gets the whole wave in slots;
+    # an hour-long wave must not overflow the int32 literal range
     nocap = {r['host']: r['budget'] for r in scheduling.latency_budget(
-        fetches, wave_duration_ms=60_000).collect()}
-    assert nocap['zero'] == 60_000_000
+        fetches, wave_duration_ms=3_600_000).collect()}
+    assert nocap['zero'] == 3_600_000_000
+    assert nocap['slow'] == 360
