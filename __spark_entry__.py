@@ -1441,7 +1441,7 @@ f AS (
            * delay * 1000.0 AS dispatch_ms
   FROM u)
 SELECT host, COUNT(*) AS n_urls,
-       SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS n_404,
+       CAST(SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
        SUM(fetch_ms) AS sum_fetch_ms,
        SUM(dispatch_ms) AS sum_dispatch_ms,
        COUNT(DISTINCT body) AS n_bodies,
@@ -3367,6 +3367,32 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_golden_http_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME golden crawl as crawl_golden_http, through the
+    live-deployment fetch stage (CrawlConfig.fetch_mode='mapinpandas'):
+    the frontier flows through sources/fetcher.fetch_frontier — the
+    Arrow-batched, host-partitioned mapInPandas fetcher with per-host
+    slot pacing — instead of the corpus equi-join; content resolution
+    stays a corpus join (the parse stage). Identical output proves the
+    two fetch paths are interchangeable, so the shared VALUES oracle is
+    the cross-mode parity gate."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site
+
+    engine = CrawlEngine(
+        spark, golden_site(spark, 'http'),
+        config=CrawlConfig(link_rule='second_contains_page',
+                           fetch_mode='mapinpandas'),
+    )
+    result = engine.run(['http://quotes.com'])
+    return result.seen.select(
+        'url', 'status',
+        F.col('wave').cast('long').alias('wave'),
+        F.col('priority').cast('long').alias('priority'),
+    )
+
+
 def q_crawl_golden_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production statistics path (`CrawlResult.statistics_agg`): pure
     aggregates, no driver-side URL sets — the scale-safe twin of the
@@ -3704,8 +3730,9 @@ SELECT * FROM (VALUES
 
 def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic 200-page crawl with robots + politeness budget + hot-host
-    salting; deterministic per-wave dispatch statistics. Iterative wave
-    loop — not SQL-expressible, driver records the rows-only check."""
+    salting; deterministic per-wave dispatch statistics. The wave loop is
+    iterative but its inputs are fixed, so the output is a constant table
+    — VALUES-oracled like crawl_politeness_budget."""
     from scalpel_spark.config import CrawlConfig
     from scalpel_spark.plans.engine import CrawlEngine
     from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
@@ -3728,6 +3755,25 @@ def q_crawl_synthetic_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count('*').alias('n_urls'), F.min('priority').alias('min_priority'))
         .select(F.col('wave').cast('long').alias('wave'), 'status', 'n_urls', 'min_priority')
     )
+
+
+# pinned from the deterministic run (corpus seed=42, hot_hosts=2, robots
+# policy table, max_dispatch=10, hot_host_threshold=16, max_waves=4) —
+# the same VALUES-twin technique as ORACLE_POLITENESS_BUDGET: the wave
+# loop is iterative but its inputs are fixed, so its per-wave dispatch
+# statistics are a constant table
+ORACLE_SYNTHETIC_POLITENESS = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'reachable', CAST(1 AS BIGINT), CAST(11 AS BIGINT)),
+  (CAST(0 AS BIGINT), 'robots_excluded', CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+  (CAST(0 AS BIGINT), 'unreachable', CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'reachable', CAST(1 AS BIGINT), CAST(13 AS BIGINT)),
+  (CAST(1 AS BIGINT), 'robots_excluded', CAST(1 AS BIGINT), CAST(12 AS BIGINT)),
+  (CAST(2 AS BIGINT), 'reachable', CAST(4 AS BIGINT), CAST(14 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'reachable', CAST(5 AS BIGINT), CAST(18 AS BIGINT)),
+  (CAST(3 AS BIGINT), 'robots_excluded', CAST(5 AS BIGINT), CAST(19 AS BIGINT))
+) AS t(wave, status, n_urls, min_priority)
+"""
 
 
 def q_crawl_green_file_bypass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4900,12 +4946,104 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER IS THE VERIFICATION POLICY (VERDICT r3 "What's wrong" #2):
+    # the driver oracle-checks the FIRST 50 entries only, so the window
+    # below leads with the queries that have never had a driver row —
+    # every crawl_* engine-lifecycle query, the graph ranks, the
+    # scheduling/recrawl planners, PQ/IVFADC, spans/media — plus five
+    # r3-green canaries (regression tripwires) and the two fetch-path
+    # queries whose oracles changed this round. Entries 51+ are ordered
+    # never-checked-first so the round-5 rotation picks them up next;
+    # the tail is the r3-driver-green set (hard evidence already
+    # recorded in CORRECTNESS_r03.json).
     return {
+        # -- canaries (driver-green in r3, kept in-window as tripwires) --
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'frontier_dedup_anti_join': q_frontier_dedup_anti_join,
+        'politeness_dispatch_window': q_politeness_dispatch_window,
+        'dedup_minhash_lsh': q_dedup_minhash_lsh,
+        'url_canonicalize_golden': q_url_canonicalize_golden,
+        # -- oracle fixed this round (r3's only red row) --
+        'fetch_mapinpandas': q_fetch_mapinpandas,
+        # -- engine lifecycle: golden crawls + both fetch modes --
+        'crawl_golden_http': q_crawl_golden_http,
+        'crawl_golden_http_mapinpandas': q_crawl_golden_http_mapinpandas,
+        'crawl_golden_statistics': q_crawl_golden_statistics,
+        'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
+        'crawl_politeness_budget': q_crawl_politeness_budget,
+        'crawl_priority_frontier': q_crawl_priority_frontier,
+        'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
+        'crawl_green_file_bypass': q_crawl_green_file_bypass,
+        'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
+        'crawl_dust_alias': q_crawl_dust_alias,
+        'crawl_opic_adaptive': q_crawl_opic_adaptive,
+        'crawl_content_dedup': q_crawl_content_dedup,
+        'crawl_global_budget': q_crawl_global_budget,
+        'crawl_retry_requeue': q_crawl_retry_requeue,
+        'crawl_ip_politeness': q_crawl_ip_politeness,
+        'crawl_priority_global': q_crawl_priority_global,
+        'crawl_host_budget_table': q_crawl_host_budget_table,
+        'crawl_rank_recrawl': q_crawl_rank_recrawl,
+        'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
+        'crawl_feed_bootstrap': q_crawl_feed_bootstrap,
+        'crawl_score_aging': q_crawl_score_aging,
+        'crawl_robots_refresh': q_crawl_robots_refresh,
+        'crawl_shard_rendezvous': q_crawl_shard_rendezvous,
+        'crawl_canonical_fold': q_crawl_canonical_fold,
+        'crawl_host_rank': q_crawl_host_rank,
+        'crawl_meta_robots': q_crawl_meta_robots,
+        # -- host-graph ranks --
+        'host_rank': q_host_rank,
+        'host_trust_rank': q_host_trust_rank,
+        'host_hits': q_host_hits,
+        'host_opic': q_host_opic,
+        # -- scheduling / recrawl planners --
+        'plan_host_budgets': q_plan_host_budgets,
+        'adaptive_backoff': q_adaptive_backoff,
+        'conditional_fetch_plan': q_conditional_fetch_plan,
+        'retry_after_backoff': q_retry_after_backoff,
+        'latency_budget': q_latency_budget,
+        'change_rates': q_change_rates,
+        'recrawl_selection': q_recrawl_selection,
+        # -- quantized ANN (PQ / IVFADC) --
+        'similarity_quantized_topk': q_similarity_quantized_topk,
+        'similarity_pq_topk': q_similarity_pq_topk,
+        'similarity_ivf_pq': q_similarity_ivf_pq,
+        # -- span invariant + media --
+        'spans_fingerprint_golden': q_spans_fingerprint_golden,
+        'spans_media_stats': q_spans_media_stats,
+        'spans_parity_check': q_spans_parity_check,
+        'media_frontier_dedup': q_media_frontier_dedup,
+        # ---- driver window ends here (50 entries above) ----
+        # never-driver-checked remainder, first in line for round 5
+        'media_sniff_types': q_media_sniff_types,
+        'media_sniff_charset': q_media_sniff_charset,
+        'link_context': q_link_context,
+        'anchor_text_profile': q_anchor_text_profile,
+        'line_dedup': q_line_dedup,
+        'dedup_substr_strike': q_substr_strike,
+        'line_quality_filter': q_line_quality_filter,
+        'classifier_scores': q_classifier_scores,
+        'domain_cap': q_domain_cap,
+        'kmeans_assign': q_kmeans_assign,
+        'semdedup': q_semdedup,
+        'url_dust_rules': q_url_dust_rules,
+        'url_dust_strip': q_url_dust_strip,
+        'mirror_hosts': q_mirror_hosts,
+        'soft404_flags': q_soft404_flags,
+        'url_rel_canonical': q_url_rel_canonical,
+        'cdx_revisit_index': q_cdx_revisit_index,
+        'feed_discovery': q_feed_discovery,
+        'url_quality_filter': q_url_quality_filter,
+        'url_trap_scores': q_url_trap_scores,
+        'sitemap_delta': q_sitemap_delta,
+        'robots_directives': q_robots_directives,
+        'pipeline_decontaminate': q_decontaminate,
+        'source_reputation': q_source_reputation,
+        'events_sessionize': q_events_sessionize,
+        # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
-        'politeness_dispatch_window': q_politeness_dispatch_window,
         'discovery_order_posexplode': q_discovery_order_posexplode,
         'seen_union_statistics': q_seen_union_statistics,
         'crawl_statistics_agg': q_crawl_statistics_agg,
@@ -4913,7 +5051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'host_extraction': q_host_extraction,
         'skew_salted_aggregation': q_skew_salted_aggregation,
         'tpch_shipping_priority': q_tpch_shipping_priority,
-        'url_canonicalize_golden': q_url_canonicalize_golden,
         'url_frontier_canonical': q_url_frontier_canonical,
         'dedup_exact': q_dedup_exact,
         'dedup_ngram_jaccard': q_dedup_ngram_jaccard,
@@ -4922,7 +5059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sample_token_budget': q_sample_token_budget,
         'sample_mixture': q_mixture_sample,
         'pack_sequences': q_pack_sequences,
-        'dedup_minhash_lsh': q_dedup_minhash_lsh,
         'dedup_minhash_incremental': q_dedup_incremental,
         'dedup_simhash': q_dedup_simhash,
         'dedup_embedding_cosine': q_dedup_embedding_cosine,
@@ -4950,75 +5086,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'robots_rfc9309': q_robots_rfc9309,
         'url_resolve_redirects': q_url_resolve_redirects,
         'crawl_rfc9309': q_crawl_rfc9309,
-        'fetch_mapinpandas': q_fetch_mapinpandas,
-        'crawl_content_dedup': q_crawl_content_dedup,
-        'crawl_global_budget': q_crawl_global_budget,
-        'crawl_retry_requeue': q_crawl_retry_requeue,
-        'crawl_ip_politeness': q_crawl_ip_politeness,
-        'link_context': q_link_context,
-        'anchor_text_profile': q_anchor_text_profile,
-        'crawl_priority_global': q_crawl_priority_global,
-        'crawl_host_budget_table': q_crawl_host_budget_table,
-        'crawl_rank_recrawl': q_crawl_rank_recrawl,
-        'crawl_sitemap_bootstrap': q_crawl_sitemap_bootstrap,
-        'crawl_feed_bootstrap': q_crawl_feed_bootstrap,
-        'crawl_score_aging': q_crawl_score_aging,
-        'crawl_robots_refresh': q_crawl_robots_refresh,
-        'similarity_quantized_topk': q_similarity_quantized_topk,
-        'similarity_pq_topk': q_similarity_pq_topk,
-        'similarity_ivf_pq': q_similarity_ivf_pq,
-        'line_dedup': q_line_dedup,
-        'dedup_substr_strike': q_substr_strike,
-        'line_quality_filter': q_line_quality_filter,
-        'classifier_scores': q_classifier_scores,
-        'domain_cap': q_domain_cap,
-        'kmeans_assign': q_kmeans_assign,
-        'semdedup': q_semdedup,
-        'host_rank': q_host_rank,
-        'host_trust_rank': q_host_trust_rank,
-        'host_hits': q_host_hits,
-        'host_opic': q_host_opic,
-        'crawl_shard_rendezvous': q_crawl_shard_rendezvous,
-        'url_dust_rules': q_url_dust_rules,
-        'url_dust_strip': q_url_dust_strip,
-        'mirror_hosts': q_mirror_hosts,
-        'soft404_flags': q_soft404_flags,
-        'url_rel_canonical': q_url_rel_canonical,
-        'crawl_canonical_fold': q_crawl_canonical_fold,
-        'cdx_revisit_index': q_cdx_revisit_index,
-        'feed_discovery': q_feed_discovery,
-        'crawl_host_rank': q_crawl_host_rank,
-        'url_quality_filter': q_url_quality_filter,
-        'url_trap_scores': q_url_trap_scores,
-        'plan_host_budgets': q_plan_host_budgets,
-        'adaptive_backoff': q_adaptive_backoff,
-        'conditional_fetch_plan': q_conditional_fetch_plan,
-        'sitemap_delta': q_sitemap_delta,
-        'robots_directives': q_robots_directives,
-        'retry_after_backoff': q_retry_after_backoff,
-        'latency_budget': q_latency_budget,
-        'crawl_meta_robots': q_crawl_meta_robots,
-        'change_rates': q_change_rates,
-        'recrawl_selection': q_recrawl_selection,
-        'pipeline_decontaminate': q_decontaminate,
-        'source_reputation': q_source_reputation,
-        'events_sessionize': q_events_sessionize,
-        'crawl_golden_http': q_crawl_golden_http,
-        'crawl_golden_statistics': q_crawl_golden_statistics,
-        'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
-        'crawl_politeness_budget': q_crawl_politeness_budget,
-        'crawl_priority_frontier': q_crawl_priority_frontier,
-        'crawl_synthetic_politeness': q_crawl_synthetic_politeness,
-        'crawl_green_file_bypass': q_crawl_green_file_bypass,
-        'crawl_canonicalized_seen': q_crawl_canonicalized_seen,
-        'crawl_dust_alias': q_crawl_dust_alias,
-        'crawl_opic_adaptive': q_crawl_opic_adaptive,
-        'spans_fingerprint_golden': q_spans_fingerprint_golden,
-        'spans_media_stats': q_spans_media_stats,
-        'spans_parity_check': q_spans_parity_check,
-        'media_frontier_dedup': q_media_frontier_dedup,
-        'media_sniff_types': q_media_sniff_types,
-        'media_sniff_charset': q_media_sniff_charset,
     }
 
 
@@ -5142,5 +5209,6 @@ def oracle_sql() -> dict[str, str]:
         'media_frontier_dedup': ORACLE_MEDIA_FRONTIER,
         'media_sniff_types': ORACLE_MEDIA_SNIFF,
         'media_sniff_charset': ORACLE_MEDIA_CHARSET,
-        # crawl_synthetic_politeness: iterative wave loop — rows-only check
+        'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
+        'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

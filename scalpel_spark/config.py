@@ -218,6 +218,29 @@ class CrawlConfig:
     # the backoff: one wave represents wave_duration seconds of pacing.
     # 0 = reference parity (one attempt, failures are final).
     max_retries: int = 0
+    # fetch-stage strategy (SURVEY §2.2 S2): 'corpus_join' (default) —
+    # the wave's allowed frontier equi-joins the corpus table on url,
+    # the at-rest layout of an already-fetched web (bucketed one-Exchange
+    # join, sources/corpus.py); 'mapinpandas' — the LIVE-deployment path:
+    # the frontier flows through sources/fetcher.fetch_frontier, an
+    # Arrow-batched mapInPandas stage partitioned by host with
+    # cross-batch per-host slot pacing, calling `fetch_fn` (an injected
+    # batch HTTP client, the Spark twin of the reference's client at
+    # any_io/static_spider.py:62-74). Content resolution (spans) still
+    # comes from the corpus join afterward — in production that join IS
+    # the parse stage over fetched bodies. Both modes produce identical
+    # crawl results when fetch_fn reports the corpus statuses (the
+    # default corpus-backed fake), proven by the golden-crawl oracle in
+    # both modes.
+    fetch_mode: str = 'corpus_join'
+    # injected batch fetcher for fetch_mode='mapinpandas': pandas
+    # DataFrame (url, host) -> pandas DataFrame (status, body, fetch_ms),
+    # executed inside the mapInPandas task (e.g. an async client pool
+    # reused across Arrow batches). None = a corpus-backed deterministic
+    # fake the engine builds for parity testing (guarded to small
+    # corpora — a deployment MUST inject its real client here; loadable
+    # from YAML/TOML/env as a dotted path like item_processors).
+    fetch_fn: Optional[Callable] = None
     seed: int = 42
 
     def __post_init__(self):
@@ -241,6 +264,8 @@ class CrawlConfig:
             raise ValueError('max_dispatch_per_wave must be >= 1')
         if self.max_retries < 0:
             raise ValueError('max_retries must be >= 0')
+        if self.fetch_mode not in ('corpus_join', 'mapinpandas'):
+            raise ValueError(f'unknown fetch_mode: {self.fetch_mode}')
         if self.sitemap_index_hops < 0:
             raise ValueError('sitemap_index_hops must be >= 0')
         if self.score_aging_per_wave < 0:
@@ -266,6 +291,7 @@ _FLOAT_FIELDS = {'fetch_timeout', 'wave_duration', 'score_aging_per_wave'}
 _BOOL_FIELDS = {'follow_robots_txt', 'ignore_errors', 'url_rules', 'follow_sitemaps',
                 'follow_feeds', 'respect_meta_robots'}
 _CALLABLE_SEQ_FIELDS = {'item_processors', 'response_middlewares'}
+_CALLABLE_FIELDS = {'fetch_fn'}
 _STR_SEQ_FIELDS = {'blocklist_hosts'}
 
 
@@ -298,6 +324,8 @@ def _coerce(name: str, value):
         if isinstance(value, str):
             value = [v.strip() for v in value.split(',') if v.strip()]
         return tuple(resolve_callable(v) for v in value)
+    if name in _CALLABLE_FIELDS and value is not None:
+        return resolve_callable(value)
     if name in _STR_SEQ_FIELDS and value is not None:
         if isinstance(value, str):
             value = [v.strip() for v in value.split(',') if v.strip()]

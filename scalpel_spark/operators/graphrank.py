@@ -163,22 +163,28 @@ def _nodes_of(edges: DataFrame) -> DataFrame:
 
 
 def _l1_normalized(scores: DataFrame, col: str) -> DataFrame:
-    """Exact integer L1 normalization: floor(score · SCALE / total).
+    """Exact integer L1 normalization: (score · SCALE) div total.
 
     The multiply runs in DECIMAL so a long-sized raw score times SCALE
-    cannot overflow (≤10^27 < 10^38); the denominator is DECIMAL(19,0)
-    so the quotient keeps 20 fractional digits — FLOOR is exact, and
-    DuckDB's ``(raw::HUGEINT * SCALE) // total`` reproduces it bit for
-    bit. Long sums are associative, so the result is identical on any
-    partitioning. After this pass scores sum to (SCALE - n, SCALE],
+    cannot overflow (≤10^27 < 10^38), and the integral ``div`` operator
+    returns the exact truncated quotient — DuckDB's
+    ``(raw::HUGEINT * SCALE) // total`` reproduces it bit for bit.
+    NOT ``FLOOR`` of a true division: under Spark's default
+    ``allowPrecisionLoss`` the DECIMAL(38,0)/DECIMAL(19,0) quotient is
+    adjusted to DECIMAL(38,6) and rounded HALF_UP at 1e-6 before FLOOR,
+    so any fractional part ≥ 1 − 5e-7 floored UP (e.g.
+    floor(1·SCALE/(SCALE+1)) → 1, exact answer 0) and two
+    normalizations per hits() iteration could silently diverge from the
+    oracle. Long sums are associative, so the result is identical on
+    any partitioning. After this pass scores sum to (SCALE - n, SCALE],
     keeping the next half-step's weighted in-sums inside 64 bits
     (score ≤ SCALE ⇒ Σ score·w ≤ SCALE · Σw, safe to ~9·10^9 weighted
     edges)."""
     tot = scores.agg(F.greatest(
         F.lit(1).cast('long'), F.sum(col)).alias('_t'))
-    scaled = (f'CAST(FLOOR(CAST({col} AS DECIMAL(28,0))'
+    scaled = (f'CAST(CAST({col} AS DECIMAL(28,0))'
               f' * CAST({SCALE} AS DECIMAL(10,0))'
-              f' / CAST(_t AS DECIMAL(19,0))) AS BIGINT)')
+              f' div CAST(_t AS DECIMAL(19,0)) AS BIGINT)')
     return scores.crossJoin(F.broadcast(tot)).select(
         'host', F.expr(scaled).alias(col))
 

@@ -44,6 +44,11 @@ from scalpel_spark.operators.seen import (ShardedCuckooStore, anti_join_seen_cuc
 from scalpel_spark.operators.skew import detect_hot_keys
 from scalpel_spark.plans.storage import SnapshotStore
 
+# corpus-row cap on the driver-collected corpus-backed fake fetcher
+# (fetch_mode='mapinpandas' with no injected fetch_fn) — parity-test
+# scale only; see CrawlEngine._fetch_fn
+_FAKE_FETCH_LIMIT = 100_000
+
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField('url', T.StringType()),
@@ -317,7 +322,14 @@ class CrawlEngine:
         # DUST/seen-keying. Exact-URL rewrites beat inferred rules, so the
         # map applies first; the join side is host-bounded in practice and
         # left to AQE (broadcast when small, shuffle join beyond).
-        self.canonical_map = canonical_map
+        # src must be unique or the left join in _canonicalized would fan
+        # each matching frontier row out N ways (duplicate fetches
+        # downstream) — fold_canonicals emits unique srcs, but nothing
+        # enforces that on an injected map, so dedupe defensively here
+        # (one shuffle at injection, not per call: _canonicalized reuses
+        # the deduped frame every wave).
+        self.canonical_map = (canonical_map.dropDuplicates(['src'])
+                              if canonical_map is not None else None)
         if self.config.follow_robots_txt and robots is None:
             # no robots table ≡ every robots.txt fetch times out → deny-all
             self.robots = spark.createDataFrame([], 'host string, fetch_status int, rules string')
@@ -332,6 +344,7 @@ class CrawlEngine:
         # "rebuild-at-resume-time accelerator" of DESIGN.md)
         self._bloom = None
         self._bloom_capacity = 0
+        self._fetch_fn_cache = None
         if self.config.seen_filter == 'cuckoo':
             self._cuckoo = self._load_cuckoo()
 
@@ -369,6 +382,49 @@ class CrawlEngine:
         if not self.config.canonicalize_urls:
             return df
         return df.withColumn(col, canonical_frontier_udf(F.col(col)))
+
+    def _fetch_fn(self):
+        """Resolve the ``fetch_mode='mapinpandas'`` batch fetcher: the
+        injected ``CrawlConfig.fetch_fn``, else a corpus-backed
+        deterministic fake — status/latency copied from the corpus row
+        (missing URL → 404), body = the url — so both fetch modes produce
+        identical crawl results and share one golden oracle. The fake
+        collects ``(doc_id, http_status, fetch_ms)`` into a driver dict
+        captured by the task closure, which is PARITY-TEST SCALE ONLY
+        and guarded: a deployment injects its real batch HTTP client
+        (the reference's pool, any_io/static_spider.py:62-74)."""
+        if self.config.fetch_fn is not None:
+            return self.config.fetch_fn
+        if self._fetch_fn_cache is None:
+            rows = (self.corpus
+                    .select('doc_id', 'http_status', 'fetch_ms')
+                    .limit(_FAKE_FETCH_LIMIT + 1).collect())
+            if len(rows) > _FAKE_FETCH_LIMIT:
+                raise ValueError(
+                    "fetch_mode='mapinpandas' without fetch_fn builds a "
+                    f'corpus-backed fake capped at {_FAKE_FETCH_LIMIT} '
+                    'corpus rows — inject CrawlConfig.fetch_fn (your '
+                    'batch HTTP client) for real deployments')
+            table = {
+                r['doc_id']: (
+                    int(r['http_status']) if r['http_status'] is not None else 0,
+                    float(r['fetch_ms']) if r['fetch_ms'] is not None else 0.0)
+                for r in rows
+            }
+
+            def corpus_fake(batch):
+                import pandas as pd
+
+                looked = [table.get(u) for u in batch['url']]
+                return pd.DataFrame({
+                    'status': [v[0] if v is not None else 404 for v in looked],
+                    'body': [u if v is not None else ''
+                             for u, v in zip(batch['url'], looked)],
+                    'fetch_ms': [v[1] if v is not None else 0.0 for v in looked],
+                })
+
+            self._fetch_fn_cache = corpus_fake
+        return self._fetch_fn_cache
 
     # -- cuckoo sidecar (seen_filter='cuckoo') -------------------------------
 
@@ -1133,7 +1189,15 @@ class CrawlEngine:
                     'url', 'url_hash', 'host', 'scheme',
                     (F.col('wave') + 1).alias('wave'), 'priority'))
                 allowed = kept
-        allowed = allowed.drop('delay', '_enq_wave')
+        # mapinpandas fetch paces dispatch from the recorded robots delay,
+        # so that column rides into the fetch stage in that mode only
+        # (falling back to the config delay when no robots step ran —
+        # same precedence as the politeness budget at step 4)
+        allowed = allowed.drop('_enq_wave')
+        if cfg.fetch_mode != 'mapinpandas':
+            allowed = allowed.drop('delay')
+        elif 'delay' not in allowed.columns:
+            allowed = allowed.withColumn('delay', F.lit(float(cfg.request_delay)))
 
         # 5. fetch = join corpus (S2/J3); status routing (F4). Response
         # middlewares wrap the fetch *stage* exactly like the reference's
@@ -1158,8 +1222,51 @@ class CrawlEngine:
             ).otherwise(found & (F.col('http_status') < 400))
             return out.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
 
+        def base_fetch_mapinpandas(allowed_df: DataFrame) -> DataFrame:
+            # live-deployment fetch stage (S2 twin of the reference's
+            # client pool, any_io/static_spider.py:62-74): http(s) rows
+            # flow through sources/fetcher.fetch_frontier — an
+            # Arrow-batched mapInPandas stage partitioned by host with
+            # cross-batch per-host slot pacing from the recorded robots
+            # delay, batch failures quarantined to transport status -1 —
+            # then the corpus join resolves CONTENT (spans); in
+            # production that join IS the parse stage over fetched
+            # bodies. Transport status decides http reachability
+            # (100..399 — exact parity with corpus_join's http_status
+            # routing, and -1 lands unreachable); file:// rows never
+            # touch the HTTP client (any_io/static_spider.py:116-127)
+            # and keep the scheme/readable branch + corpus latency.
+            from scalpel_spark.sources.fetcher import fetch_frontier
+
+            transport = fetch_frontier(
+                allowed_df.filter(F.col('scheme') != 'file'),
+                fetch_fn=self._fetch_fn(),
+                order_col='priority', delay_col='delay',
+            ).select(F.col('url').alias('_t_url'),
+                     F.col('status').alias('_t_status'),
+                     F.col('fetch_ms').alias('_t_fetch_ms'),
+                     'dispatch_ms')
+            corpus = self.corpus.select(
+                'doc_id', 'spans', 'readable',
+                F.col('fetch_ms').alias('_c_fetch_ms'), *render_cols, *tag_cols)
+            out = (allowed_df.drop('delay')
+                   .join(transport, F.col('url') == F.col('_t_url'), 'left')
+                   .join(corpus, F.col('url') == F.col('doc_id'), 'left'))
+            found = F.col('doc_id').isNotNull()
+            is_file = F.col('scheme') == 'file'
+            ok = F.when(
+                is_file, found & F.coalesce(F.col('readable'), F.lit(False))
+            ).otherwise(found & (F.col('_t_status') >= 100) & (F.col('_t_status') < 400))
+            return (out
+                    .withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
+                    .withColumn('fetch_ms', F.when(is_file, F.col('_c_fetch_ms'))
+                                .otherwise(F.col('_t_fetch_ms')))
+                    .drop('_t_url', '_t_status', '_t_fetch_ms', '_c_fetch_ms'))
+
+        base = base_fetch_mapinpandas if cfg.fetch_mode == 'mapinpandas' else base_fetch
+
         def compose_and_fetch() -> DataFrame:
-            fn = base_fetch
+            fn = base
             for middleware in cfg.response_middlewares:
                 fn = middleware(fn)
             return fn(allowed)
@@ -1180,7 +1287,7 @@ class CrawlEngine:
             # tests/any_io/test_static_spider.py:194-220): a failing
             # middleware chain is skipped, the bare fetch proceeds
             metrics_rows.append((wave, 'middleware_error', -1, 0, 0.0))
-            fetched = base_fetch(allowed)
+            fetched = base(allowed)
         # the wave's working set feeds four downstream tables (seen/docs/
         # items/outlinks) that are each materialized at commit — persist it
         # once so the fetch join is not recomputed per table write

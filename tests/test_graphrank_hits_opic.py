@@ -156,3 +156,27 @@ def test_opic_plan_stays_jvm(spark):
     plan = graphrank.opic_update(state, edges, _hosts(spark, [0]))._jdf \
         .queryExecution().executedPlan().toString()
     assert 'Python' not in plan and 'BatchEvalPython' not in plan
+
+
+def test_l1_normalized_is_exact_integral_quotient(spark):
+    """ADVICE r3: FLOOR of a DECIMAL true division rounds HALF_UP at
+    1e-6 before flooring (allowPrecisionLoss), so quotients with
+    fractional part >= 1-5e-7 came out one too high — the integral
+    `div` must return the exact truncated quotient instead. Pins the
+    reproduced case floor(1*SCALE/(SCALE+1)) == 0 plus boundary pairs
+    against Python's exact big-int // on the same values."""
+    # (score, total) pairs with total >= score (the total always
+    # includes the score itself); fractional parts span 0, ~0.5 and
+    # >= 1-5e-7 (the HALF_UP hazard zone)
+    cases = [(0, 1), (1, SCALE + 1), (7, 9), (5, 5),
+             (2**40, 2**40 + 7), (SCALE - 1, SCALE)]
+    for i, (c, t) in enumerate(cases):
+        one = spark.createDataFrame([(f'h{i}', c)], 'host STRING, s LONG')
+        # _t = max(1, sum) with a single row = max(1, c); emulate the
+        # target total by padding a second row carrying the remainder
+        if t > max(1, c):
+            one = one.union(spark.createDataFrame(
+                [('pad', t - c)], 'host STRING, s LONG'))
+        got = {r['host']: r['s']
+               for r in graphrank._l1_normalized(one, 's').collect()}
+        assert got[f'h{i}'] == (c * SCALE) // max(1, t), (c, t)
