@@ -4732,7 +4732,7 @@ t AS (SELECT d, CASE
       '^[\\t\\n\\x0c\\r ]*<\\?xml') THEN 'application/xml'
     WHEN body IS NOT NULL AND regexp_matches(lower(body),
       '^[\\t\\n\\x0c\\r ]*<(?:!doctype html|html|head|body|script|iframe|'
-      || 'h1|div|font|table|a |a>|style|title|b>|b |br|p>|p |!--)')
+      || 'h1|div|font|table|style|title|br|b|p|a|!--)[ >]')
       THEN 'text/html'
     ELSE 'application/octet-stream'
   END AS content_type FROM c)

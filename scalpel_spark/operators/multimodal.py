@@ -243,8 +243,12 @@ FTYP_BRANDS = (
 # CR/space, case-insensitively. Checked on a latin-1 view of the prefix
 # (total on bytes — never throws) AFTER every binary signature misses.
 _WS = r'[\t\n\x0c\r ]*'
+# every WHATWG table row ends with a tag-terminating byte (0x20 or 0x3E)
+# after the tag name — without it '<htmlxyz' or '<script-foo' would
+# classify as text/html. Longer names before their prefixes (br before
+# b) so backtracking never has to rescue a match.
 _HTML_TAG_RE = (_WS + r'<(?:!doctype html|html|head|body|script|iframe|'
-                r'h1|div|font|table|a |a>|style|title|b>|b |br|p>|p |!--)')
+                r'h1|div|font|table|style|title|br|b|p|a|!--)[ >]')
 _XML_RE = _WS + r'<\?xml'
 
 
@@ -307,14 +311,15 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
     or missing for a long tail of pages. Precedence:
 
     1. byte-order mark (UTF-32 before UTF-16 — prefix containment);
-    2. ``<meta charset=...>`` / ``http-equiv`` form inside the first
+    2. the server-declared charset (optional ``declared`` column) —
+       WHATWG order: the transport-layer header outranks the in-band
+       prescan, only the BOM outranks the header;
+    3. ``<meta charset=...>`` / ``http-equiv`` form inside the first
        1024 bytes (the WHATWG prescan window), matched case-insensitively
        on a latin-1 view of the prefix (latin-1 is total on bytes, so
        the prescan never throws) — anchored to a ``<meta`` element, so
        ``accept-charset`` form attributes or ``charset=`` query strings
        in links can never hijack the verdict;
-    3. the server-declared charset (optional ``declared`` column), which
-       real sniffers trust only below in-band evidence;
     4. pure-ASCII prescan window → ``ascii``;
     5. otherwise ``windows-1252`` — the WHATWG default.
 
@@ -328,6 +333,9 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
     for bom, cs in BOM_PREFIXES:
         cond = hx.startswith(bom)
         out = F.when(cond, F.lit(cs)) if out is None else out.when(cond, F.lit(cs))
+    if declared is not None:
+        d = F.lower(F.trim(declared))
+        out = out.when(d.isNotNull() & (d != ''), d)
     prescan = F.lower(F.decode(F.substring(payload, 1, 1024), 'ISO-8859-1'))
     # anchored to a <meta> element (WHATWG prescan honors meta only);
     # [^>]* keeps the match inside the tag, and the non-alnum guard
@@ -336,8 +344,5 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
         prescan,
         r'<meta[^>]*?[^a-z0-9_\-]charset\s*=\s*["\']?([a-z0-9_\-]+)', 1)
     out = out.when(meta != '', meta)
-    if declared is not None:
-        d = F.lower(F.trim(declared))
-        out = out.when(d.isNotNull() & (d != ''), d)
     out = out.when(prescan.rlike('^[\\x01-\\x7f]*$'), F.lit('ascii'))
     return out.otherwise(F.lit('windows-1252'))

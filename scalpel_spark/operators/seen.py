@@ -391,11 +391,22 @@ class ShardedCuckooStore:
     array — replacing the per-wave collect + Python insert loop that
     serialized every wave's hashes through the driver.
 
-    Idempotence note: a task retry after a completed rename re-inserts the
-    same keys as extra fingerprint copies — membership (and therefore
-    crawl exactness, which the exact anti-join owns anyway) is unaffected,
-    and a later delete removes one copy per key, keeping the counting
-    invariant.
+    Retry/speculation safety (round-3 verdict #4): cuckoo inserts are
+    NOT idempotent — a task retried after its rename completed would
+    re-insert the wave's keys as doubled fingerprints, and a doubled
+    fingerprint survives one ``forget()`` delete. Every
+    ``insert_df``/``delete_df`` call therefore mints ONE apply-id on the
+    driver (captured by the task closure, so every retry/speculative
+    copy of a shard task carries the same id) and each shard file
+    records the ids it has applied (last ``_APPLIED_KEEP``): a shard
+    task whose apply-id is already recorded no-ops. A speculative twin
+    racing the original both load the same pre-state and both save a
+    once-applied table, so the atomic rename keeps either outcome
+    correct. Requires ``directory`` on storage shared by all executors
+    (NFS/EFS/fuse mount — same requirement as any Spark checkpoint
+    location); the load→mutate→rename cycle assumes Spark's guarantee
+    that one logical operation's shard task set is the only writer
+    between waves.
 
     Saturation (a dropped insert ⇒ possible false negative) is recorded
     per shard IN the shard file and is sticky; the engine checks
@@ -403,6 +414,10 @@ class ShardedCuckooStore:
     """
 
     _SUMMARY_SCHEMA = 'shard int, n_changed long, saturated boolean'
+    # applied-op ids kept per shard file; one id per insert_df/delete_df
+    # call, so 64 covers far more in-flight retry ambiguity than Spark's
+    # task-attempt horizon ever spans
+    _APPLIED_KEEP = 64
 
     def __init__(self, directory: str, num_buckets: int, n_shards: int = 1):
         import os
@@ -420,23 +435,27 @@ class ShardedCuckooStore:
         return os.path.join(self.directory, f'shard_{shard}.npz')
 
     @staticmethod
-    def _load_shard(path: str, num_buckets: int) -> tuple['CuckooFilter', bool]:
+    def _load_shard(path: str, num_buckets: int) -> tuple['CuckooFilter', bool, list]:
         import os
 
         if os.path.exists(path):
             data = np.load(path)
+            applied = ([str(a) for a in data['applied']]
+                       if 'applied' in data.files else [])
             return (CuckooFilter.from_table(data['table'], int(data['num_buckets'])),
-                    bool(data['saturated']))
-        return CuckooFilter(num_buckets), False
+                    bool(data['saturated']), applied)
+        return CuckooFilter(num_buckets), False, []
 
     @staticmethod
-    def _save_shard(path: str, cf: 'CuckooFilter', saturated: bool) -> None:
+    def _save_shard(path: str, cf: 'CuckooFilter', saturated: bool,
+                    applied: list) -> None:
         import os
         import uuid
 
         tmp = f'{path}.{uuid.uuid4().hex}.tmp.npz'
         np.savez(tmp, table=cf.table, num_buckets=np.int64(cf.num_buckets),
-                 saturated=np.bool_(saturated))
+                 saturated=np.bool_(saturated),
+                 applied=np.array(applied, dtype='U32'))
         os.replace(tmp, path)
 
     def exists(self) -> bool:
@@ -450,7 +469,7 @@ class ShardedCuckooStore:
     def any_saturated(self) -> bool:
         sat = False
         for s in range(self.n_shards):
-            _, s_sat = self._load_shard(self._path(s), self.num_buckets_per_shard)
+            _, s_sat, _ = self._load_shard(self._path(s), self.num_buckets_per_shard)
             sat |= s_sat
         return sat
 
@@ -460,38 +479,58 @@ class ShardedCuckooStore:
         return F.pmod(F.shiftrightunsigned(F.col(hash_col), 32),
                       F.lit(self.n_shards)).cast('int')
 
-    def _apply(self, df: DataFrame, hash_col: str, op: str) -> list:
+    def _apply(self, df: DataFrame, hash_col: str, op: str,
+               apply_id: str | None = None) -> list:
         """One grouped-map job: per shard, load → bulk op → atomic save.
-        Returns the collected per-shard summaries (≤ n_shards tiny rows)."""
-        directory, n_shards, buckets = self.directory, self.n_shards, self.num_buckets_per_shard
+        Returns the collected per-shard summaries (≤ n_shards tiny rows).
+
+        ``apply_id`` identifies the logical operation: a shard whose file
+        already records it no-ops (task retry / speculative re-execution
+        after a completed rename must not double-insert — see the class
+        docstring). Minted once per call on the DRIVER so every attempt
+        of a shard task shares it."""
+        import uuid
+
+        buckets = self.num_buckets_per_shard
+        keep = self._APPLIED_KEEP
         path_of = self._path
         load, save = self._load_shard, self._save_shard
+        if apply_id is None:
+            apply_id = uuid.uuid4().hex
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             shard = int(pdf['_shard'].iloc[0])
+            cf, saturated, applied = load(path_of(shard), buckets)
+            if apply_id in applied:
+                return pd.DataFrame({'shard': [shard], 'n_changed': [0],
+                                     'saturated': [saturated]})
             h = pdf[hash_col].to_numpy(dtype=np.int64)
-            cf, saturated = load(path_of(shard), buckets)
             if op == 'insert':
                 if cf.insert(h) > 0:
                     saturated = True
                 n_changed = len(h)
             else:
                 n_changed = cf.delete(h)
-            save(path_of(shard), cf, saturated)
+            applied = (applied + [apply_id])[-keep:]
+            save(path_of(shard), cf, saturated, applied)
             return pd.DataFrame({'shard': [shard], 'n_changed': [n_changed],
                                  'saturated': [saturated]})
 
         keyed = df.select(F.col(hash_col)).withColumn('_shard', self._shard_col(hash_col))
         return keyed.groupBy('_shard').applyInPandas(per_shard, self._SUMMARY_SCHEMA).collect()
 
-    def insert_df(self, df: DataFrame, hash_col: str = 'url_hash') -> bool:
+    def insert_df(self, df: DataFrame, hash_col: str = 'url_hash',
+                  apply_id: str | None = None) -> bool:
         """Bulk-insert the hashes of ``df`` executor-side; returns True if
-        any shard is (now) saturated."""
-        rows = self._apply(df, hash_col, 'insert')
+        any shard is (now) saturated. ``apply_id`` (default: a fresh
+        uuid per call) makes re-application of the same logical insert a
+        no-op per shard."""
+        rows = self._apply(df, hash_col, 'insert', apply_id)
         return any(r['saturated'] for r in rows)
 
-    def delete_df(self, df: DataFrame, hash_col: str = 'url_hash') -> int:
-        rows = self._apply(df, hash_col, 'delete')
+    def delete_df(self, df: DataFrame, hash_col: str = 'url_hash',
+                  apply_id: str | None = None) -> int:
+        rows = self._apply(df, hash_col, 'delete', apply_id)
         return sum(r['n_changed'] for r in rows)
 
     # -- probe side ------------------------------------------------------------
@@ -501,7 +540,7 @@ class ShardedCuckooStore:
         :func:`anti_join_seen_cuckoo`'s membership UDF."""
         out = []
         for s in range(self.n_shards):
-            cf, _ = self._load_shard(self._path(s), self.num_buckets_per_shard)
+            cf, _, _ = self._load_shard(self._path(s), self.num_buckets_per_shard)
             out.append((cf.table, cf.num_buckets))
         return out
 

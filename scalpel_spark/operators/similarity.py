@@ -488,7 +488,11 @@ def ivf_pq_topk(emb: DataFrame, n_queries: int = 10, k: int = 3,
     rank, adc_d2), ascending distance, ties on smaller neighbor_id.
     """
     dim = emb.select(F.size('embedding').alias('d')).limit(1).first()['d']
-    v = _ivf_quantized(emb, quant).persist()
+    # NOT persisted: the returned plan is lazy, so a persist here could
+    # never be unpersisted by this function and would leak cached blocks
+    # across repeated calls (ADVICE r3); _ivf_quantized is a map-side
+    # projection of the scan, cheap for AQE to recompute per join
+    v = _ivf_quantized(emb, quant)
     cent_vec = _ivf_cent_vec(v)
     probes = _probe_rank(v, cent_vec, nprobe)
     primary = probes.filter(F.col('rn') == 1).select('vec_id', 'cell')

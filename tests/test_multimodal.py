@@ -172,6 +172,12 @@ def test_sniff_content_type_magic_bytes(spark):
         (b'RIFF\x00\x00\x00\x00XXXX....', 'application/octet-stream'),
         (b'random body text', 'application/octet-stream'),
         (b'', 'application/octet-stream'),
+        # WHATWG tag-terminating byte: a tag-name PREFIX is not a match
+        (b'<htmlxyz>', 'application/octet-stream'),
+        (b'<script-foo>', 'application/octet-stream'),
+        (b'<border=1>', 'application/octet-stream'),
+        (b'<p>', 'text/html'),
+        (b'<br >', 'text/html'),
     ]
     df = spark.createDataFrame(
         [(i, payload) for i, (payload, _) in enumerate(cases)],
@@ -184,8 +190,10 @@ def test_sniff_content_type_magic_bytes(spark):
 
 
 def test_sniff_charset_precedence_ladder(spark):
-    """BOM > meta prescan > declared header > ascii > windows-1252;
-    UTF-32 BOMs beat their UTF-16 prefixes."""
+    """BOM > declared header > meta prescan > ascii > windows-1252
+    (WHATWG: the transport-layer charset outranks the in-band prescan,
+    only the BOM outranks the header); UTF-32 BOMs beat their UTF-16
+    prefixes."""
     cases = [
         # (payload, declared, want)
         (b'\x00\x00\xfe\xffXX', None, 'utf-32be'),
@@ -201,8 +209,10 @@ def test_sniff_charset_precedence_ladder(spark):
         (b'<meta http-equiv="Content-Type" '
          b'content="text/html; charset=ISO-8859-2">', None, 'iso-8859-2'),
         (b'<meta charset=utf-8>', None, 'utf-8'),
-        # meta beats declared
-        (b'<meta charset="big5">x', 'utf-8', 'big5'),
+        # declared header beats meta (WHATWG transport precedence)
+        (b'<meta charset="big5">x', 'utf-8', 'utf-8'),
+        # meta wins only when nothing was declared
+        (b'<meta charset="big5">x', None, 'big5'),
         # only META declarations count: accept-charset on a form and
         # charset= in a link query string never hijack the verdict
         (b'<form accept-charset="utf-8">caf\xe9', None, 'windows-1252'),

@@ -270,3 +270,33 @@ def test_engine_sharded_cuckoo_identical_crawl(spark, tmp_path):
         runs[n_shards] = CrawlEngine(spark, corpus, config=cfg, store=store).run(seeds)
     assert runs[1].dispatch_rows() == runs[4].dispatch_rows()
     corpus.unpersist()
+
+
+def test_sharded_cuckoo_reapplied_insert_is_noop(spark, tmp_path):
+    """Retry/speculation safety (VERDICT r3 #4): re-running insert_df
+    with the SAME apply_id (a retried task set after a completed rename)
+    must not double-insert — ONE fingerprint per key, so one delete
+    fully removes membership. A fresh apply_id still inserts a second
+    copy (distinct logical operations keep the counting invariant)."""
+    from scalpel_spark.operators.seen import ShardedCuckooStore
+
+    store = ShardedCuckooStore(str(tmp_path / 's'), num_buckets=1 << 16,
+                               n_shards=2)
+    df = spark.range(0, 1_000).select(F.xxhash64('id').alias('url_hash'))
+    hashes = np.array([r['url_hash'] for r in df.collect()], dtype=np.int64)
+
+    store.insert_df(df, apply_id='wave-0-insert')
+    store.insert_df(df, apply_id='wave-0-insert')  # retried job: no-op
+    assert store.contains(hashes).all()
+    assert store.delete_df(df, apply_id='wave-0-forget') == 1_000
+    assert not store.contains(hashes).any()  # single copy was removed
+
+    # distinct logical ops DO stack copies; a re-applied delete no-ops
+    store.insert_df(df, apply_id='wave-1-insert')
+    store.insert_df(df, apply_id='wave-2-insert')
+    assert store.delete_df(df, apply_id='wave-3-forget') == 1_000
+    assert store.contains(hashes).all()  # second copy survives
+    assert store.delete_df(df, apply_id='wave-3-forget') == 0  # replayed
+    assert store.contains(hashes).all()
+    assert store.delete_df(df, apply_id='wave-4-forget') == 1_000
+    assert not store.contains(hashes).any()
