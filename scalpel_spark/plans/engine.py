@@ -954,14 +954,37 @@ class CrawlEngine:
                     F.col('scheme').isin('http', 'https') & ~F.col('rep_allowed')
                 )
                 rep_cols = ('rep_allowed',)
-            excluded = joined.filter(is_excluded).select(
-                'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
-            )
             # keep the per-host `delay` when wave_duration derives the
             # budget from it (step 4); drop it otherwise
             drop_cols = ('excluded',) if cfg.wave_duration is not None else ('excluded', 'delay')
             drop_cols = drop_cols + rep_cols
-            allowed = joined.filter(~is_excluded).drop(*drop_cols)
+            # gevent-backend slot semantics (green/static_spider.py:
+            # 189-199 + 107-115): the green worker sleeps request_delay
+            # after EVERY dequeue and only then _handle_url runs the
+            # robots check — a denied URL therefore CONSUMES a dispatch
+            # slot. The anyio worker checks at schedule time and
+            # `continue`s without sleeping (any_io/static_spider.py:
+            # 177-187) — a denied URL is free. Model: under 'green' with
+            # any dispatch budget active, denied rows ride through the
+            # politeness window flagged (`_rx`), occupy slots in FIFO
+            # priority order (deferring past-budget rows to the next
+            # wave like any other row), and only slot winners land in
+            # seen as robots_excluded — the split happens after step 4b.
+            # Without a budget the divergence is unobservable at wave
+            # granularity, so the schedule-time path stays.
+            green_slot_rx = cfg.politeness_mode == 'green' and (
+                cfg.max_dispatch_per_host_per_wave is not None
+                or cfg.wave_duration is not None
+                or self.host_budgets is not None
+                or cfg.max_dispatch_per_wave is not None)
+            if green_slot_rx:
+                excluded = None
+                allowed = joined.withColumn('_rx', is_excluded).drop(*drop_cols)
+            else:
+                excluded = joined.filter(is_excluded).select(
+                    'url', 'url_hash', F.lit('robots_excluded').alias('status'), F.col('wave'), 'priority'
+                )
+                allowed = joined.filter(~is_excluded).drop(*drop_cols)
             metrics_rows.append((wave, 'robots', -1, n_hosts, (time.time() - t0) * 1000))
 
         # 4. politeness budget (W1/T2) with hot-host salting (§4.2).
@@ -1189,6 +1212,16 @@ class CrawlEngine:
                     'url', 'url_hash', 'host', 'scheme',
                     (F.col('wave') + 1).alias('wave'), 'priority'))
                 allowed = kept
+        # green handle-time exclusion: the denied rows that won dispatch
+        # slots this wave are marked robots_excluded NOW (they consumed
+        # their slot, like the gevent worker's post-dequeue sleep);
+        # denied rows past the budget were deferred with everything else
+        if '_rx' in allowed.columns:
+            excluded = allowed.filter(F.col('_rx')).select(
+                'url', 'url_hash', F.lit('robots_excluded').alias('status'),
+                F.col('wave'), 'priority')
+            allowed = allowed.filter(~F.col('_rx')).drop('_rx')
+
         # mapinpandas fetch paces dispatch from the recorded robots delay,
         # so that column rides into the fetch stage in that mode only
         # (falling back to the config delay when no robots step ran —

@@ -122,7 +122,10 @@ class CrawlSimulator:
         self.link_selector = LINK_SELECTORS[link_selector] if isinstance(link_selector, str) else link_selector
         # 'green' = gevent backend pacing: robots delay NOT honored for
         # allowed hosts, config delay always used (green/static_spider.py:192-199
-        # TODO); exclusion semantics identical in both modes
+        # TODO); allow/deny verdicts identical in both modes, but under a
+        # dispatch budget a denied URL consumes a slot in green (the
+        # worker sleeps after every dequeue) and is free in anyio — see
+        # run_waves step 4
         self.politeness_mode = politeness_mode
         # host → (excluded, delay); first URL of the host decides (any_io/robots.py:79-95)
         self._host_state: dict[str, tuple[bool, float]] = {}
@@ -219,15 +222,28 @@ class CrawlSimulator:
                         allowed.append((prio, url))
             else:
                 allowed = list(new)
-            for prio, url in excluded:
-                seen[url] = ('robots_excluded', wave, prio)
-                res.robots_excluded.add(url)
+            budgeted = (max_dispatch_per_host_per_wave is not None
+                        or wave_duration is not None)
+            # gevent slot semantics (green/static_spider.py:189-199): the
+            # green worker sleeps after EVERY dequeue, so a denied URL
+            # consumes a dispatch slot — under a budget, denied rows
+            # compete for slots in priority order and past-budget ones
+            # defer like any other row. The anyio worker excludes at
+            # schedule time without sleeping (free). Mirrors the engine's
+            # `_rx` flag through the step-4 window.
+            green_slot_rx = self.politeness_mode == 'green' and budgeted
+            if not green_slot_rx:
+                for prio, url in excluded:
+                    seen[url] = ('robots_excluded', wave, prio)
+                    res.robots_excluded.add(url)
+                excluded = []
 
             # 4. politeness budget: per host, priority order
             deferred: list[tuple[str, int]] = []
-            if max_dispatch_per_host_per_wave is not None or wave_duration is not None:
+            if budgeted:
+                rx = {url for _, url in excluded}
                 byhost: dict[Optional[str], list[tuple[int, str]]] = {}
-                for prio, url in allowed:
+                for prio, url in allowed + excluded:
                     byhost.setdefault(urlkit.host_of(url), []).append((prio, url))
                 allowed = []
                 for host, rows in byhost.items():
@@ -241,12 +257,14 @@ class CrawlSimulator:
                         if delay > 0:
                             budget = min(budget, max(1.0, wave_duration // delay))
                     rows.sort()
-                    if budget == float('inf'):
-                        allowed.extend(rows)
-                    else:
-                        b = int(budget)
-                        allowed.extend(rows[:b])
-                        deferred.extend((url, prio) for prio, url in rows[b:])
+                    b = len(rows) if budget == float('inf') else int(budget)
+                    for prio, url in rows[:b]:
+                        if url in rx:  # slot consumed, verdict recorded
+                            seen[url] = ('robots_excluded', wave, prio)
+                            res.robots_excluded.add(url)
+                        else:
+                            allowed.append((prio, url))
+                    deferred.extend((url, prio) for prio, url in rows[b:])
                 allowed.sort()
 
             # 5/6. fetch + stats, 7. follow (state snapshots from BEFORE

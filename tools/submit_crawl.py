@@ -37,6 +37,16 @@ def main() -> None:
                          '(Iceberg rewrite_data_files + expire_snapshots)')
     ap.add_argument('--url-rules', action='store_true',
                     help='enable C4-style URL quality rules ahead of the frontier')
+    ap.add_argument('--fetch-mode', choices=['corpus_join', 'mapinpandas'],
+                    default='corpus_join',
+                    help='fetch stage: corpus equi-join (default) or the '
+                         'live-deployment mapInPandas fetcher (injectable '
+                         'batch client; corpus-backed fake here)')
+    ap.add_argument('--politeness-mode', choices=['anyio', 'green'],
+                    default='anyio',
+                    help="backend semantics: 'green' paces with the config "
+                         'delay, reads file URLs before robots, and a '
+                         'denied URL consumes a dispatch slot')
     ap.add_argument('--robots-matcher', choices=['stdlib', 'rfc9309'], default='stdlib',
                     help='stdlib = reference parity (first URL decides the host); '
                          'rfc9309 = per-URL wildcard matching')
@@ -123,6 +133,8 @@ def main() -> None:
         url_rules=args.url_rules or bool(blocklist),
         blocklist_hosts=blocklist,
         robots_matcher=args.robots_matcher,
+        fetch_mode=args.fetch_mode,
+        politeness_mode=args.politeness_mode,
         politeness_scope=args.politeness_scope,
         max_dispatch_per_wave=args.global_budget,
         content_dedup=args.content_dedup,
