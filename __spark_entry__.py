@@ -29,6 +29,7 @@ from scalpel_spark.operators import (
     curation,
     dedup,
     graphrank,
+    indexing,
     lineops,
     sessions,
     similarity,
@@ -4940,6 +4941,117 @@ SELECT * FROM (VALUES
 # ---------------------------------------------------------------------------
 
 
+def q_index_champion_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/indexing.champion_postings — per-term top-3 documents by
+    tf plus df/cf stats, the impact-ordered index-pruning build (what a
+    crawl corpus feeds next; the reference stops at item extraction,
+    core/spider.py:92). Skew-safe two-phase top-k: salted local ranks
+    first, so a stopword's posting list never lands in one window task.
+    The oracle recomputes with a flat window — equality IS the proof the
+    salted decomposition is correct."""
+    return indexing.champion_postings(_t(spark, sf_dir, 'documents'), k=3)
+
+
+ORACLE_CHAMPION_POSTINGS = """
+WITH tf AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok, doc_id),
+stats AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY tok),
+ranked AS (
+  SELECT tok, doc_id, tf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM tf)
+SELECT r.tok, s.df, s.cf, r.rank, r.doc_id, r.tf
+FROM ranked r JOIN stats s ON r.tok = s.tok
+WHERE r.rank <= 3
+"""
+
+
+def q_index_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/indexing.anchor_terms — per-target top-3 anchor terms over
+    a deterministic hash-derived link graph (3 out-links per doc, same md5
+    formula as host_rank; anchor term = the source doc's 1st/2nd token by
+    link slot). The target-side anchor rollup is the ranking signal every
+    web indexer aggregates; unlike anchor_text_profile (bounded first/last
+    context), this is the term histogram. Oracle recomputes the graph and
+    ranks independently — no pinned constants."""
+    docs = _t(spark, sf_dir, 'documents').select('doc_id', 'text')
+    n = docs.count()
+    fan = docs.select(
+        'doc_id', F.split('text', ' ').alias('toks'),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias('j'),
+    )
+    dst = F.pmod(
+        hash60(F.concat(F.col('doc_id').cast('string'), F.lit('-'),
+                        F.col('j').cast('string'))),
+        F.lit(n),
+    )
+    links = (
+        fan.select(
+            F.col('doc_id'), dst.alias('dst'),
+            F.element_at('toks', (F.pmod(F.col('j'), F.lit(2)) + 1).cast('int'))
+            .alias('term'))
+        .filter(F.col('dst') != F.col('doc_id'))
+    )
+    return indexing.anchor_terms(links, k=3)
+
+
+ORACLE_ANCHOR_TERMS = f"""
+WITH nd AS (SELECT COUNT(*) AS n FROM documents),
+fan AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, j
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+links AS (
+  SELECT {H60.format(x="CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)")}
+           % (SELECT n FROM nd) AS dst,
+         toks[1 + (j % 2)] AS term, doc_id
+  FROM fan),
+agg AS (
+  SELECT dst, term, CAST(COUNT(*) AS BIGINT) AS n_refs
+  FROM links WHERE dst != doc_id GROUP BY dst, term),
+ranked AS (
+  SELECT dst, term, n_refs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dst ORDER BY n_refs DESC, term ASC)
+              AS INT) AS rank
+  FROM agg)
+SELECT dst, term, n_refs, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_index_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/indexing.collocations — adjacent-bigram collocations
+    scored by exact-integer Dice ppm (bounded in [0, 1e6], unlike PMI
+    whose hapax-pair score overflows int64 on a trillion-token corpus).
+    DECIMAL integral div on the Spark side, HUGEINT // in the oracle —
+    the graphrank bit-parity convention."""
+    return indexing.collocations(_t(spark, sf_dir, 'documents'), min_count=2)
+
+
+ORACLE_COLLOCATIONS = """
+WITH tk AS (SELECT string_split(text, ' ') AS l FROM documents),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(l) AS tok FROM tk) GROUP BY tok),
+bg AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM (SELECT l[i] || ' ' || l[i + 1] AS bigram
+        FROM (SELECT l, UNNEST(generate_series(1, len(l) - 1)) AS i FROM tk))
+  GROUP BY bigram HAVING COUNT(*) >= 2),
+j AS (
+  SELECT bigram, n_ab, string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2
+  FROM bg)
+SELECT j.bigram, j.n_ab, a.n AS n_a, b.n AS n_b,
+       CAST(CAST(j.n_ab AS HUGEINT) * 2000000 // CAST(a.n + b.n AS HUGEINT)
+            AS BIGINT) AS dice_ppm
+FROM j JOIN uni a ON j.w1 = a.tok JOIN uni b ON j.w2 = b.tok
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -5041,6 +5153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'pipeline_decontaminate': q_decontaminate,
         'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
+        'index_champion_postings': q_index_champion_postings,
+        'index_anchor_terms': q_index_anchor_terms,
+        'index_collocations': q_index_collocations,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
@@ -5194,6 +5309,9 @@ def oracle_sql() -> dict[str, str]:
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
         'source_reputation': _source_reputation_oracle(),
         'events_sessionize': ORACLE_SESSIONS,
+        'index_champion_postings': ORACLE_CHAMPION_POSTINGS,
+        'index_anchor_terms': ORACLE_ANCHOR_TERMS,
+        'index_collocations': ORACLE_COLLOCATIONS,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
