@@ -4899,6 +4899,177 @@ SELECT * FROM (VALUES
 """
 
 
+def q_content_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-caption alignment over interleaved spans
+    (operators/content.media_captions): every media span gets the nearest
+    text span as its caption candidate (both directions, tie to prev, NULL
+    past max_gap).  The corpus is mutated in pure column algebra so all
+    three outcomes occur: bucket 0 docs keep their layout (caption = the
+    preceding author span), bucket 1 docs lose every text span (no
+    caption), bucket 2 docs lose their text spans but gain a trailing
+    caption span (side='next', gap = 1 + n_links, so max_gap=3 splits the
+    bucket into captioned and uncaptioned halves).  One doc_id shuffle of
+    slim rows; per-doc windows cannot skew.  Deterministic VALUES oracle
+    over the (caption_side, gap) histogram."""
+    from scalpel_spark.operators.content import media_captions
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=240, n_hosts=8, seed=21)
+    bucket = F.pmod(F.xxhash64('doc_id'), F.lit(3))
+    no_text = F.filter('spans', lambda s: s['kind'] != 'text')
+    tail = F.array(F.struct(
+        F.lit('text').alias('kind'),
+        F.lit('trailing caption').alias('text'),
+        F.lit(None).cast('string').alias('media_ref'),
+        F.lit(99).cast('int').alias('offset')))
+    mutated = corpus.withColumn(
+        'spans',
+        F.when(bucket == 1, no_text)
+        .when(bucket == 2, F.concat(no_text, tail))
+        .otherwise(F.col('spans')))
+    return (
+        media_captions(mutated, max_gap=3)
+        .groupBy(F.coalesce('caption_side', F.lit('none')).alias('caption_side'),
+                 F.coalesce('gap', F.lit(-1)).alias('gap'))
+        .agg(F.count('*').alias('n_media'),
+             F.count_distinct('caption').alias('n_captions'))
+    )
+
+
+ORACLE_CONTENT_CAPTIONS = """
+SELECT * FROM (VALUES
+  ('none', CAST(-1 AS INTEGER), CAST(36 AS BIGINT), CAST(0 AS BIGINT)),
+  ('next', CAST(2 AS INTEGER), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  ('next', CAST(3 AS INTEGER), CAST(16 AS BIGINT), CAST(1 AS BIGINT)),
+  ('prev', CAST(1 AS INTEGER), CAST(24 AS BIGINT), CAST(5 AS BIGINT))
+) AS t(caption_side, gap, n_media, n_captions)
+"""
+
+
+def q_content_main_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-run boilerplate removal (operators/content.extract_main_content):
+    the Boilerpipe-family block link-density rule restated over span runs —
+    a maximal run of >= 3 link spans is navigation, everything else is
+    content; the cleaned doc is the surviving text spans concatenated in
+    span order.  links_per_page=6 makes nav runs of 1..6 so both sides of
+    the threshold occur.  Gaps-and-islands run detection: one doc_id
+    shuffle, three per-document windows, no self-join.  Deterministic
+    VALUES oracle over the (n_content, n_boiler) histogram."""
+    from scalpel_spark.operators.content import extract_main_content
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=300, n_hosts=8, seed=33,
+                              links_per_page=6)
+    return (
+        extract_main_content(corpus, min_link_run=3)
+        .groupBy('n_content', 'n_boiler')
+        .agg(F.count('*').alias('n_docs'),
+             F.sum('content_chars').alias('content_chars'))
+    )
+
+
+ORACLE_CONTENT_MAIN = """
+SELECT * FROM (VALUES
+  (CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(34 AS BIGINT), CAST(915 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(38 AS BIGINT), CAST(1056 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(5 AS BIGINT), CAST(35 AS BIGINT), CAST(958 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(6 AS BIGINT), CAST(35 AS BIGINT), CAST(959 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(35 AS BIGINT), CAST(962 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(16 AS BIGINT), CAST(427 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(4 AS BIGINT), CAST(23 AS BIGINT), CAST(629 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(13 AS BIGINT), CAST(362 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(13 AS BIGINT), CAST(360 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(44 AS BIGINT), CAST(1211 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(14 AS BIGINT), CAST(380 AS BIGINT))
+) AS t(n_content, n_boiler, n_docs, content_chars)
+"""
+
+
+def q_content_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-page template detection (operators/content.host_templates):
+    spans rendering identically on >= 90% of a host's pages are sitewide
+    furniture.  Each host gets a deterministic 2-span nav prefix injected
+    in column algebra (host-specific hrefs), so exactly those two
+    fingerprints cross the threshold on every host while per-page body
+    spans never do.  Plan: explode -> distinct(host, fp, doc) -> ONE
+    groupBy(host, fp) + broadcast host page counts; no doc x doc pair.
+    Deterministic VALUES oracle over the full template table."""
+    from scalpel_spark.operators.content import host_templates
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=200, n_hosts=4, seed=7)
+    host = F.parse_url('doc_id', F.lit('HOST'))
+    nav = F.array(
+        F.struct(F.lit('link').alias('kind'),
+                 F.concat(F.lit('http://'), host, F.lit('/')).alias('text'),
+                 F.lit(None).cast('string').alias('media_ref'),
+                 F.lit(-2).cast('int').alias('offset')),
+        F.struct(F.lit('link').alias('kind'),
+                 F.concat(F.lit('http://'), host, F.lit('/about.html')).alias('text'),
+                 F.lit(None).cast('string').alias('media_ref'),
+                 F.lit(-1).cast('int').alias('offset')))
+    withnav = corpus.withColumn('spans', F.concat(nav, F.col('spans')))
+    return host_templates(withnav, min_pages=4, min_share_pct=90).select(
+        'host', 'fp', 'kind', 'sample_text', 'n_docs', 'host_docs', 'share_pct')
+
+
+ORACLE_CONTENT_TEMPLATES = """
+SELECT * FROM (VALUES
+  ('h0.example.com', CAST(6341346054008031083 AS BIGINT), 'link', 'http://h0.example.com/', CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h0.example.com', CAST(9108160872101987958 AS BIGINT), 'link', 'http://h0.example.com/about.html', CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h1.example.com', CAST(-5493335317970876929 AS BIGINT), 'link', 'http://h1.example.com/', CAST(45 AS BIGINT), CAST(45 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h1.example.com', CAST(-7010897346392040571 AS BIGINT), 'link', 'http://h1.example.com/about.html', CAST(45 AS BIGINT), CAST(45 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h2.example.com', CAST(-7558091202258537457 AS BIGINT), 'link', 'http://h2.example.com/', CAST(56 AS BIGINT), CAST(56 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h2.example.com', CAST(7233659841854102501 AS BIGINT), 'link', 'http://h2.example.com/about.html', CAST(56 AS BIGINT), CAST(56 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h3.example.com', CAST(-5371414072820680915 AS BIGINT), 'link', 'http://h3.example.com/about.html', CAST(59 AS BIGINT), CAST(59 AS BIGINT), CAST(100 AS BIGINT)),
+  ('h3.example.com', CAST(3022689603375581227 AS BIGINT), 'link', 'http://h3.example.com/', CAST(59 AS BIGINT), CAST(59 AS BIGINT), CAST(100 AS BIGINT))
+) AS t(host, fp, kind, sample_text, n_docs, host_docs, share_pct)
+"""
+
+
+def q_content_strip_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template stripping (operators/content.strip_templates): the detected
+    (host, fp) template set is collected to a bounded per-host fingerprint
+    array, broadcast, and applied as a map-side F.filter over the spans
+    array — the documents themselves never shuffle, and survivor span
+    order is untouched (the north-rule invariant holds on what remains).
+    Rolled up per host: docs, spans stripped, spans kept.  Deterministic
+    VALUES oracle."""
+    from scalpel_spark.operators.content import host_templates, strip_templates
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=200, n_hosts=4, seed=7)
+    host = F.parse_url('doc_id', F.lit('HOST'))
+    nav = F.array(
+        F.struct(F.lit('link').alias('kind'),
+                 F.concat(F.lit('http://'), host, F.lit('/')).alias('text'),
+                 F.lit(None).cast('string').alias('media_ref'),
+                 F.lit(-2).cast('int').alias('offset')),
+        F.struct(F.lit('link').alias('kind'),
+                 F.concat(F.lit('http://'), host, F.lit('/about.html')).alias('text'),
+                 F.lit(None).cast('string').alias('media_ref'),
+                 F.lit(-1).cast('int').alias('offset')))
+    withnav = corpus.withColumn('spans', F.concat(nav, F.col('spans')))
+    tpl = host_templates(withnav, min_pages=4, min_share_pct=90)
+    stripped = strip_templates(withnav, tpl)
+    return (
+        stripped.groupBy(F.parse_url('doc_id', F.lit('HOST')).alias('host'))
+        .agg(F.count('*').alias('n_docs'),
+             F.sum('n_stripped').alias('spans_stripped'),
+             F.sum(F.size('spans')).cast('long').alias('spans_kept'))
+    )
+
+
+ORACLE_CONTENT_STRIP = """
+SELECT * FROM (VALUES
+  ('h0.example.com', CAST(40 AS BIGINT), CAST(80 AS BIGINT), CAST(191 AS BIGINT)),
+  ('h1.example.com', CAST(45 AS BIGINT), CAST(90 AS BIGINT), CAST(221 AS BIGINT)),
+  ('h2.example.com', CAST(56 AS BIGINT), CAST(112 AS BIGINT), CAST(276 AS BIGINT)),
+  ('h3.example.com', CAST(59 AS BIGINT), CAST(118 AS BIGINT), CAST(295 AS BIGINT))
+) AS t(host, n_docs, spans_stripped, spans_kept)
+"""
+
+
 def q_media_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-axis frontier schedule+dedup (operators/multimodal.media_frontier):
     media spans referenced by a 500-page interleaved corpus become fetch
@@ -5156,6 +5327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'index_champion_postings': q_index_champion_postings,
         'index_anchor_terms': q_index_anchor_terms,
         'index_collocations': q_index_collocations,
+        'content_media_captions': q_content_media_captions,
+        'content_main_extract': q_content_main_extract,
+        'content_host_templates': q_content_host_templates,
+        'content_strip_templates': q_content_strip_templates,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
@@ -5312,6 +5487,10 @@ def oracle_sql() -> dict[str, str]:
         'index_champion_postings': ORACLE_CHAMPION_POSTINGS,
         'index_anchor_terms': ORACLE_ANCHOR_TERMS,
         'index_collocations': ORACLE_COLLOCATIONS,
+        'content_media_captions': ORACLE_CONTENT_CAPTIONS,
+        'content_main_extract': ORACLE_CONTENT_MAIN,
+        'content_host_templates': ORACLE_CONTENT_TEMPLATES,
+        'content_strip_templates': ORACLE_CONTENT_STRIP,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
