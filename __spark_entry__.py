@@ -5223,6 +5223,69 @@ FROM j JOIN uni a ON j.w1 = a.tok JOIN uni b ON j.w2 = b.tok
 """
 
 
+_BM25_QUERIES = [
+    ('q1', 'hash join table'),
+    ('q2', 'fast scan'),
+    ('q3', 'sort merge batch window'),
+    ('q4', 'value value spark'),  # duplicate term — scored once (DISTINCT)
+]
+
+
+def q_index_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/indexing.bm25_topk — Okapi BM25 top-5 retrieval over the
+    documents table for four fixed query strings (the query-time half of
+    the champion-list index build).  Scores are scaled-integer BM25
+    (k1=1.2, b=0.75; rational idf surrogate ((N+1)*1000) div df — the
+    tfidf_keywords convention, since ln() is not bit-reproducible across
+    engines): every div is DECIMAL integral division, so the oracle
+    reproduces scores exactly.  Per-query top-k is two-phase salted so a
+    stopword query can't collapse its candidate set into one window task.
+    The oracle recomputes everything independently (no pinned constants)."""
+    queries_df = spark.createDataFrame(_BM25_QUERIES,
+                                       'query_id string, query_text string')
+    return indexing.bm25_topk(_t(spark, sf_dir, 'documents'), queries_df, k=5)
+
+
+ORACLE_BM25 = """
+WITH q(query_id, query_text) AS (VALUES
+  ('q1', 'hash join table'), ('q2', 'fast scan'),
+  ('q3', 'sort merge batch window'), ('q4', 'value value spark')),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS tok FROM q),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CAST(SUM(dl) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT) AS avgdl_milli
+  FROM dl),
+cand AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, tot.n_docs, tot.avgdl_milli,
+         CAST(CAST(dl.dl AS HUGEINT) * 1000000 // tot.avgdl_milli AS BIGINT) AS ratio_milli
+  FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
+  JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN tot),
+scored_terms AS (
+  SELECT query_id, doc_id,
+         CAST(CAST((n_docs + 1) AS HUGEINT) * 1000 // df AS BIGINT) AS idf_milli,
+         CAST(CAST(tf AS HUGEINT) * 2200 * 1000000 //
+              (tf * 1000 + (CAST(1200 AS HUGEINT) * (250 + (CAST(750 AS HUGEINT) * ratio_milli // 1000)) // 1000))
+              AS BIGINT) AS tfpart_ppm
+  FROM cand),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(idf_milli AS HUGEINT) * tfpart_ppm // 1000) AS BIGINT) AS score_micro
+  FROM scored_terms GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT query_id, rank, doc_id, score_micro FROM ranked WHERE rank <= 5
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -5327,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'index_champion_postings': q_index_champion_postings,
         'index_anchor_terms': q_index_anchor_terms,
         'index_collocations': q_index_collocations,
+        'index_bm25_topk': q_index_bm25_topk,
         'content_media_captions': q_content_media_captions,
         'content_main_extract': q_content_main_extract,
         'content_host_templates': q_content_host_templates,
@@ -5487,6 +5551,7 @@ def oracle_sql() -> dict[str, str]:
         'index_champion_postings': ORACLE_CHAMPION_POSTINGS,
         'index_anchor_terms': ORACLE_ANCHOR_TERMS,
         'index_collocations': ORACLE_COLLOCATIONS,
+        'index_bm25_topk': ORACLE_BM25,
         'content_media_captions': ORACLE_CONTENT_CAPTIONS,
         'content_main_extract': ORACLE_CONTENT_MAIN,
         'content_host_templates': ORACLE_CONTENT_TEMPLATES,

@@ -153,3 +153,109 @@ def collocations(docs: DataFrame, min_count: int = 2,
                 F.col('n_b').cast('long').alias('n_b'),
                 F.expr(dice).alias('dice_ppm'))
     )
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1_milli: int = 1200, b_milli: int = 750, n_salts: int = 8,
+              text_col: str = 'text', id_col: str = 'doc_id') -> DataFrame:
+    """BM25 top-k retrieval over the corpus — the query-time half of the
+    inverted index that :func:`champion_postings` builds (Robertson &
+    Spärck Jones probabilistic relevance framework; Okapi BM25 with
+    k1 = ``k1_milli``/1000, b = ``b_milli``/1000).
+
+    ``queries`` is (query_id, query_text); scoring sums over the query's
+    DISTINCT terms. All arithmetic is engine-portable scaled-integer
+    algebra (the collocations/graphrank convention — DECIMAL multiply +
+    integral ``div``, DuckDB ``//`` twin), so scores are bit-identical
+    across engines and never see float rounding:
+
+    * ``avgdl_milli = (Σ dl · 1000) div N``
+    * ``norm_milli  = 1000 − b_milli + (b_milli · ratio_milli) div 1000``
+      with ``ratio_milli = (dl · 10^6) div avgdl_milli``
+    * ``tfpart_ppm  = (tf · (1000 + k1_milli) · 10^6)
+      div (tf · 1000 + (k1_milli · norm_milli) div 1000)``
+    * ``idf_milli   = ((N + 1) · 1000) div df`` — the same rational idf
+      surrogate as ``textops.tfidf_keywords`` (monotone in 1/df; the
+      logarithmic damping is irrelevant to ranking parity and ln() is
+      not bit-reproducible across engines)
+    * ``score_micro = Σ_t (idf_milli · tfpart_ppm) div 1000``
+
+    Returns (query_id, rank, doc_id, score_micro), rank 1..k by
+    (score_micro DESC, doc_id ASC).
+
+    Scale shape: tf/df/dl come from the same ONE partial-agg shuffle as
+    the index build; query terms are broadcast (a query workload is tiny
+    next to the corpus); the per-query top-k is two-phase salted like
+    :func:`champion_postings` so a stopword query never collapses its
+    whole candidate set into one window task. DECIMAL(38,0) intermediates
+    keep idf · tfpart exact past 10^10 docs.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias('doc_id'),
+                    F.explode(tokens(F.col(text_col))).alias('tok'))
+        .groupBy('doc_id', 'tok')
+        .agg(F.count('*').alias('tf'))
+    )
+    dl = tf.groupBy('doc_id').agg(F.sum('tf').alias('dl'))
+    dfreq = tf.groupBy('tok').agg(F.count('*').alias('df'))
+    totals = dl.agg(
+        F.count('*').alias('n_docs'),
+        F.sum('dl').alias('total_dl'),
+    ).select(
+        'n_docs',
+        F.expr('CAST(CAST(total_dl AS DECIMAL(28,0)) * 1000'
+               ' div CAST(n_docs AS DECIMAL(19,0)) AS BIGINT)')
+        .alias('avgdl_milli'),
+    )
+
+    qterms = (
+        queries.select('query_id',
+                       F.explode(tokens(F.col('query_text'))).alias('tok'))
+        .distinct()
+    )
+
+    cand = (
+        tf.join(F.broadcast(qterms), 'tok')
+        .join(dl, 'doc_id')
+        .join(dfreq, 'tok')
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = ('CAST(CAST(dl AS DECIMAL(28,0)) * 1000000'
+             ' div CAST(avgdl_milli AS DECIMAL(19,0)) AS BIGINT)')
+    cand = cand.withColumn('ratio_milli', F.expr(ratio))
+    cand = cand.withColumn(
+        'norm_milli',
+        F.lit(1000 - b_milli)
+        + F.expr(f'CAST(CAST({b_milli} AS DECIMAL(28,0)) * ratio_milli'
+                 ' div CAST(1000 AS DECIMAL(19,0)) AS BIGINT)'))
+    tfpart = (f'CAST(CAST(tf AS DECIMAL(28,0)) * {1000 + k1_milli} * 1000000'
+              f' div CAST(tf * 1000 + (CAST({k1_milli} AS DECIMAL(28,0))'
+              ' * norm_milli div CAST(1000 AS DECIMAL(19,0)))'
+              ' AS DECIMAL(28,0)) AS BIGINT)')
+    idf = ('CAST(CAST(n_docs + 1 AS DECIMAL(28,0)) * 1000'
+           ' div CAST(df AS DECIMAL(19,0)) AS BIGINT)')
+    term_score = ('CAST(CAST(idf_milli AS DECIMAL(38,0)) * tfpart_ppm'
+                  ' div CAST(1000 AS DECIMAL(19,0)) AS BIGINT)')
+    scored = (
+        cand.withColumn('tfpart_ppm', F.expr(tfpart))
+        .withColumn('idf_milli', F.expr(idf))
+        .withColumn('term_score', F.expr(term_score))
+        .groupBy('query_id', 'doc_id')
+        .agg(F.sum('term_score').alias('score_micro'))
+    )
+    local_w = Window.partitionBy('query_id', '_salt').orderBy(
+        F.col('score_micro').desc(), F.col('doc_id').asc())
+    pruned = (
+        scored.withColumn('_salt', F.pmod(F.hash('doc_id'), F.lit(n_salts)))
+        .withColumn('_r', F.row_number().over(local_w))
+        .filter(F.col('_r') <= k)
+        .drop('_salt', '_r')
+    )
+    global_w = Window.partitionBy('query_id').orderBy(
+        F.col('score_micro').desc(), F.col('doc_id').asc())
+    return (
+        pruned.withColumn('rank', F.row_number().over(global_w))
+        .filter(F.col('rank') <= k)
+        .select('query_id', F.col('rank').cast('int').alias('rank'),
+                'doc_id', F.col('score_micro').cast('long').alias('score_micro'))
+    )

@@ -121,3 +121,69 @@ def test_champion_postings_plan_has_partial_agg(spark):
         .executedPlan().toString()
     assert 'HashAggregate' in plan
     assert 'Exchange' in plan
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def _queries(spark, *qs):
+    return spark.createDataFrame(
+        [(f'q{i}', q) for i, q in enumerate(qs)],
+        'query_id string, query_text string')
+
+
+def test_bm25_ranks_high_tf_short_doc_first(spark):
+    # doc 10: 3x 'join' in 4 tokens; doc 11: 1x 'join' in 8 tokens;
+    # doc 12: no 'join'. BM25 must rank 10 > 11 and exclude 12.
+    docs = spark.createDataFrame(
+        [(10, 'join join join scan'),
+         (11, 'join scan scan scan filter filter filter filter'),
+         (12, 'scan filter scan filter')],
+        'doc_id long, text string')
+    out = indexing.bm25_topk(docs, _queries(spark, 'join'), k=5).collect()
+    assert [r['doc_id'] for r in sorted(out, key=lambda r: r['rank'])] == [10, 11]
+    assert out[0]['score_micro'] > 0
+
+
+def test_bm25_rare_term_outscores_common_term(spark):
+    # 'rare' appears in 1 of 4 docs, 'common' in all 4 — for a two-term
+    # query, the doc holding the rare term must beat a common-only doc.
+    docs = spark.createDataFrame(
+        [(0, 'common rare'), (1, 'common x'), (2, 'common y'), (3, 'common z')],
+        'doc_id long, text string')
+    out = {r['doc_id']: r['rank']
+           for r in indexing.bm25_topk(docs, _queries(spark, 'common rare'), k=4).collect()}
+    assert out[0] == 1
+
+
+def test_bm25_duplicate_query_terms_scored_once(spark):
+    docs = spark.createDataFrame(
+        [(0, 'join scan'), (1, 'join filter')], 'doc_id long, text string')
+    once = indexing.bm25_topk(docs, _queries(spark, 'join'), k=2)
+    twice = indexing.bm25_topk(docs, _queries(spark, 'join join'), k=2)
+    assert sorted((r['doc_id'], r['score_micro']) for r in once.collect()) == \
+        sorted((r['doc_id'], r['score_micro']) for r in twice.collect())
+
+
+def test_bm25_salt_invariant_and_k_cutoff(spark):
+    rows = [(i, ' '.join(['join'] * (i % 5 + 1) + ['t%d' % i])) for i in range(40)]
+    docs = spark.createDataFrame(rows, 'doc_id long, text string')
+    q = _queries(spark, 'join')
+    flat = [(r['rank'], r['doc_id'], r['score_micro'])
+            for r in indexing.bm25_topk(docs, q, k=7, n_salts=1).collect()]
+    salted = [(r['rank'], r['doc_id'], r['score_micro'])
+              for r in indexing.bm25_topk(docs, q, k=7, n_salts=5).collect()]
+    assert sorted(flat) == sorted(salted)
+    assert len(flat) == 7
+
+
+def test_bm25_tie_breaks_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(5, 'join scan'), (2, 'join scan'), (9, 'join scan')],
+        'doc_id long, text string')
+    out = sorted(indexing.bm25_topk(docs, _queries(spark, 'join'), k=3).collect(),
+                 key=lambda r: r['rank'])
+    assert [r['doc_id'] for r in out] == [2, 5, 9]
+    assert len({r['score_micro'] for r in out}) == 1
