@@ -23,7 +23,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from scalpel_spark.functions.texthash import MERSENNE31, hash60, hash60_sql, pround
+from scalpel_spark.functions.texthash import (
+    MERSENNE31,
+    hash60,
+    hash60_sql,
+    log2_milli_sql,
+    pround,
+)
 from scalpel_spark.operators import (
     clustering,
     curation,
@@ -5286,6 +5292,83 @@ SELECT query_id, rank, doc_id, score_micro FROM ranked WHERE rank <= 5
 """
 
 
+def q_selection_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/selection.dsir_weights — DSIR importance weights (Xie et
+    al. 2023) of every document against a trusted target sample (here:
+    source='src1'), over md5-hashed word-bigram buckets with add-one
+    smoothing.  The log is the exact integer log2_milli (bit length +
+    octave interpolation) so the oracle reproduces every weight
+    bit-for-bit — ln() over doubles never survives an engine boundary.
+    One partial-agg shuffle for doc features, one bucket-keyed histogram
+    agg, a broadcast lambda table, one per-doc sum.  Full recomputing
+    DuckDB oracle."""
+    from scalpel_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, 'documents')
+    target = docs.filter(F.col('source') == 'src1')
+    return dsir_weights(docs, target, n_buckets=4096, shingle_n=2)
+
+
+_DSIR_CTES = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sh AS (
+  SELECT doc_id, l[i] || ' ' || l[i + 1] AS shingle
+  FROM (SELECT doc_id, l, UNNEST(generate_series(1, len(l) - 1)) AS i FROM tok)),
+feats AS (
+  SELECT doc_id, {hash60_sql('shingle')} % 4096 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM sh GROUP BY doc_id, bucket),
+tgt AS (
+  SELECT {hash60_sql('shingle')} % 4096 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt_t
+  FROM sh JOIN documents USING (doc_id)
+  WHERE documents.source = 'src1' GROUP BY bucket),
+raw AS (SELECT bucket, CAST(SUM(n) AS BIGINT) AS cnt_r FROM feats GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(cnt_r) FROM raw) AS total_r,
+               (SELECT COALESCE(SUM(cnt_t), 0) FROM tgt) AS total_t),
+lam AS (
+  SELECT raw.bucket,
+         ({log2_milli_sql('COALESCE(cnt_t, 0) + 1')}
+          - {log2_milli_sql('total_t + 4096')})
+         - ({log2_milli_sql('cnt_r + 1')}
+            - {log2_milli_sql('total_r + 4096')}) AS lam_milli
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_features,
+         CAST(SUM(n * lam_milli) AS BIGINT) AS dsir_milli
+  FROM feats JOIN lam USING (bucket) GROUP BY doc_id)
+"""
+
+ORACLE_DSIR_WEIGHTS = _DSIR_CTES + """
+SELECT doc_id, n_features, dsir_milli FROM scored
+"""
+
+
+def q_selection_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/selection.dsir_select — rank-based DSIR selection: keep
+    the top 25% of documents by importance weight (ties to the smaller
+    doc_id).  The global cut is scheduling.topk_by_score's range-
+    partition straddle selection, so no single task ranks the corpus;
+    the oracle's flat window proves the distributed selection exact."""
+    from scalpel_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, 'documents')
+    target = docs.filter(F.col('source') == 'src1')
+    return dsir_select(docs, target, keep_fraction=0.25,
+                       n_buckets=4096, shingle_n=2)
+
+
+ORACLE_DSIR_SELECT = _DSIR_CTES + """,
+ranked AS (
+  SELECT doc_id, n_features, dsir_milli,
+         ROW_NUMBER() OVER (ORDER BY dsir_milli DESC, doc_id ASC) AS r,
+         COUNT(*) OVER () AS n_docs
+  FROM scored)
+SELECT doc_id, n_features, dsir_milli
+FROM ranked WHERE r <= CAST(FLOOR(n_docs * 0.25) AS BIGINT)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -5391,6 +5474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'index_anchor_terms': q_index_anchor_terms,
         'index_collocations': q_index_collocations,
         'index_bm25_topk': q_index_bm25_topk,
+        'selection_dsir_weights': q_selection_dsir_weights,
+        'selection_dsir_select': q_selection_dsir_select,
         'content_media_captions': q_content_media_captions,
         'content_main_extract': q_content_main_extract,
         'content_host_templates': q_content_host_templates,
@@ -5552,6 +5637,8 @@ def oracle_sql() -> dict[str, str]:
         'index_anchor_terms': ORACLE_ANCHOR_TERMS,
         'index_collocations': ORACLE_COLLOCATIONS,
         'index_bm25_topk': ORACLE_BM25,
+        'selection_dsir_weights': ORACLE_DSIR_WEIGHTS,
+        'selection_dsir_select': ORACLE_DSIR_SELECT,
         'content_media_captions': ORACLE_CONTENT_CAPTIONS,
         'content_main_extract': ORACLE_CONTENT_MAIN,
         'content_host_templates': ORACLE_CONTENT_TEMPLATES,

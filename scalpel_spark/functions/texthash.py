@@ -113,3 +113,33 @@ def shingles_sql(list_expr: str, n: int = 3) -> str:
         f"list_transform(range(1, len({list_expr}) - {n - 2}), i -> {parts}) "
         f"ELSE [] END"
     )
+
+
+def log2_milli_expr(name: str) -> str:
+    """Spark-SQL rendering of an exact deterministic fixed-point log2 of
+    the positive integer column ``name``, in milli-units:
+
+        1000 * flog2(v) + ((v - 2^flog2) * 1000) div 2^flog2
+
+    ``flog2(v) = length(bin(v)) - 1`` is the bit length (exact in both
+    engines); the second term linearly interpolates within the octave in
+    DECIMAL integral division, so every step is integer arithmetic that
+    DuckDB reproduces bit-for-bit (``ln``/``log2`` over doubles are NOT
+    bit-reproducible across engines — the same reason tfidf/bm25 use
+    rational idf surrogates). Absolute error vs true log2 < 0.0861,
+    irrelevant for weighting; determinism is the contract. Caller
+    guarantees ``v >= 1``. DuckDB twin: :func:`log2_milli_sql`.
+    """
+    c = f'CAST({name} AS BIGINT)'
+    fl = f'(length(bin({c})) - 1)'
+    p = f'CAST(power(2, {fl}) AS BIGINT)'
+    return (f'({fl} * 1000 + CAST(CAST({c} - {p} AS DECIMAL(28,0)) * 1000'
+            f' div CAST({p} AS DECIMAL(19,0)) AS BIGINT))')
+
+
+def log2_milli_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`log2_milli_expr` (expr must be >= 1)."""
+    c = f'CAST({expr} AS BIGINT)'
+    fl = f'(length(bin({c})) - 1)'
+    p = f'CAST(power(2, {fl}) AS BIGINT)'
+    return f'({fl} * 1000 + CAST({c} - {p} AS HUGEINT) * 1000 // {p})'
