@@ -1828,6 +1828,177 @@ edges AS (SELECT * FROM (
     FROM rawe) WHERE dst != src)"""
 
 
+def q_host_anti_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-TrustRank (graphrank.anti_trust_rank, Krishnan & Raj AIRWeb
+    2006) over the shared hash-derived host graph: TrustRank on the
+    REVERSED edges seeded with the known-spam seventh of hosts
+    (host % 7 == 3) — spam score flows backwards along in-links, tagging
+    the hosts that link INTO the spam neighbourhood.  Both engines
+    recompute the integer-ppb scores independently — no pinned
+    constants."""
+    n, edges = _hash_edges(spark, sf_dir)
+    spam = spark.range(3, n, 7).select(F.col('id').alias('host'))
+    return graphrank.anti_trust_rank(edges, spam, iters=3)
+
+
+def _anti_trust_cte(iters: int, damping_pct: int = 85) -> str:
+    """DuckDB twin of graphrank.anti_trust_rank: the trust recursion of
+    _trust_rank_cte run over REVERSED edges with spam seeds
+    host % 7 == 3."""
+    tp = f'({1_000_000_000 * (100 - damping_pct) // 100}) // tn.t'
+    parts = [_EDGES_CTE + f""",
+redges AS (SELECT dst AS src, src AS dst FROM edges),
+spam AS (SELECT host FROM (
+    SELECT unnest(range((SELECT n FROM nh))) AS host) WHERE host % 7 = 3),
+nodes AS (SELECT DISTINCT host FROM (
+    SELECT src AS host FROM redges UNION ALL SELECT dst FROM redges
+    UNION ALL SELECT host FROM spam)),
+tn AS (SELECT COUNT(*) AS t FROM spam),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM redges GROUP BY src),
+t0 AS (SELECT host, CASE WHEN host % 7 = 3 THEN 1000000000 // tn.t
+                         ELSE 0 END AS trust_ppb
+       FROM nodes CROSS JOIN tn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""t{i} AS (
+  SELECT nodes.host,
+         CAST((CASE WHEN nodes.host % 7 = 3 THEN {tp} ELSE 0 END)
+              + ({damping_pct} * COALESCE(insum.s, 0)) // 100 AS BIGINT)
+           AS trust_ppb
+  FROM nodes CROSS JOIN tn
+  LEFT JOIN (SELECT e.dst AS host, SUM(r.trust_ppb // o.outdeg) AS s
+             FROM redges e JOIN t{i - 1} r ON e.src = r.host
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) insum ON nodes.host = insum.host)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_ANTI_TRUST = f"""
+WITH {_anti_trust_cte(3)}
+SELECT host, trust_ppb AS spam_ppb FROM t3
+"""
+
+
+def q_host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative spam mass (graphrank.spam_mass, Gyöngyi et al. VLDB
+    2006): the ppm fraction of each host's PageRank not covered by its
+    TrustRank (trusted tenth, host % 10 == 0) — high rank with low trust
+    is the spam-farm signature.  Composes the two rank queries' exact
+    integer pipelines; the oracle re-derives both and the mass quotient
+    independently."""
+    n, edges = _hash_edges(spark, sf_dir)
+    trusted = spark.range(0, n, 10).select(F.col('id').alias('host'))
+    rank = graphrank.host_rank(edges, iters=3)
+    trust = graphrank.trust_rank(edges, trusted, iters=3)
+    return graphrank.spam_mass(rank, trust)
+
+
+def _spam_mass_trust_recursion(iters: int, damping_pct: int = 85) -> str:
+    """Trust recursion (trusted tenth) sharing _host_rank_cte's
+    edges/nodes/outdeg CTEs — t0..t{iters} on top of the rank CTEs."""
+    tp = f'({1_000_000_000 * (100 - damping_pct) // 100}) // tn.t'
+    parts = [f"""tn AS (SELECT COUNT(*) AS t FROM (
+    SELECT unnest(range((SELECT n FROM nh))) AS host) WHERE host % 10 = 0),
+t0 AS (SELECT host, CASE WHEN host % 10 = 0 THEN 1000000000 // tn.t
+                         ELSE 0 END AS trust_ppb
+       FROM nodes CROSS JOIN tn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""t{i} AS (
+  SELECT nodes.host,
+         CAST((CASE WHEN nodes.host % 10 = 0 THEN {tp} ELSE 0 END)
+              + ({damping_pct} * COALESCE(insum.s, 0)) // 100 AS BIGINT)
+           AS trust_ppb
+  FROM nodes CROSS JOIN tn
+  LEFT JOIN (SELECT e.dst AS host, SUM(r.trust_ppb // o.outdeg) AS s
+             FROM edges e JOIN t{i - 1} r ON e.src = r.host
+                          JOIN outdeg o ON e.src = o.src
+             GROUP BY e.dst) insum ON nodes.host = insum.host)""")
+    return ',\n'.join(parts)
+
+
+ORACLE_SPAM_MASS = f"""
+WITH {_host_rank_cte(3)},
+{_spam_mass_trust_recursion(3)}
+SELECT r3.host, r3.rank_ppb,
+       CAST(COALESCE(t3.trust_ppb, 0) AS BIGINT) AS trust_ppb,
+       CASE WHEN r3.rank_ppb <= 0 THEN 0
+            ELSE CAST(CAST(r3.rank_ppb
+                           - LEAST(COALESCE(t3.trust_ppb, 0), r3.rank_ppb)
+                           AS HUGEINT) * 1000000 // r3.rank_ppb AS BIGINT)
+       END AS mass_ppm
+FROM r3 LEFT JOIN t3 ON r3.host = t3.host
+"""
+
+
+def q_link_spam_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/linkspam.link_spam_features — per-host structural spam
+    features (Becchetti et al. TWEB 2008 family): distinct counterparty
+    fan-out/in, link volumes, reciprocity ppm (link exchanges) and
+    self-citation ppm.  The graph here KEEPS self-loops (dst may equal
+    src in the hash formula) so self_ppm is exercised.  One groupBy per
+    direction + one left-semi reciprocity join on the reversed pair key;
+    integral-div ppm.  Full recomputing oracle."""
+    from scalpel_spark.operators.linkspam import link_spam_features
+
+    n = _t(spark, sf_dir, 'documents').count()
+    e = spark.range(n).select(
+        F.col('id').alias('src'),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias('j'),
+    )
+    dst = F.pmod(
+        hash60(F.concat(F.col('src').cast('string'), F.lit('-'),
+                        F.col('j').cast('string'))),
+        F.lit(n),
+    )
+    return link_spam_features(e.select('src', dst.alias('dst')))
+
+
+ORACLE_LINK_SPAM = f"""
+WITH nh AS (SELECT COUNT(*) AS n FROM documents),
+rawe AS (SELECT src, j
+        FROM (SELECT unnest(range((SELECT n FROM nh))) AS src)
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+alledges AS (
+    SELECT src,
+           {H60.format(x="CAST(src AS VARCHAR) || '-' || CAST(j AS VARCHAR)")}
+             % (SELECT n FROM nh) AS dst
+    FROM rawe),
+pairs AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+          FROM alledges GROUP BY src, dst),
+recip AS (SELECT p.src, CAST(COUNT(*) AS BIGINT) AS n_recip
+          FROM pairs p
+          WHERE p.src != p.dst AND EXISTS (
+              SELECT 1 FROM pairs b WHERE b.src = p.dst AND b.dst = p.src)
+          GROUP BY p.src),
+outs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_hosts,
+                CAST(SUM(w) AS BIGINT) AS out_links,
+                CAST(SUM(CASE WHEN src = dst THEN w ELSE 0 END) AS BIGINT)
+                  AS self_links,
+                CAST(SUM(CASE WHEN src != dst THEN 1 ELSE 0 END) AS BIGINT)
+                  AS out_nonself
+         FROM pairs GROUP BY src),
+ins AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_hosts,
+               CAST(SUM(w) AS BIGINT) AS in_links
+        FROM pairs GROUP BY dst),
+hosts AS (SELECT DISTINCT host FROM (
+    SELECT src AS host FROM pairs UNION ALL SELECT dst FROM pairs))
+SELECT h.host,
+       CAST(COALESCE(o.out_hosts, 0) AS BIGINT) AS out_hosts,
+       CAST(COALESCE(i.in_hosts, 0) AS BIGINT) AS in_hosts,
+       CAST(COALESCE(o.out_links, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(i.in_links, 0) AS BIGINT) AS in_links,
+       CASE WHEN COALESCE(o.out_nonself, 0) = 0 THEN 0
+            ELSE CAST(CAST(COALESCE(r.n_recip, 0) AS HUGEINT) * 1000000
+                      // o.out_nonself AS BIGINT) END AS reciprocal_ppm,
+       CASE WHEN COALESCE(o.out_links, 0) = 0 THEN 0
+            ELSE CAST(CAST(COALESCE(o.self_links, 0) AS HUGEINT) * 1000000
+                      // o.out_links AS BIGINT) END AS self_ppm
+FROM hosts h
+LEFT JOIN outs o ON h.host = o.src
+LEFT JOIN ins i ON h.host = i.dst
+LEFT JOIN recip r ON h.host = r.src
+"""
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer HITS (graphrank.hits) over the same hash-derived host
     graph as host_rank: mutually-reinforcing hub/authority scores with
@@ -5476,6 +5647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'index_bm25_topk': q_index_bm25_topk,
         'selection_dsir_weights': q_selection_dsir_weights,
         'selection_dsir_select': q_selection_dsir_select,
+        'host_anti_trust_rank': q_host_anti_trust_rank,
+        'host_spam_mass': q_host_spam_mass,
+        'link_spam_features': q_link_spam_features,
         'content_media_captions': q_content_media_captions,
         'content_main_extract': q_content_main_extract,
         'content_host_templates': q_content_host_templates,
@@ -5639,6 +5813,9 @@ def oracle_sql() -> dict[str, str]:
         'index_bm25_topk': ORACLE_BM25,
         'selection_dsir_weights': ORACLE_DSIR_WEIGHTS,
         'selection_dsir_select': ORACLE_DSIR_SELECT,
+        'host_anti_trust_rank': ORACLE_ANTI_TRUST,
+        'host_spam_mass': ORACLE_SPAM_MASS,
+        'link_spam_features': ORACLE_LINK_SPAM,
         'content_media_captions': ORACLE_CONTENT_CAPTIONS,
         'content_main_extract': ORACLE_CONTENT_MAIN,
         'content_host_templates': ORACLE_CONTENT_TEMPLATES,

@@ -332,3 +332,50 @@ def opic_update(state: DataFrame, edges: DataFrame, fetched: DataFrame,
             ).cast('long').alias('hist_ppb'),
         )
     )
+
+
+def anti_trust_rank(edges: DataFrame, spam: DataFrame, iters: int = 3,
+                    damping_pct: int = 85,
+                    weight: str | None = None) -> DataFrame:
+    """Anti-TrustRank (Krishnan & Raj, AIRWeb 2006): TrustRank run on the
+    REVERSED link graph seeded with KNOWN-SPAM hosts — spam mass flows
+    backwards along in-links, so a host that links into the spam
+    neighbourhood (the link-seller / link-farm participant signature)
+    accumulates spam score even when nothing links to it. The complement
+    of :func:`trust_rank`: trust demotes what vetted hosts don't reach;
+    anti-trust promotes-for-demotion what reaches known spam.
+
+    Exactly :func:`trust_rank` over (dst, src) edges — same integer-ppb
+    arithmetic, same per-iteration shape. Returns (host, spam_ppb).
+    """
+    cols = ['src', 'dst'] + ([weight] if weight else [])
+    rev = edges.select(F.col('dst').alias('src'), F.col('src').alias('dst'),
+                       *([F.col(weight)] if weight else []))
+    out = trust_rank(rev.select(*cols), spam, iters=iters,
+                     damping_pct=damping_pct, weight=weight)
+    return out.select('host', F.col('trust_ppb').alias('spam_ppb'))
+
+
+def spam_mass(rank: DataFrame, trust: DataFrame) -> DataFrame:
+    """Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    VLDB 2006 "Link spam detection based on mass estimation"): the
+    fraction of a host's PageRank NOT accounted for by its trusted-core
+    rank, ``mass_ppm = ((rank − trust) · 10^6) div rank`` clamped to
+    [0, 10^6]. High rank + low trust = the classic spam-farm signature;
+    the pair (rank_ppb, mass_ppm) is what the frontier's
+    priority/quarantine policies consume.
+
+    ``rank`` is :func:`host_rank` output, ``trust`` is
+    :func:`trust_rank` output (ppb scales cancel in the quotient — both
+    are L1-normalized to SCALE). One equi-join on host; integral div
+    keeps it engine-exact. Hosts with zero rank report mass 0.
+    """
+    j = rank.join(trust, 'host', 'left').select(
+        'host', 'rank_ppb',
+        F.coalesce('trust_ppb', F.lit(0)).cast('long').alias('trust_ppb'))
+    raw = ('CAST(CAST(rank_ppb - LEAST(trust_ppb, rank_ppb) AS DECIMAL(28,0))'
+           ' * 1000000 div CAST(rank_ppb AS DECIMAL(19,0)) AS BIGINT)')
+    return j.select(
+        'host', 'rank_ppb', 'trust_ppb',
+        F.when(F.col('rank_ppb') <= 0, F.lit(0).cast('long'))
+         .otherwise(F.expr(raw)).alias('mass_ppm'))
