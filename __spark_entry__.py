@@ -5247,6 +5247,118 @@ SELECT * FROM (VALUES
 """
 
 
+def q_content_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style (media_ref, caption) pair extraction
+    (operators/content.caption_pairs): per distinct media asset, the best
+    aligned caption (longest, lexicographic tie) with placement counts —
+    the multimodal training-pair table an interleaved corpus yields.
+    One groupBy(media_ref) past the caption alignment; rolled up by
+    (caption_side, gap) for a compact pinned oracle."""
+    from scalpel_spark.operators.content import caption_pairs
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=240, n_hosts=8, seed=21)
+    return (
+        caption_pairs(corpus)
+        .groupBy('caption_side', 'gap')
+        .agg(F.count('*').alias('n_assets'),
+             F.count_distinct('caption').alias('n_captions'),
+             F.sum('n_occurrences').alias('n_placements'))
+    )
+
+
+ORACLE_CAPTION_PAIRS = """
+SELECT * FROM (VALUES
+  ('prev', CAST(1 AS INTEGER), CAST(83 AS BIGINT), CAST(5 AS BIGINT), CAST(83 AS BIGINT))
+) AS t(caption_side, gap, n_assets, n_captions, n_placements)
+"""
+
+
+def q_content_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-aware sequence packing (operators/content.pack_interleaved):
+    the GPT-style concat-and-chunk layout with each media span costed at
+    a fixed vision-token budget (64), per-doc costing map-side over the
+    spans array, global layout via the bucket-decomposed prefix sum (no
+    single-task sort, provably n_buckets-invariant —
+    tests/test_vocab_pack.py).  Pinned per-sequence rollup."""
+    from scalpel_spark.operators.content import pack_interleaved
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=300, n_hosts=8, seed=33)
+    return (
+        pack_interleaved(corpus, seq_tokens=512, media_tokens=64)
+        .groupBy('seq_id')
+        .agg(F.count('*').alias('n_docs'),
+             F.sum('n_tokens').alias('seq_cost'),
+             F.sum('n_media_spans').alias('n_media'),
+             F.sum(F.when(F.col('spans_boundary'), 1).otherwise(0))
+              .cast('long').alias('n_straddle'))
+    )
+
+
+ORACLE_PACK_INTERLEAVED = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(15 AS BIGINT), CAST(559 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(1 AS BIGINT), CAST(25 AS BIGINT), CAST(466 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(2 AS BIGINT), CAST(22 AS BIGINT), CAST(520 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(3 AS BIGINT), CAST(18 AS BIGINT), CAST(505 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(4 AS BIGINT), CAST(18 AS BIGINT), CAST(567 AS BIGINT), CAST(8 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(5 AS BIGINT), CAST(21 AS BIGINT), CAST(519 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(6 AS BIGINT), CAST(20 AS BIGINT), CAST(448 AS BIGINT), CAST(6 AS BIGINT), CAST(0 AS BIGINT)),
+  (CAST(7 AS BIGINT), CAST(45 AS BIGINT), CAST(526 AS BIGINT), CAST(6 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(8 AS BIGINT), CAST(19 AS BIGINT), CAST(508 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(9 AS BIGINT), CAST(17 AS BIGINT), CAST(503 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(10 AS BIGINT), CAST(28 AS BIGINT), CAST(538 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(11 AS BIGINT), CAST(25 AS BIGINT), CAST(527 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(12 AS BIGINT), CAST(21 AS BIGINT), CAST(517 AS BIGINT), CAST(7 AS BIGINT), CAST(1 AS BIGINT)),
+  (CAST(13 AS BIGINT), CAST(6 AS BIGINT), CAST(146 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(seq_id, n_docs, seq_cost, n_media, n_straddle)
+"""
+
+
+def q_vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/vocab.bpe_merges — the first 15 BPE merges learned from
+    the documents table (Sennrich et al. 2016): ONE distributed word
+    count (the only corpus-sized pass) capped by the straddle top-k,
+    then the bounded-vocabulary merge loop with (count DESC, pair ASC)
+    tie-breaks — deterministic across any partitioning
+    (tests/test_vocab_pack.py pins it against an independent reference
+    implementation).  Runs over the scale-independent synthetic corpus
+    (pinned oracles must not depend on sf — the repo convention), text =
+    the interleaved text spans joined in span order."""
+    from scalpel_spark.operators.vocab import bpe_merges
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=400, n_hosts=8, seed=5)
+    docs = corpus.select(
+        'doc_id',
+        F.array_join(
+            F.transform(F.filter('spans', lambda s: s['kind'] == 'text'),
+                        lambda s: s['text']), ' ').alias('text'))
+    return bpe_merges(docs, n_merges=15)
+
+
+ORACLE_BPE_MERGES = """
+SELECT * FROM (VALUES
+  (CAST(1 AS INTEGER), 't', 'e', CAST(561 AS BIGINT)),
+  (CAST(2 AS INTEGER), '-', 'a', CAST(400 AS BIGINT)),
+  (CAST(3 AS INTEGER), '-a', 'l', CAST(400 AS BIGINT)),
+  (CAST(4 AS INTEGER), '-al', 'p', CAST(400 AS BIGINT)),
+  (CAST(5 AS INTEGER), '-alp', 'h', CAST(400 AS BIGINT)),
+  (CAST(6 AS INTEGER), '-alph', 'a', CAST(400 AS BIGINT)),
+  (CAST(7 AS INTEGER), '-alpha', '</w>', CAST(400 AS BIGINT)),
+  (CAST(8 AS INTEGER), 'o', 'te', CAST(400 AS BIGINT)),
+  (CAST(9 AS INTEGER), 'ote', '-', CAST(400 AS BIGINT)),
+  (CAST(10 AS INTEGER), 'q', 'u', CAST(400 AS BIGINT)),
+  (CAST(11 AS INTEGER), 'qu', 'ote-', CAST(400 AS BIGINT)),
+  (CAST(12 AS INTEGER), 'i', 'n', CAST(339 AS BIGINT)),
+  (CAST(13 AS INTEGER), '.', '</w>', CAST(180 AS BIGINT)),
+  (CAST(14 AS INTEGER), 'in', '</w>', CAST(163 AS BIGINT)),
+  (CAST(15 AS INTEGER), 's', 'te', CAST(161 AS BIGINT))
+) AS t(rank, "left", "right", pair_count)
+"""
+
+
 def q_media_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-axis frontier schedule+dedup (operators/multimodal.media_frontier):
     media spans referenced by a 500-page interleaved corpus become fetch
@@ -5654,6 +5766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_main_extract': q_content_main_extract,
         'content_host_templates': q_content_host_templates,
         'content_strip_templates': q_content_strip_templates,
+        'content_caption_pairs': q_content_caption_pairs,
+        'content_pack_interleaved': q_content_pack_interleaved,
+        'vocab_bpe_merges': q_vocab_bpe_merges,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
@@ -5820,6 +5935,9 @@ def oracle_sql() -> dict[str, str]:
         'content_main_extract': ORACLE_CONTENT_MAIN,
         'content_host_templates': ORACLE_CONTENT_TEMPLATES,
         'content_strip_templates': ORACLE_CONTENT_STRIP,
+        'content_caption_pairs': ORACLE_CAPTION_PAIRS,
+        'content_pack_interleaved': ORACLE_PACK_INTERLEAVED,
+        'vocab_bpe_merges': ORACLE_BPE_MERGES,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,

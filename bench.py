@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     # round-4 additions: index builds (skew-safe salted top-k postings)
     'index_champion_postings',
     'index_collocations',
+    # round-4 session additions: retrieval, data selection, span content,
+    # link-spam — one representative per new module
+    'index_bm25_topk',
+    'selection_dsir_weights',
+    'content_main_extract',
+    'host_spam_mass',
 ]
 
 

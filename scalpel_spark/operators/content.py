@@ -302,3 +302,76 @@ def strip_templates(docs: DataFrame, templates: DataFrame,
         .withColumn('spans', keep)
         .drop('_host', '_tpl_fps')
     )
+
+
+def caption_pairs(docs: DataFrame, id_col: str = 'doc_id',
+                  max_gap: int = 3, min_caption_chars: int = 4,
+                  clip: int = 200) -> DataFrame:
+    """(media_ref, caption) training pairs — the CLIP-style dataset a
+    multimodal pipeline extracts from interleaved documents: every media
+    span's aligned caption from :func:`media_captions`, deduplicated per
+    media_ref keeping the best caption (longest, ties to the
+    lexicographically greatest string — fully deterministic).
+
+    Returns (media_ref, caption, caption_side, gap, n_occurrences) —
+    one row per distinct media asset; ``n_occurrences`` counts how many
+    placements produced a usable caption. One extra groupBy(media_ref)
+    over :func:`media_captions`' output; the winner is taken with a
+    max_by-equivalent struct-max so no window task ever holds a hot
+    asset's full placement list.
+    """
+    cap = (
+        media_captions(docs, id_col, max_gap, clip)
+        .filter(F.col('caption').isNotNull()
+                & (F.length('caption') >= min_caption_chars))
+    )
+    best = F.struct(
+        F.length('caption').alias('_len'),
+        F.col('caption').alias('_cap'),
+        F.col('caption_side').alias('_side'),
+        F.col('gap').alias('_gap'),
+    )
+    return (
+        cap.groupBy('media_ref')
+        .agg(F.max(best).alias('_b'),
+             F.count('*').alias('n_occurrences'))
+        .select('media_ref',
+                F.col('_b._cap').alias('caption'),
+                F.col('_b._side').alias('caption_side'),
+                F.col('_b._gap').alias('gap'),
+                F.col('n_occurrences').cast('long').alias('n_occurrences'))
+    )
+
+
+def pack_interleaved(docs: DataFrame, seq_tokens: int, media_tokens: int = 64,
+                     id_col: str = 'doc_id', n_buckets: int = 64) -> DataFrame:
+    """Media-aware concat-and-chunk packing of interleaved documents:
+    the GPT-style sequence layout of `curation.pack_sequences`, with each
+    document costed as
+
+        n_text_tokens  (whitespace tokens over its text spans)
+      + n_media_spans · ``media_tokens``   (the fixed vision-token budget
+        an interleaved consumer spends per media placement)
+
+    Returns (doc_id, n_tokens, n_text_tokens, n_media_spans, cum_before,
+    seq_id, offset, spans_boundary). The per-doc costing is pure
+    map-side array algebra (no explode); the global layout reuses the
+    bucket-decomposed prefix sum — no single-task sort at any scale.
+    """
+    from scalpel_spark.operators.curation import packed_layout
+
+    text_tokens = F.aggregate(
+        F.filter('spans', lambda s: s['kind'] == 'text'),
+        F.lit(0).cast('long'),
+        lambda acc, s: acc + F.size(F.split(F.coalesce(s['text'], F.lit('')),
+                                            ' ')))
+    n_media = F.size(F.filter('spans', lambda s: s['kind'] == 'media'))
+    costed = docs.select(
+        F.col(id_col).alias('doc_id'),
+        text_tokens.alias('n_text_tokens'),
+        n_media.cast('long').alias('n_media_spans'),
+    ).withColumn(
+        'n_tokens',
+        F.col('n_text_tokens') + F.col('n_media_spans') * media_tokens)
+    return packed_layout(costed, seq_tokens, n_buckets,
+                         carry=['n_text_tokens', 'n_media_spans'])

@@ -305,13 +305,28 @@ def pack_sequences(docs: DataFrame, seq_tokens: int,
 
     Returns (doc_id, n_tokens, cum_before, seq_id, offset, spans_boundary).
     """
+    costed = docs.select(
+        'doc_id',
+        F.size(tokens(F.col('text'))).cast('long').alias('n_tokens'),
+    )
+    return packed_layout(costed, seq_tokens, n_buckets)
+
+
+def packed_layout(costed: DataFrame, seq_tokens: int,
+                  n_buckets: int = 64, carry: list[str] | None = None) -> DataFrame:
+    """The concat-and-chunk layout shared by :func:`pack_sequences` and
+    `content.pack_interleaved`: given (doc_id, n_tokens[, carry cols]),
+    assign each document its training-sequence id / offset / boundary
+    flag via the bucket-decomposed global prefix sum (no single-task
+    sort; assignment provably independent of ``n_buckets``)."""
     if n_buckets & (n_buckets - 1) or n_buckets <= 0:
         raise ValueError(f'n_buckets must be a power of two, got {n_buckets}')
     shift = _KEY_BITS - (n_buckets.bit_length() - 1)
-    base = docs.select(
-        'doc_id',
-        F.size(tokens(F.col('text'))).cast('long').alias('n_tokens'),
-        hash60(F.col('doc_id').cast('string')).alias('shuffle_key'),
+    carry = carry or []
+    base = costed.select(
+        'doc_id', F.col('n_tokens').cast('long').alias('n_tokens'), *carry,
+    ).withColumn(
+        'shuffle_key', hash60(F.col('doc_id').cast('string')),
     ).withColumn('bucket', F.shiftright('shuffle_key', shift))
     w_in = (
         Window.partitionBy('bucket')
@@ -332,7 +347,7 @@ def pack_sequences(docs: DataFrame, seq_tokens: int,
         .withColumn('cum_before', F.col('bucket_before') + F.col('in_bucket_before'))
     )
     return out.select(
-        'doc_id', 'n_tokens', 'cum_before',
+        'doc_id', 'n_tokens', *carry, 'cum_before',
         F.expr(f'cum_before div {seq_tokens}').alias('seq_id'),
         (F.col('cum_before') % seq_tokens).alias('offset'),
         ((F.col('cum_before') % seq_tokens) + F.col('n_tokens') > seq_tokens)

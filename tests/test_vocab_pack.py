@@ -1,0 +1,148 @@
+"""BPE vocabulary learning (`operators/vocab.py`), caption-pair
+extraction and media-aware interleaved packing (`operators/content.py`).
+
+The BPE check is against an INDEPENDENT in-test reference implementation
+(Counter + string re-segmentation, structured differently from the
+operator's tuple loop), not against the operator's own internals.
+"""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from scalpel_spark.operators import content as C
+from scalpel_spark.operators import vocab as V
+from scalpel_spark.operators.curation import pack_sequences
+from tests.test_content import L, M, T, _doc, _docs
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges vs an independent reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges):
+    """Reference BPE: word freqs via Counter, symbols as space-joined
+    strings, merges applied with split/join."""
+    wf = Counter(w for t in texts for w in t.split(' ') if w)
+    vocab = Counter()
+    for w, n in wf.items():
+        vocab[' '.join(list(w) + ['</w>'])] += n
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            parts = sym.split(' ')
+            for a, b in zip(parts, parts[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((rank, a, b, cnt))
+        nv = Counter()
+        for sym, n in vocab.items():
+            parts = sym.split(' ')
+            out, i = [], 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            nv[' '.join(out)] += n
+        vocab = nv
+    return merges
+
+
+def test_bpe_matches_independent_reference(spark):
+    texts = ['low lower lowest', 'new newer newest low',
+             'wide wider widest new new', 'low low lower']
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
+    got = [(r['rank'], r['left'], r['right'], r['pair_count'])
+           for r in V.bpe_merges(docs, n_merges=10).orderBy('rank').collect()]
+    assert got == _ref_bpe(texts, 10)
+
+
+def test_bpe_stops_when_no_pair_repeats(spark):
+    docs = spark.createDataFrame([(0, 'ab cd')], 'doc_id long, text string')
+    # every adjacent pair occurs once -> zero merges
+    assert V.bpe_merges(docs, n_merges=5).count() == 0
+
+
+def test_bpe_deterministic_across_partitionings(spark):
+    texts = [f'tok{i % 7} alpha beta' for i in range(40)]
+    a = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              'doc_id long, text string')
+    b = a.repartition(13)
+    ra = [tuple(r) for r in V.bpe_merges(a, 8).orderBy('rank').collect()]
+    rb = [tuple(r) for r in V.bpe_merges(b, 8).orderBy('rank').collect()]
+    assert ra == rb and len(ra) == 8
+
+
+# ---------------------------------------------------------------------------
+# caption_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_caption_pairs_picks_longest_then_lexicographic(spark):
+    docs = _docs(spark, [
+        _doc('http://a.com/1', [T('short'), M('img://x')]),
+        _doc('http://a.com/2', [T('a much longer caption'), M('img://x')]),
+        _doc('http://a.com/3', [T('b much longer caption'), M('img://x')]),
+        _doc('http://a.com/4', [T('zz'), M('img://y')]),  # below min chars
+    ])
+    out = {r['media_ref']: r for r in C.caption_pairs(docs).collect()}
+    assert out['img://x']['caption'] == 'b much longer caption'
+    assert out['img://x']['n_occurrences'] == 3
+    assert 'img://y' not in out
+
+
+def test_caption_pairs_respects_min_chars(spark):
+    docs = _docs(spark, [_doc('http://a.com/1', [T('okay'), M('img://z')])])
+    assert C.caption_pairs(docs, min_caption_chars=4).count() == 1
+    assert C.caption_pairs(docs, min_caption_chars=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_interleaved
+# ---------------------------------------------------------------------------
+
+
+def test_pack_interleaved_costs_media_and_matches_flat_when_none(spark):
+    docs = _docs(spark, [
+        _doc('d1', [T('one two three'), M('img://a'), M('img://b')]),
+        _doc('d2', [T('four five'), L('x')]),
+    ])
+    out = {r['doc_id']: r
+           for r in C.pack_interleaved(docs, 128, media_tokens=10).collect()}
+    assert out['d1']['n_tokens'] == 3 + 2 * 10
+    assert out['d1']['n_media_spans'] == 2
+    assert out['d2']['n_tokens'] == 2 and out['d2']['n_media_spans'] == 0
+
+    # with no media spans the layout equals pack_sequences on the
+    # concatenated text (same doc_ids -> same shuffle keys)
+    nomedia = _docs(spark, [
+        _doc('d1', [T('one two three')]), _doc('d2', [T('four five')]),
+    ])
+    flat = spark.createDataFrame(
+        [('d1', 'one two three'), ('d2', 'four five')],
+        'doc_id string, text string')
+    a = sorted((r['doc_id'], r['cum_before'], r['seq_id'], r['offset'])
+               for r in C.pack_interleaved(nomedia, 4, 10).collect())
+    b = sorted((r['doc_id'], r['cum_before'], r['seq_id'], r['offset'])
+               for r in pack_sequences(flat, 4).collect())
+    assert a == b
+
+
+def test_pack_interleaved_bucket_invariance(spark):
+    from scalpel_spark.sources.corpus import synthetic_corpus
+    docs = synthetic_corpus(spark, n_pages=60, n_hosts=4, seed=9)
+    a = sorted(tuple(r) for r in
+               C.pack_interleaved(docs, 256, n_buckets=4).collect())
+    b = sorted(tuple(r) for r in
+               C.pack_interleaved(docs, 256, n_buckets=64).collect())
+    assert a == b
