@@ -5359,6 +5359,94 @@ SELECT * FROM (VALUES
 """
 
 
+def q_sketch_hll_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text cardinality per source
+    (operators/sketches.hll_cardinality) audited against the exact
+    distinct count: the mergeable register sketch every per-host /
+    per-source frontier statistic uses at 10^10 URLs, where the exact
+    pass exists only to PIN the estimate. Register build is one slim
+    (source, bucket) groupBy-MAX with map-side partials; estimator is
+    DECIMAL integral division + an embedded exact linear-counting table
+    — bit-identical in the fully recomputing DuckDB oracle."""
+    from scalpel_spark.operators.sketches import hll_cardinality
+
+    docs = _t(spark, sf_dir, 'documents')
+    est = hll_cardinality(docs, 'text', p=8, group_cols=['source'])
+    exact = (docs.groupBy('source')
+             .agg(F.count_distinct('text').alias('exact_distinct')))
+    return (
+        est.join(exact, 'source')
+        .select(
+            'source', 'estimate_milli', 'n_registers', 'exact_distinct',
+            # abs(est - exact)/exact in ppb: est is milli-scaled, so
+            # abs(est_milli - exact*1000) * 10^6 div exact
+            F.expr('cast(cast(abs(estimate_milli - exact_distinct * 1000) '
+                   'as decimal(28,0)) * 1000000 '
+                   'div cast(exact_distinct as decimal(19,0)) '
+                   'as bigint)').alias('abs_err_ppb'),
+        )
+    )
+
+
+def _oracle_hll_sources() -> str:
+    from scalpel_spark.operators.sketches import (hll_estimate_sql,
+                                                  hll_registers_sql)
+    reg = hll_registers_sql('text', 'documents', p=8, group_exprs=['source'])
+    est = hll_estimate_sql('regs', p=8, group_exprs=['source'])
+    return f"""
+WITH regs AS ({reg}),
+est AS ({est}),
+exact AS (SELECT source, COUNT(DISTINCT text) AS exact_distinct
+          FROM documents GROUP BY source)
+SELECT source, estimate_milli, n_registers, exact_distinct,
+       CAST(CAST(abs(estimate_milli - exact_distinct * 1000) AS HUGEINT)
+            * 1000000 // exact_distinct AS BIGINT) AS abs_err_ppb
+FROM est JOIN exact USING (source)
+"""
+
+
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit (operators/sketches.cms_heavy_hitters):
+    the corpus' top-20 tokens with exact count, the estimate read back
+    from the d=4 x w=512 counter table (bounded state that merges by SUM
+    across shards — the one-pass frequency structure at 100 TB), and the
+    one-sided overestimate in ppm. Fully recomputed in DuckDB."""
+    from scalpel_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, 'documents'),
+                             top_n=20, depth=4, width=512)
+
+
+def _oracle_cms_heavy_hitters() -> str:
+    from scalpel_spark.operators.sketches import cms_cells_sql
+    cells = cms_cells_sql('word', depth=4, width=512)
+    probe_rows = ' UNION ALL '.join(
+        f'SELECT word, {i} AS row, {c} AS col FROM top'
+        for i, c in enumerate(cells)
+    )
+    tok_cells = cms_cells_sql('tok', depth=4, width=512)
+    counter_rows = ' UNION ALL '.join(
+        f'SELECT {i} AS row, {c} AS col FROM tok2'
+        for i, c in enumerate(tok_cells)
+    )
+    return f"""
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+tok2 AS (SELECT tok FROM tok WHERE tok <> ''),
+exact AS (SELECT tok AS word, COUNT(*) AS exact_count FROM tok2 GROUP BY tok),
+top AS (SELECT word, exact_count FROM exact
+        ORDER BY exact_count DESC, word LIMIT 20),
+counters AS (SELECT row, col, COUNT(*) AS cnt
+             FROM ({counter_rows}) GROUP BY row, col),
+probes AS ({probe_rows}),
+est AS (SELECT word, MIN(COALESCE(cnt, 0)) AS cms_count
+        FROM probes LEFT JOIN counters USING (row, col) GROUP BY word)
+SELECT word, exact_count, CAST(cms_count AS BIGINT) AS cms_count,
+       CAST(CAST(cms_count - exact_count AS HUGEINT) * 1000000
+            // exact_count AS BIGINT) AS overestimate_ppm
+FROM top JOIN est USING (word)
+"""
+
+
 def q_media_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-axis frontier schedule+dedup (operators/multimodal.media_frontier):
     media spans referenced by a 500-page interleaved corpus become fetch
@@ -5769,6 +5857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_caption_pairs': q_content_caption_pairs,
         'content_pack_interleaved': q_content_pack_interleaved,
         'vocab_bpe_merges': q_vocab_bpe_merges,
+        'sketch_hll_sources': q_sketch_hll_sources,
+        'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
@@ -5938,6 +6028,8 @@ def oracle_sql() -> dict[str, str]:
         'content_caption_pairs': ORACLE_CAPTION_PAIRS,
         'content_pack_interleaved': ORACLE_PACK_INTERLEAVED,
         'vocab_bpe_merges': ORACLE_BPE_MERGES,
+        'sketch_hll_sources': _oracle_hll_sources(),
+        'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
