@@ -5447,6 +5447,78 @@ FROM top JOIN est USING (word)
 """
 
 
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate media detection
+    (operators/multimodal.media_phash_pairs): 63-bit dHash fingerprints
+    over payload bytes, 9-bit Hamming-band blocking (never asset x
+    asset), pairs with Hamming <= 6 rolled up by (same_group, hamming)
+    over a planted-duplicate corpus (`synthetic_media_variants`: one-byte
+    corruptions of group bases — the re-encoded dup a crawl sees). The
+    DuckDB oracle rebuilds the corpus, the dHash fold, the banding, and
+    the pair join from scratch."""
+    from scalpel_spark.operators.multimodal import (media_phash_pairs,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=400, groups=120, seed=7)
+    pairs = media_phash_pairs(media, max_hamming=6, id_col='media_id')
+    grp = media.select(F.col('media_id'), F.col('grp'))
+    return (
+        pairs
+        .join(grp.withColumnRenamed('media_id', 'ref_a')
+                 .withColumnRenamed('grp', 'grp_a'), 'ref_a')
+        .join(grp.withColumnRenamed('media_id', 'ref_b')
+                 .withColumnRenamed('grp', 'grp_b'), 'ref_b')
+        .groupBy((F.col('grp_a') == F.col('grp_b')).alias('same_group'),
+                 F.col('hamming').cast('int').alias('hamming'))
+        .agg(F.count('*').alias('n_pairs'))
+    )
+
+
+ORACLE_MEDIA_PHASH = """
+WITH m AS (
+  SELECT i AS media_id, CAST(i % 120 AS INTEGER) AS grp,
+         md5('m7-' || CAST(i % 120 AS VARCHAR))
+           || md5('n7-' || CAST(i % 120 AS VARCHAR))
+           || md5('o7-' || CAST(i % 120 AS VARCHAR))
+           || md5('q7-' || CAST(i % 120 AS VARCHAR)) AS baseh,
+         CAST(i % 64 AS INTEGER) AS p
+  FROM range(400) t(i)),
+hx AS (
+  SELECT media_id, grp,
+         CASE WHEN media_id < 120 THEN baseh
+              ELSE substr(baseh, 1, p * 2) || 'f0' || substr(baseh, p * 2 + 3)
+         END AS h
+  FROM m),
+bytes AS (
+  SELECT media_id, grp, CAST(j AS INTEGER) AS j,
+         CAST(('0x' || substr(h, CAST(j * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS b
+  FROM hx, range(64) r(j)),
+bits AS (
+  SELECT media_id, grp, j,
+         CASE WHEN b > lead(b) OVER (PARTITION BY media_id ORDER BY j)
+              THEN 1 ELSE 0 END AS bit
+  FROM bytes),
+fp AS (
+  SELECT media_id, grp,
+         SUM(CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << j)) AS phash
+  FROM bits WHERE j < 63 GROUP BY media_id, grp),
+bands AS (
+  SELECT media_id, grp, phash, band,
+         (phash >> CAST(band * 9 AS INTEGER)) & 511 AS bucket
+  FROM fp, range(7) rb(band)),
+pairs AS (
+  SELECT DISTINCT a.media_id AS ra, b.media_id AS rb,
+         a.grp = b.grp AS same_group,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.media_id < b.media_id)
+SELECT same_group, CAST(hamming AS INTEGER) AS hamming,
+       COUNT(*) AS n_pairs
+FROM pairs WHERE hamming <= 6
+GROUP BY same_group, hamming
+"""
+
+
 def q_media_frontier_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-axis frontier schedule+dedup (operators/multimodal.media_frontier):
     media spans referenced by a 500-page interleaved corpus become fetch
@@ -5859,6 +5931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vocab_bpe_merges': q_vocab_bpe_merges,
         'sketch_hll_sources': q_sketch_hll_sources,
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
+        'media_phash_dedup': q_media_phash_dedup,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
@@ -6030,6 +6103,7 @@ def oracle_sql() -> dict[str, str]:
         'vocab_bpe_merges': ORACLE_BPE_MERGES,
         'sketch_hll_sources': _oracle_hll_sources(),
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
+        'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,

@@ -346,3 +346,120 @@ def sniff_charset(payload: Column, declared: Column | None = None) -> Column:
     out = out.when(meta != '', meta)
     out = out.when(prescan.rlike('^[\\x01-\\x7f]*$'), F.lit('ascii'))
     return out.otherwise(F.lit('windows-1252'))
+
+
+# ------------------------------------------------------- perceptual hash ---
+
+PHASH_BITS = 63  # 64 payload bytes -> 63 adjacent-difference bits
+PHASH_BANDS = 7  # 7 bands x 9 bits; Hamming <= 6 pigeonholes one clean band
+
+
+def media_dhash(payload_col: str, n_bytes: int = 64) -> Column:
+    """63-bit difference-hash (dHash) perceptual fingerprint of a media
+    payload column: bit j is set iff byte[j] > byte[j+1] — the classic
+    gradient-direction hash (Krawetz), over the payload's leading
+    ``n_bytes`` bytes. On a REAL deployment the input is the decoded,
+    downscaled 8x8 luma grid emitted by the mapInPandas decode stage
+    (`extract_media_features`); the hash itself needs no codec, so it
+    stays pure JVM column algebra — hex() -> byte array -> one aggregate
+    fold, whole-stage codegen, no UDF. DuckDB twin: the same
+    substr / '0x'-cast / shift arithmetic (see the `media_phash_dedup`
+    oracle in `__spark_entry__`).
+
+    A one-byte change flips at most 2 of the 63 bits — which is why
+    Hamming-band blocking (`media_phash_pairs`) finds corrupted or
+    re-encoded near-duplicate assets that exact payload hashing misses.
+    63 bits (not 64) keeps the fingerprint strictly positive in a signed
+    BIGINT on both engines — no sign-bit divergence.
+    """
+    return _dhash_fold(_payload_bytes(payload_col, n_bytes), n_bytes)
+
+
+def _payload_bytes(payload_col: str, n_bytes: int) -> str:
+    """SQL expr: the payload's first n_bytes as an int array."""
+    return (f'transform(sequence(0, {n_bytes - 1}), '
+            f'i -> cast(conv(substr(hex({payload_col}), i*2+1, 2), 16, 10) as int))')
+
+
+def _dhash_fold(bytes_expr: str, n_bytes: int) -> Column:
+    """SQL fold: adjacent-difference bits packed into a BIGINT. The
+    caller should pass a COLUMN NAME holding the materialized byte array
+    when hashing many rows — an inlined array expression is re-evaluated
+    on every fold step (Catalyst does not CSE across lambda scopes)."""
+    return F.expr(
+        f'aggregate(sequence(1, {n_bytes - 1}), cast(0 as bigint), '
+        f'(acc, i) -> acc + if(element_at({bytes_expr}, i) > '
+        f'element_at({bytes_expr}, i + 1), '
+        f'shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))'
+    )
+
+
+def media_phash_pairs(media: DataFrame, max_hamming: int = 6,
+                      id_col: str = 'media_ref',
+                      payload_col: str = 'payload') -> DataFrame:
+    """Perceptual near-duplicate media pairs by dHash Hamming distance,
+    blocked on 9-bit bands — the media-axis twin of
+    ``dedup.simhash_near_pairs``.
+
+    Pigeonhole: Hamming(a, b) <= 6 over 7 disjoint 9-bit bands forces at
+    least one band where a and b agree exactly, so the banded self-join
+    finds every qualifying pair while only ever joining within buckets —
+    never asset x asset. At 10^10 media refs each asset emits 7 slim
+    (band, bucket, id, fp) rows; bucket skew is bounded because dHash
+    bits of non-duplicate assets are near-uniform. Returns
+    (ref_a, ref_b, hamming), ref_a < ref_b, hamming <= max_hamming.
+    """
+    fps = media.select(
+        F.col(id_col).alias('ref'),
+        F.expr(_payload_bytes(payload_col, 64)).alias('_pb'),
+    ).select('ref', _dhash_fold('_pb', 64).alias('phash'))
+    width = 9
+    banded = fps.select(
+        'ref', 'phash',
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias('band'),
+    ).withColumn(
+        'bucket', F.expr(f'shiftright(phash, band * {width}) & {(1 << width) - 1}')
+    )
+    a = banded.select('band', 'bucket', F.col('ref').alias('ref_a'),
+                      F.col('phash').alias('fp_a'))
+    b = banded.select('band', 'bucket', F.col('ref').alias('ref_b'),
+                      F.col('phash').alias('fp_b'))
+    return (
+        a.join(b, ['band', 'bucket'])
+        .filter(F.col('ref_a') < F.col('ref_b'))
+        .select('ref_a', 'ref_b',
+                F.bit_count(F.col('fp_a').bitwiseXOR(F.col('fp_b'))).alias('hamming'))
+        .distinct()
+        .filter(F.col('hamming') <= max_hamming)
+    )
+
+
+def synthetic_media_variants(spark: SparkSession, n: int, groups: int,
+                             seed: int = 7) -> DataFrame:
+    """Deterministic near-duplicate media corpus for the perceptual-hash
+    operators: ``groups`` base 64-byte payloads (md5-derived), each extra
+    copy (variant v = id div groups > 0) sliced with a one-byte 0xf0
+    corruption at byte position id mod 64 — the re-encoded/bit-rotted
+    duplicate a crawl sees. Pure column algebra; the DuckDB oracle
+    rebuilds the identical corpus from the same expressions."""
+    df = spark.range(0, n)
+    g = F.pmod(F.col('id'), F.lit(groups))
+    # 4 x 32 hex chars = 64 payload bytes
+    base = F.concat(*[
+        F.md5(F.concat(F.lit(f'{c}{seed}-'), g.cast('string')))
+        for c in 'mnoq'
+    ])
+    pos = F.pmod(F.col('id'), F.lit(64))
+    spliced = F.expr(
+        "concat(substr(_h, 1, _p * 2), 'f0', substr(_h, _p * 2 + 3))"
+    )
+    hx = F.when(F.col('id') < groups, base).otherwise(spliced)
+    return (
+        df.withColumn('_h', base)
+        .withColumn('_p', pos)
+        .select(
+            F.col('id').alias('media_id'),
+            g.cast('int').alias('grp'),
+            F.to_binary(hx, F.lit('hex')).alias('payload'),
+        )
+    )

@@ -239,3 +239,77 @@ def test_sniff_charset_precedence_ladder(spark):
     declared_idx = next(i for i, (p, d, _) in enumerate(cases)
                         if p == b'plain ascii body' and d is not None)
     assert got2[declared_idx] == 'ascii'
+
+
+# ------------------------------------------------------- perceptual hash ---
+
+
+def test_media_dhash_one_byte_flip_bounded(spark):
+    """A one-byte corruption flips at most 2 of the 63 dHash bits."""
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.operators.multimodal import (media_dhash,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=240, groups=120, seed=3)
+    fps = media.select('media_id', 'grp', media_dhash('payload').alias('fp'))
+    a = fps.filter('media_id < 120').select('grp', F.col('fp').alias('fa'))
+    b = fps.filter('media_id >= 120').select('grp', F.col('fp').alias('fb'))
+    rows = (a.join(b, 'grp')
+            .select(F.bit_count(F.col('fa').bitwiseXOR(F.col('fb'))).alias('h'))
+            .collect())
+    assert len(rows) == 120
+    assert all(r['h'] <= 2 for r in rows)
+
+
+def test_media_dhash_positive_63_bits(spark):
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.operators.multimodal import (media_dhash,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=50, groups=50, seed=11)
+    mm = media.select(media_dhash('payload').alias('fp')).agg(
+        F.min('fp').alias('lo'), F.max('fp').alias('hi')).collect()[0]
+    assert mm['lo'] >= 0
+    assert mm['hi'] < (1 << 63)
+
+
+def test_media_phash_pairs_finds_planted_dups(spark):
+    """Every planted variant pairs with its base (hamming <= 2 <= 6);
+    the banded join must find all of them (pigeonhole completeness)."""
+    from scalpel_spark.operators.multimodal import (media_phash_pairs,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=300, groups=100, seed=5)
+    pairs = media_phash_pairs(media, max_hamming=6, id_col='media_id')
+    got = {(r['ref_a'], r['ref_b']) for r in pairs.collect()}
+    # groups 0..99: members {g, g+100, g+200} -> 3 pairs per group, minus
+    # any pair whose corruption coincides (still a pair, hamming 0)
+    for g in range(100):
+        for x, y in [(g, g + 100), (g, g + 200), (g + 100, g + 200)]:
+            assert (x, y) in got, (x, y)
+
+
+def test_media_phash_pairs_no_false_positives_above_threshold(spark):
+    from scalpel_spark.operators.multimodal import (media_phash_pairs,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=200, groups=100, seed=9)
+    pairs = media_phash_pairs(media, max_hamming=2, id_col='media_id')
+    for r in pairs.collect():
+        assert r['hamming'] <= 2
+        # cross-group random payloads sit ~31 bits apart; anything this
+        # close must be a planted pair
+        assert r['ref_b'] - r['ref_a'] == 100
+
+
+def test_media_phash_partitioning_invariant(spark):
+    from scalpel_spark.operators.multimodal import (media_phash_pairs,
+                                                    synthetic_media_variants)
+
+    media = synthetic_media_variants(spark, n=120, groups=60, seed=13)
+    base = sorted(map(tuple, media_phash_pairs(media, id_col='media_id').collect()))
+    rep = sorted(map(tuple, media_phash_pairs(
+        media.repartition(7), id_col='media_id').collect()))
+    assert base == rep
