@@ -5359,6 +5359,54 @@ SELECT * FROM (VALUES
 """
 
 
+def q_vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/vocab.bpe_token_stats — the learned 15-merge vocabulary
+    APPLIED back to the corpus, per-host tokenization rollup. Encode is
+    a chain of leftmost-greedy array folds over DISTINCT words (each word
+    encoded once, joined back — the Zipf trick), pure JVM expressions
+    (tests/test_vocab_pack.py pins the fold against an independent
+    while-loop reference encoder). Pinned oracle on the
+    scale-independent synthetic corpus (repo convention)."""
+    from scalpel_spark.operators.vocab import bpe_merges, bpe_token_stats
+    from scalpel_spark.sources.corpus import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, n_pages=400, n_hosts=8, seed=5)
+    docs = corpus.select(
+        'doc_id',
+        F.array_join(
+            F.transform(F.filter('spans', lambda s: s['kind'] == 'text'),
+                        lambda s: s['text']), ' ').alias('text'))
+    merges = [(r['left'], r['right'])
+              for r in bpe_merges(docs, n_merges=15).orderBy('rank').collect()]
+    stats = bpe_token_stats(docs, merges)
+    return (
+        stats
+        .groupBy(F.parse_url('doc_id', F.lit('HOST')).alias('host'))
+        .agg(F.count('*').alias('n_docs'),
+             F.sum('n_words').alias('n_words'),
+             F.sum('n_tokens').alias('n_tokens'),
+             F.sum('n_symbols').alias('n_symbols'))
+        .withColumn(
+            'compression_ppm',
+            F.expr('cast(cast(n_tokens as decimal(28,0)) * 1000000'
+                   ' div cast(n_symbols as decimal(19,0)) as bigint)'))
+    )
+
+
+ORACLE_BPE_ENCODE = """
+SELECT * FROM (VALUES
+  ('h0.example.com', CAST(52 AS BIGINT), CAST(167 AS BIGINT), CAST(834 AS BIGINT), CAST(1538 AS BIGINT), CAST(542262 AS BIGINT)),
+  ('h1.example.com', CAST(43 AS BIGINT), CAST(140 AS BIGINT), CAST(690 AS BIGINT), CAST(1271 AS BIGINT), CAST(542879 AS BIGINT)),
+  ('h2.example.com', CAST(49 AS BIGINT), CAST(154 AS BIGINT), CAST(773 AS BIGINT), CAST(1429 AS BIGINT), CAST(540937 AS BIGINT)),
+  ('h3.example.com', CAST(52 AS BIGINT), CAST(168 AS BIGINT), CAST(822 AS BIGINT), CAST(1519 AS BIGINT), CAST(541145 AS BIGINT)),
+  ('h4.example.com', CAST(57 AS BIGINT), CAST(181 AS BIGINT), CAST(890 AS BIGINT), CAST(1664 AS BIGINT), CAST(534855 AS BIGINT)),
+  ('h5.example.com', CAST(54 AS BIGINT), CAST(178 AS BIGINT), CAST(874 AS BIGINT), CAST(1604 AS BIGINT), CAST(544887 AS BIGINT)),
+  ('h6.example.com', CAST(42 AS BIGINT), CAST(137 AS BIGINT), CAST(650 AS BIGINT), CAST(1218 AS BIGINT), CAST(533661 AS BIGINT)),
+  ('h7.example.com', CAST(51 AS BIGINT), CAST(165 AS BIGINT), CAST(816 AS BIGINT), CAST(1510 AS BIGINT), CAST(540397 AS BIGINT))
+) AS t(host, n_docs, n_words, n_tokens, n_symbols, compression_ppm)
+"""
+
+
 def q_sketch_hll_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-text cardinality per source
     (operators/sketches.hll_cardinality) audited against the exact
@@ -5929,6 +5977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_caption_pairs': q_content_caption_pairs,
         'content_pack_interleaved': q_content_pack_interleaved,
         'vocab_bpe_merges': q_vocab_bpe_merges,
+        'vocab_bpe_encode': q_vocab_bpe_encode,
         'sketch_hll_sources': q_sketch_hll_sources,
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
         'media_phash_dedup': q_media_phash_dedup,
@@ -6101,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         'content_caption_pairs': ORACLE_CAPTION_PAIRS,
         'content_pack_interleaved': ORACLE_PACK_INTERLEAVED,
         'vocab_bpe_merges': ORACLE_BPE_MERGES,
+        'vocab_bpe_encode': ORACLE_BPE_ENCODE,
         'sketch_hll_sources': _oracle_hll_sources(),
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
         'media_phash_dedup': ORACLE_MEDIA_PHASH,

@@ -146,3 +146,77 @@ def test_pack_interleaved_bucket_invariance(spark):
     b = sorted(tuple(r) for r in
                C.pack_interleaved(docs, 256, n_buckets=64).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_words / bpe_token_stats vs an independent reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_encode(word, merges):
+    """Reference BPE apply: the textbook while-loop over (left, right)
+    merges in rank order (structured as index scan, unlike the
+    operator's array fold)."""
+    sym = list(word) + ['</w>']
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_reference_on_learned_merges(spark):
+    texts = ['low lower lowest', 'new newer newest low',
+             'wide wider widest new new', 'low low lower',
+             'aaaa aaaaa ababab abab']
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], 'doc_id long, text string')
+    merges = [(r['left'], r['right'])
+              for r in V.bpe_merges(docs, n_merges=12).orderBy('rank').collect()]
+    words = sorted({w for t in texts for w in t.split(' ') if w})
+    wdf = spark.createDataFrame([(w,) for w in words], 'word string')
+    got = {r['word']: r['tokens']
+           for r in V.bpe_encode_words(wdf, merges).collect()}
+    for w in words:
+        assert got[w] == _ref_encode(w, merges), w
+
+
+def test_bpe_encode_handles_quote_and_backslash_symbols(spark):
+    wdf = spark.createDataFrame([("a'b\\c",)], 'word string')
+    got = V.bpe_encode_words(wdf, [("a", "'"), ("a'", 'b')]).collect()[0]
+    assert got['tokens'] == _ref_encode("a'b\\c", [("a", "'"), ("a'", 'b')])
+
+
+def test_bpe_token_stats_sums_and_compression(spark):
+    docs = spark.createDataFrame(
+        [(0, 'low low'), (1, 'lower')], 'doc_id long, text string')
+    merges = [('l', 'o'), ('lo', 'w'), ('low', '</w>')]
+    rows = {r['doc_id']: r
+            for r in V.bpe_token_stats(docs, merges).collect()}
+    # 'low' -> ['low</w>'] (1 token), n_symbols 4; doc 0 has two of them
+    assert rows[0]['n_words'] == 2
+    assert rows[0]['n_tokens'] == 2
+    assert rows[0]['n_symbols'] == 8
+    assert rows[0]['compression_ppm'] == 250000
+    # 'lower' -> ['low', 'e', 'r', '</w>'] = 4 tokens, 6 symbols
+    assert rows[1]['n_tokens'] == 4
+    assert rows[1]['n_symbols'] == 6
+    assert rows[1]['compression_ppm'] == 666666
+
+
+def test_bpe_encode_partitioning_invariant(spark):
+    texts = [f'tok{i % 9} alpha beta gamma' for i in range(60)]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 'doc_id long, text string')
+    merges = [(r['left'], r['right'])
+              for r in V.bpe_merges(docs, n_merges=6).orderBy('rank').collect()]
+    a = sorted(tuple(r) for r in V.bpe_token_stats(docs, merges).collect())
+    b = sorted(tuple(r) for r in
+               V.bpe_token_stats(docs.repartition(11), merges).collect())
+    assert a == b
