@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     'selection_dsir_weights',
     'content_main_extract',
     'host_spam_mass',
+    # round-4 session additions: sketches, perceptual media dedup,
+    # tokenizer application
+    'sketch_hll_sources',
+    'media_phash_dedup',
+    'vocab_bpe_encode',
 ]
 
 
