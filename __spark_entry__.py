@@ -5359,6 +5359,129 @@ SELECT * FROM (VALUES
 """
 
 
+def _stream_events(spark, tmpdir: str, rows) -> None:
+    from scalpel_spark.streaming.frontier_stream import FETCH_EVENT_SCHEMA
+    df = spark.createDataFrame(list(rows), FETCH_EVENT_SCHEMA)
+    df.coalesce(1).write.mode('append').parquet(tmpdir)
+
+
+def _stream_collect(spark, out_df, prefix: str) -> DataFrame:
+    """availableNow file-source run into a memory sink, returned as a
+    (bounded) DataFrame — the offline deterministic harness the
+    streaming tests use."""
+    import uuid as _uuid
+    name = prefix + _uuid.uuid4().hex[:8]
+    q = (out_df.writeStream.format('memory').queryName(name)
+         .outputMode('append').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.sql(f'select * from {name}')
+
+
+def q_stream_politeness_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful politeness
+    (streaming/frontier_stream.stateful_politeness): two deterministic
+    micro-batches (file source, maxFilesPerTrigger=1, mtime-ordered),
+    per-host budget 4 — over-budget URLs are emitted admitted=false on
+    arrival, carried in applyInPandasWithState state, and drained in
+    priority order when a later batch has budget. The rollup pins the
+    CROSS-BATCH semantics: deferred-then-drained URLs appear twice, the
+    running dispatched_total steps by the budget, and host isolation
+    holds. VALUES-pinned oracle (streaming is not SQL-expressible; the
+    pinned rows ARE the spec, double-checked by tests/test_streaming.py)."""
+    import datetime
+    import tempfile
+    import time as _time
+
+    from scalpel_spark.streaming.frontier_stream import (FETCH_EVENT_SCHEMA,
+                                                         stateful_politeness)
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp(prefix='stream_pol_')
+
+    def ev(host, prio):
+        return (f'http://{host}/p{prio}.html', host,
+                base + datetime.timedelta(seconds=prio), prio)
+
+    a, b = 'a.example.com', 'b.example.com'
+    _stream_events(spark, d, [ev(a, i) for i in range(6)] + [ev(b, i) for i in range(2)])
+    _time.sleep(1.1)  # distinct mtime -> deterministic file (batch) order
+    _stream_events(spark, d, [ev(a, i) for i in range(10, 14)] + [ev(b, 10)])
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    out = _stream_collect(
+        spark, stateful_politeness(stream, budget_per_batch=4), 'pol_')
+    return (
+        out.groupBy('host')
+        .agg(F.count('*').alias('n_emissions'),
+             F.sum(F.when(F.col('admitted'), 1).otherwise(0))
+              .cast('long').alias('n_admitted'),
+             F.count_distinct('url').alias('n_urls'),
+             F.max('dispatched_total').alias('max_dispatched'),
+             F.sum(F.when(F.col('admitted'), F.col('priority')))
+              .cast('long').alias('admitted_prio_sum'))
+    )
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-seen dedup
+    (streaming/frontier_stream.dedup_discovered): dropDuplicates keyed on
+    url under a watermark — repeats are dropped ACROSS micro-batch
+    boundaries via the state store (the streaming twin of the batch
+    seen anti-join). Two batches with in-batch and cross-batch repeats;
+    each URL must survive exactly once. VALUES-pinned oracle (the output
+    SET is batch-order-independent, so the pin is robust)."""
+    import datetime
+    import tempfile
+    import time as _time
+
+    from scalpel_spark.streaming.frontier_stream import (FETCH_EVENT_SCHEMA,
+                                                         dedup_discovered)
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp(prefix='stream_dedup_')
+
+    def ev(host, i, sec):
+        return (f'http://{host}/p{i}.html', host,
+                base + datetime.timedelta(seconds=sec), i)
+
+    a, b = 'a.example.com', 'b.example.com'
+    _stream_events(spark, d,
+                   [ev(a, 0, 0), ev(a, 1, 1), ev(a, 2, 2), ev(a, 2, 2),
+                    ev(b, 0, 3)])
+    _time.sleep(1.1)
+    _stream_events(spark, d,
+                   [ev(a, 1, 10), ev(a, 2, 11), ev(a, 3, 12),
+                    ev(b, 0, 13), ev(b, 1, 14)])
+
+    stream = (spark.readStream.schema(FETCH_EVENT_SCHEMA)
+              .option('maxFilesPerTrigger', 1).parquet(d))
+    out = _stream_collect(
+        spark, dedup_discovered(stream, watermark='1 hour'), 'dedup_')
+    return (
+        out.groupBy('host')
+        .agg(F.count('*').alias('n_unique'),
+             F.count_distinct('url').alias('n_urls'),
+             F.sum('priority').cast('long').alias('prio_sum'))
+    )
+
+
+ORACLE_STREAM_POLITENESS = """
+SELECT * FROM (VALUES
+  ('a.example.com', CAST(12 AS BIGINT), CAST(8 AS BIGINT), CAST(10 AS BIGINT), CAST(8 AS BIGINT), CAST(36 AS BIGINT)),
+  ('b.example.com', CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(11 AS BIGINT))
+) AS t(host, n_emissions, n_admitted, n_urls, max_dispatched, admitted_prio_sum)
+"""
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT * FROM (VALUES
+  ('a.example.com', CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(6 AS BIGINT)),
+  ('b.example.com', CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(host, n_unique, n_urls, prio_sum)
+"""
+
+
 def q_vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/vocab.bpe_token_stats — the learned 15-merge vocabulary
     APPLIED back to the corpus, per-host tokenization rollup. Encode is
@@ -5870,7 +5993,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the driver oracle-checks the FIRST 50 entries only, so the window
     # below leads with the queries that have never had a driver row —
     # every crawl_* engine-lifecycle query, the graph ranks, the
-    # scheduling/recrawl planners, PQ/IVFADC, spans/media — plus five
+    # scheduling/recrawl planners, PQ/IVFADC, spans/media, and the two
+    # Structured Streaming queries (streaming never had a driver row;
+    # their pinned-VALUES oracles make the stateful cross-batch
+    # semantics driver-checkable for the first time) — plus three
     # r3-green canaries (regression tripwires) and the two fetch-path
     # queries whose oracles changed this round. Entries 51+ are ordered
     # never-checked-first so the round-5 rotation picks them up next;
@@ -5878,11 +6004,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recorded in CORRECTNESS_r03.json).
     return {
         # -- canaries (driver-green in r3, kept in-window as tripwires) --
-        'tpch_pricing_summary': q_tpch_pricing_summary,
         'frontier_dedup_anti_join': q_frontier_dedup_anti_join,
         'politeness_dispatch_window': q_politeness_dispatch_window,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
-        'url_canonicalize_golden': q_url_canonicalize_golden,
+        # -- streaming: first-ever driver rows for the streaming layer --
+        'stream_politeness_drain': q_stream_politeness_drain,
+        'stream_dedup_watermark': q_stream_dedup_watermark,
         # -- oracle fixed this round (r3's only red row) --
         'fetch_mapinpandas': q_fetch_mapinpandas,
         # -- engine lifecycle: golden crawls + both fetch modes --
@@ -5978,6 +6105,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'content_pack_interleaved': q_content_pack_interleaved,
         'vocab_bpe_merges': q_vocab_bpe_merges,
         'vocab_bpe_encode': q_vocab_bpe_encode,
+        # canaries displaced from the 50-slot window by the streaming
+        # pair (green r1+r2+r3 — the least marginal evidence to forgo)
+        'tpch_pricing_summary': q_tpch_pricing_summary,
+        'url_canonicalize_golden': q_url_canonicalize_golden,
         'sketch_hll_sources': q_sketch_hll_sources,
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
         'media_phash_dedup': q_media_phash_dedup,
@@ -6151,6 +6282,8 @@ def oracle_sql() -> dict[str, str]:
         'content_pack_interleaved': ORACLE_PACK_INTERLEAVED,
         'vocab_bpe_merges': ORACLE_BPE_MERGES,
         'vocab_bpe_encode': ORACLE_BPE_ENCODE,
+        'stream_politeness_drain': ORACLE_STREAM_POLITENESS,
+        'stream_dedup_watermark': ORACLE_STREAM_DEDUP,
         'sketch_hll_sources': _oracle_hll_sources(),
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
