@@ -5618,6 +5618,35 @@ FROM top JOIN est USING (word)
 """
 
 
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch set algebra (operators/sketches.kmv_overlap):
+    Jaccard / union / intersection estimates between two overlapping
+    crawl-snapshot URL sets from their 256-minima sketches — the
+    crawl-overlap question HLL cannot answer (no intersection), computed
+    without ever joining URL x URL: after the two distinct passes only
+    <= 3k hash rows move. Deterministic synthetic sets with known truth
+    (Jaccard 1/3, union 45k, intersection 15k); FULLY recomputed in
+    DuckDB via the shared *_sql twins."""
+    from scalpel_spark.operators.sketches import kmv_overlap
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit('https://h'), F.pmod('id', F.lit(97)).cast('string'),
+                     F.lit('.site/p/'), F.col('id').cast('string')).alias('url'))
+
+    return kmv_overlap(urls(0, 30000), urls(15000, 45000), 'url', k=256)
+
+
+def _oracle_kmv_overlap() -> str:
+    from scalpel_spark.operators.sketches import kmv_overlap_sql, kmv_sketch_sql
+    mk = ("SELECT concat('https://h', CAST(i % 97 AS VARCHAR), '.site/p/', "
+          "CAST(i AS VARCHAR)) AS url FROM range({lo}, {hi}) t(i)")
+    sa = kmv_sketch_sql('url', f'({mk.format(lo=0, hi=30000)})', 256)
+    sb = kmv_sketch_sql('url', f'({mk.format(lo=15000, hi=45000)})', 256)
+    return (f'WITH sa AS ({sa}), sb AS ({sb}) '
+            + kmv_overlap_sql('sa', 'sb', 256))
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate media detection
     (operators/multimodal.media_phash_pairs): 63-bit dHash fingerprints
@@ -6111,6 +6140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_canonicalize_golden': q_url_canonicalize_golden,
         'sketch_hll_sources': q_sketch_hll_sources,
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
+        'sketch_kmv_overlap': q_sketch_kmv_overlap,
         'media_phash_dedup': q_media_phash_dedup,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
@@ -6286,6 +6316,7 @@ def oracle_sql() -> dict[str, str]:
         'stream_dedup_watermark': ORACLE_STREAM_DEDUP,
         'sketch_hll_sources': _oracle_hll_sources(),
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
+        'sketch_kmv_overlap': _oracle_kmv_overlap(),
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

@@ -317,3 +317,117 @@ def cms_cells_sql(tok_expr: str, depth: int, width: int) -> list[str]:
         f'CAST((({base} * {a} + {b}) % {MERSENNE31}) % {width} AS INTEGER)'
         for a, b in consts
     ]
+
+
+# ---------------------------------------------------------------- KMV ---
+#
+# K-minimum-values ("theta") sketch: keep the k smallest distinct hash
+# values of a set. Unlike HLL, KMV supports set ALGEBRA — union (merge +
+# re-trim) and intersection (Jaccard over the merged minima) — which is
+# what crawl-overlap questions need ("how many URLs do these two crawls
+# share?") without ever joining URL x URL. Beyer et al., SIGMOD 2007.
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest DISTINCT hash60 values of ``col`` — one slim
+    distinct + TakeOrdered (O(n log k) per partition, no global sort
+    task holds more than k rows). Output: (h) rows, at most k."""
+    return (
+        df.select(hash60(F.col(col)).alias('h'))
+        .distinct()
+        .orderBy('h')
+        .limit(k)
+    )
+
+
+def kmv_estimate_milli(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-cardinality estimate from a KMV sketch, milli-units:
+    (k-1) * 2^60 div h_k where h_k is the k-th smallest value (the
+    standard unbiased KMV estimator). If the set has fewer than k
+    distinct values the sketch IS the set and the exact count is
+    returned. DECIMAL integral division throughout."""
+    agg = sketch.groupBy().agg(F.max('h').alias('h_k'),
+                               F.count('*').alias('n'))
+    est = F.expr(
+        f'cast(cast({k - 1} as decimal(28,0)) * {1 << 60} * 1000'
+        f' div cast(h_k as decimal(19,0)) as bigint)'
+    )
+    return agg.select(
+        F.when(F.col('n') < k, F.col('n') * 1000)
+        .otherwise(est).cast('long').alias('estimate_milli'),
+        F.col('n').cast('long').alias('n_values'),
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, col: str = 'url',
+                k: int = 256) -> DataFrame:
+    """Jaccard / intersection estimate between two sets from their KMV
+    sketches: merge the two k-minima sets, keep the k smallest of the
+    union (= the union's sketch — the KMV merge law), and count how many
+    of those appear in BOTH inputs. jaccard_ppm = matches * 10^6 div k;
+    intersection_milli = jaccard * union_estimate. One row out.
+
+    Plan shape: two TakeOrdereds + joins over <= 3k rows — after the two
+    distinct passes nothing corpus-sized moves, which is the point at
+    10^10 URLs per crawl snapshot."""
+    sa = kmv_sketch(a, col, k).withColumn('in_a', F.lit(1))
+    sb = kmv_sketch(b, col, k).withColumn('in_b', F.lit(1))
+    merged = (
+        sa.select('h').unionAll(sb.select('h'))
+        .distinct().orderBy('h').limit(k)
+    )
+    joined = (
+        merged.join(sa, 'h', 'left').join(sb, 'h', 'left')
+        .select('h', F.coalesce('in_a', F.lit(0)).alias('in_a'),
+                F.coalesce('in_b', F.lit(0)).alias('in_b'))
+    )
+    agg = joined.groupBy().agg(
+        F.count('*').alias('n_merged'),
+        F.sum(F.expr('in_a * in_b')).alias('n_both'),
+        F.max('h').alias('h_k'),
+    )
+    union_est = F.expr(
+        f'cast(case when n_merged < {k} then n_merged * 1000 else '
+        f'cast(cast({k - 1} as decimal(28,0)) * {1 << 60} * 1000'
+        f' div cast(h_k as decimal(19,0)) as bigint) end as bigint)'
+    )
+    return agg.select(
+        F.expr(f'cast(cast(n_both as decimal(28,0)) * 1000000'
+               f' div cast(n_merged as decimal(19,0)) as bigint)')
+        .alias('jaccard_ppm'),
+        union_est.alias('union_est_milli'),
+    ).select(
+        'jaccard_ppm', 'union_est_milli',
+        F.expr('cast(cast(jaccard_ppm as decimal(28,0)) * union_est_milli'
+               ' div 1000000 as bigint)').alias('intersection_est_milli'),
+    )
+
+
+def kmv_sketch_sql(value_expr: str, from_sql: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_sketch` (a CTE body)."""
+    return (f'SELECT DISTINCT {hash60_sql(value_expr)} AS h FROM {from_sql} '
+            f'ORDER BY h LIMIT {k}')
+
+
+def kmv_overlap_sql(a_cte: str, b_cte: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_overlap` over two sketch CTE names."""
+    return f"""
+SELECT jaccard_ppm, union_est_milli,
+       CAST(CAST(jaccard_ppm AS HUGEINT) * union_est_milli // 1000000
+            AS BIGINT) AS intersection_est_milli
+FROM (
+  SELECT CAST(CAST(n_both AS HUGEINT) * 1000000 // n_merged AS BIGINT) AS jaccard_ppm,
+         CAST(CASE WHEN n_merged < {k} THEN n_merged * 1000
+              ELSE CAST(CAST({k - 1} AS HUGEINT) * {1 << 60} * 1000 // h_k AS BIGINT)
+              END AS BIGINT) AS union_est_milli
+  FROM (
+    SELECT COUNT(*) AS n_merged,
+           SUM(CASE WHEN ina.h IS NOT NULL AND inb.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS n_both,
+           MAX(m.h) AS h_k
+    FROM (SELECT h FROM (SELECT h FROM {a_cte} UNION SELECT h FROM {b_cte})
+          ORDER BY h LIMIT {k}) m
+    LEFT JOIN {a_cte} ina ON m.h = ina.h
+    LEFT JOIN {b_cte} inb ON m.h = inb.h
+  )
+)"""

@@ -147,3 +147,62 @@ def test_cms_estimate_zero_for_absent_word(spark, urls):
     # could collide upward but with 4x512 cells vs 4000 keys it is sparse;
     # the guarantee we pin is lookup works and is finite/non-negative
     assert est >= 0
+
+
+# ---------------------------------------------------------------- KMV ---
+
+
+def test_kmv_merge_law(spark, urls):
+    """k-minima of (A ∪ B) == k smallest of (sketch(A) ∪ sketch(B)) —
+    the union-mergeability that makes KMV a distributed sketch."""
+    from scalpel_spark.operators.sketches import kmv_sketch
+
+    a = urls.filter(F.pmod(F.xxhash64('url'), F.lit(2)) == 0)
+    b = urls.filter(F.pmod(F.xxhash64('url'), F.lit(2)) == 1)
+    whole = sorted(r['h'] for r in kmv_sketch(urls, 'url', 64).collect())
+    merged = sorted(r['h'] for r in (
+        kmv_sketch(a, 'url', 64).unionAll(kmv_sketch(b, 'url', 64))
+        .distinct().orderBy('h').limit(64)
+    ).collect())
+    assert whole == merged
+
+
+def test_kmv_exact_below_k(spark):
+    from scalpel_spark.operators.sketches import kmv_estimate_milli, kmv_sketch
+
+    tiny = spark.createDataFrame([('a',), ('b',), ('c',), ('a',)], 'url string')
+    row = kmv_estimate_milli(kmv_sketch(tiny, 'url', 256), 256).collect()[0]
+    assert row['estimate_milli'] == 3000
+    assert row['n_values'] == 3
+
+
+def test_kmv_estimate_within_bound(spark, urls):
+    from scalpel_spark.operators.sketches import kmv_estimate_milli, kmv_sketch
+
+    exact = urls.select('url').distinct().count()
+    est = kmv_estimate_milli(kmv_sketch(urls, 'url', 256),
+                             256).collect()[0]['estimate_milli'] / 1000
+    assert abs(est - exact) / exact < 0.20  # 3 sigma of 1/sqrt(256)
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    from scalpel_spark.operators.sketches import kmv_overlap
+
+    a = spark.range(0, 20000).select(F.concat(F.lit('u'), 'id').alias('url'))
+    b = spark.range(10000, 30000).select(F.concat(F.lit('u'), 'id').alias('url'))
+    row = kmv_overlap(a, b, 'url', 256).collect()[0]
+    # true jaccard 1/3, union 30000, intersection 10000
+    assert abs(row['jaccard_ppm'] / 1e6 - 1 / 3) < 0.10
+    assert abs(row['union_est_milli'] / 1000 - 30000) / 30000 < 0.20
+    assert abs(row['intersection_est_milli'] / 1000 - 10000) / 10000 < 0.25
+
+
+def test_kmv_disjoint_sets(spark):
+    from scalpel_spark.operators.sketches import kmv_overlap
+
+    a = spark.range(0, 5000).select(F.concat(F.lit('a'), 'id').alias('url'))
+    b = spark.range(0, 5000).select(F.concat(F.lit('b'), 'id').alias('url'))
+    row = kmv_overlap(a, b, 'url', 128).collect()[0]
+    # disjoint-ish: a handful of hash-rank coincidences at most
+    assert row['jaccard_ppm'] == 0
+    assert row['intersection_est_milli'] == 0
