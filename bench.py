@@ -87,11 +87,19 @@ def _bench_only_queries() -> dict:
 
         return entry._docs_plus(spark, sf_dir)
 
+    from scalpel_spark.operators import sketches
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f'{sf_dir}/documents.parquet')
+
     return {
         'dedup_minhash_lsh_xxh64': lambda spark, sf: dedup.minhash_lsh_pairs(
             _docs_plus(spark, sf), k=16, bands=4, n=4, min_matches=8, hash_fn=F.xxhash64),
         'dedup_simhash_xxh64': lambda spark, sf: dedup.simhash_fingerprints(
             _docs_plus(spark, sf), hash_fn=F.xxhash64),
+        'sketch_hll_sources_xxh64': lambda spark, sf: sketches.hll_cardinality(
+            _docs(spark, sf), 'text', p=8, group_cols=['source'],
+            hash_fn=sketches.xxhash60),
     }
 
 

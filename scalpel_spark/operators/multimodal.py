@@ -372,7 +372,7 @@ def media_dhash(payload_col: str, n_bytes: int = 64) -> Column:
     63 bits (not 64) keeps the fingerprint strictly positive in a signed
     BIGINT on both engines — no sign-bit divergence.
     """
-    return _dhash_fold(_payload_bytes(payload_col, n_bytes), n_bytes)
+    return _dhash_expr(_payload_bytes(payload_col, n_bytes), n_bytes)
 
 
 def _payload_bytes(payload_col: str, n_bytes: int) -> str:
@@ -381,17 +381,22 @@ def _payload_bytes(payload_col: str, n_bytes: int) -> str:
             f'i -> cast(conv(substr(hex({payload_col}), i*2+1, 2), 16, 10) as int))')
 
 
-def _dhash_fold(bytes_expr: str, n_bytes: int) -> Column:
-    """SQL fold: adjacent-difference bits packed into a BIGINT. The
-    caller should pass a COLUMN NAME holding the materialized byte array
-    when hashing many rows — an inlined array expression is re-evaluated
-    on every fold step (Catalyst does not CSE across lambda scopes)."""
-    return F.expr(
+def _dhash_expr(bytes_expr: str, n_bytes: int) -> Column:
+    """SQL fold: adjacent-difference bits packed into a BIGINT.
+
+    The byte array is bound ONCE per row through a one-element
+    ``transform`` lambda (``pb``): the fold references ``pb`` 2x per
+    step, and Catalyst does not CSE across lambda scopes — textually
+    inlining ``bytes_expr`` would re-evaluate the 64 conv/substr calls
+    on every one of the 126 references (measured ~x5 slower; projection
+    collapsing also re-inlines a materialized column, so an alias is
+    not a fix either)."""
+    fold = (
         f'aggregate(sequence(1, {n_bytes - 1}), cast(0 as bigint), '
-        f'(acc, i) -> acc + if(element_at({bytes_expr}, i) > '
-        f'element_at({bytes_expr}, i + 1), '
+        f'(acc, i) -> acc + if(element_at(pb, i) > element_at(pb, i + 1), '
         f'shiftleft(cast(1 as bigint), i - 1), cast(0 as bigint)))'
     )
+    return F.expr(f'element_at(transform(array({bytes_expr}), pb -> {fold}), 1)')
 
 
 def media_phash_pairs(media: DataFrame, max_hamming: int = 6,
@@ -411,8 +416,8 @@ def media_phash_pairs(media: DataFrame, max_hamming: int = 6,
     """
     fps = media.select(
         F.col(id_col).alias('ref'),
-        F.expr(_payload_bytes(payload_col, 64)).alias('_pb'),
-    ).select('ref', _dhash_fold('_pb', 64).alias('phash'))
+        media_dhash(payload_col).alias('phash'),
+    )
     width = 9
     banded = fps.select(
         'ref', 'phash',

@@ -48,6 +48,15 @@ from scalpel_spark.functions.texthash import (
 HLL_HASH_BITS = 60  # hash60 yields a uniform 60-bit integer
 
 
+def xxhash60(col) -> Column:
+    """Production 60-bit hash: the JVM ``xxhash64`` shifted unsigned to a
+    nonnegative 60-bit range — drop-in for ``hash60`` in every sketch
+    (same bit budget, ~no md5 cost) when DuckDB oracle parity is not
+    needed. The md5 path stays the default for the same reason as
+    texthash: the correctness gate recomputes the sketch bit-for-bit."""
+    return F.shiftrightunsigned(F.xxhash64(col), 4)
+
+
 def hll_alpha_ppm(m: int) -> int:
     """The HLL bias-correction constant alpha_m, floored to integer ppm —
     computed once in Python (a deterministic literal shared by the Spark
@@ -64,7 +73,8 @@ def hll_alpha_ppm(m: int) -> int:
 
 
 def hll_registers(df: DataFrame, col: str, p: int = 8,
-                  group_cols: list[str] | None = None) -> DataFrame:
+                  group_cols: list[str] | None = None,
+                  hash_fn=hash60) -> DataFrame:
     """The HLL register table for the values of ``col``: one row per
     (group, bucket) with the max rank ``rho``.
 
@@ -80,7 +90,7 @@ def hll_registers(df: DataFrame, col: str, p: int = 8,
     a 1000-executor treeAggregate or an incremental crawl relies on.
     """
     m = 1 << p
-    h = hash60(F.col(col))
+    h = hash_fn(F.col(col))
     bucket = F.pmod(h, F.lit(m)).cast('int')
     # h div 2^p via shiftright: h is a positive 60-bit value, and a
     # double-based division would lose bits past 2^53
@@ -158,10 +168,12 @@ def hll_estimate(registers: DataFrame, p: int = 8,
 
 
 def hll_cardinality(df: DataFrame, col: str, p: int = 8,
-                    group_cols: list[str] | None = None) -> DataFrame:
+                    group_cols: list[str] | None = None,
+                    hash_fn=hash60) -> DataFrame:
     """registers -> estimate in one call: per-group distinct-count
     estimate of ``col`` in milli-units, one slim shuffle total."""
-    return hll_estimate(hll_registers(df, col, p, group_cols), p, group_cols)
+    return hll_estimate(hll_registers(df, col, p, group_cols, hash_fn),
+                        p, group_cols)
 
 
 def _lc_table_sql(m: int) -> str:
@@ -240,7 +252,8 @@ def _cms_cells(tok_hash: Column, depth: int, width: int) -> Column:
 
 
 def cms_counters(docs: DataFrame, text_col: str = 'text',
-                 depth: int = 4, width: int = 512) -> DataFrame:
+                 depth: int = 4, width: int = 512,
+                 hash_fn=hash60) -> DataFrame:
     """The Count-Min counter table over whitespace tokens of ``text_col``:
     (row, col, cnt) with at most depth*width rows TOTAL.
 
@@ -254,7 +267,7 @@ def cms_counters(docs: DataFrame, text_col: str = 'text',
         F.explode(F.split(F.col(text_col), ' ')).alias('tok')
     ).filter(F.col('tok') != '')
     cells = toks.select(
-        F.posexplode(_cms_cells(hash60(F.col('tok')), depth, width))
+        F.posexplode(_cms_cells(hash_fn(F.col('tok')), depth, width))
         .alias('row', 'col')
     )
     return (
@@ -265,7 +278,7 @@ def cms_counters(docs: DataFrame, text_col: str = 'text',
 
 def cms_estimate(counters: DataFrame, words: DataFrame,
                  word_col: str = 'word', depth: int = 4,
-                 width: int = 512) -> DataFrame:
+                 width: int = 512, hash_fn=hash60) -> DataFrame:
     """Point-estimate each word's frequency from the counter table:
     est = MIN over the d cells the word maps to. Always >= the true
     count (Cormode & Muthukrishnan 2005). The d-cell lookup is a
@@ -273,7 +286,7 @@ def cms_estimate(counters: DataFrame, words: DataFrame,
     d*w rows, always the broadcast side."""
     probes = words.select(
         word_col,
-        F.posexplode(_cms_cells(hash60(F.col(word_col)), depth, width))
+        F.posexplode(_cms_cells(hash_fn(F.col(word_col)), depth, width))
         .alias('row', 'col'),
     )
     return (
@@ -328,12 +341,13 @@ def cms_cells_sql(tok_expr: str, depth: int, width: int) -> list[str]:
 # share?") without ever joining URL x URL. Beyer et al., SIGMOD 2007.
 
 
-def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+def kmv_sketch(df: DataFrame, col: str, k: int = 256,
+               hash_fn=hash60) -> DataFrame:
     """The k smallest DISTINCT hash60 values of ``col`` — one slim
     distinct + TakeOrdered (O(n log k) per partition, no global sort
     task holds more than k rows). Output: (h) rows, at most k."""
     return (
-        df.select(hash60(F.col(col)).alias('h'))
+        df.select(hash_fn(F.col(col)).alias('h'))
         .distinct()
         .orderBy('h')
         .limit(k)
