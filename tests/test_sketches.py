@@ -206,3 +206,17 @@ def test_kmv_disjoint_sets(spark):
     # disjoint-ish: a handful of hash-rank coincidences at most
     assert row['jaccard_ppm'] == 0
     assert row['intersection_est_milli'] == 0
+
+
+def test_hll_xxhash_production_path(spark, urls):
+    """The xxhash60 production hash is a drop-in: same estimator, same
+    error envelope, duplicate-insensitive (no DuckDB twin by design)."""
+    from scalpel_spark.operators.sketches import xxhash60
+
+    exact = urls.select('url').distinct().count()
+    est = hll_cardinality(urls, 'url', p=8,
+                          hash_fn=xxhash60).collect()[0]['estimate_milli'] / 1000
+    assert abs(est - exact) / exact < 0.20
+    dup = hll_cardinality(urls.unionAll(urls), 'url', p=8,
+                          hash_fn=xxhash60).collect()[0]['estimate_milli'] / 1000
+    assert dup == est
