@@ -5359,6 +5359,67 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume + Iceberg-style time travel as a driver-checkable diff
+    (SURVEY §2 T4, plans/storage.SnapshotStore): run the synthetic crawl
+    to wave 2, resume the SAME store to completion, then read the seen
+    table VERSION-AS-OF the interruption snapshot (`CrawlResult.as_of`)
+    and diff it against the final state — every URL classifies as
+    carried (present at the checkpoint, status unchanged) or added by
+    the resumed waves; a changed status would surface as its own row
+    (deterministically none here: seen statuses are write-once).
+    Pinned VALUES oracle; resume-equals-uninterrupted is pinned
+    separately by tests/test_resume.py."""
+    import tempfile
+
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.plans.storage import SnapshotStore
+    from scalpel_spark.sources.corpus import synthetic_corpus, synthetic_robots
+
+    n_hosts = 6
+    corpus = synthetic_corpus(spark, n_pages=200, n_hosts=n_hosts, seed=17)
+    robots = synthetic_robots(spark, n_hosts=n_hosts)
+    store = SnapshotStore(tempfile.mkdtemp(prefix='snapdiff_'))
+    seeds = sorted(
+        r['u'] for r in corpus
+        .groupBy(F.parse_url('doc_id', F.lit('HOST')).alias('h'))
+        .agg(F.min('doc_id').alias('u')).collect()
+    )
+    kwargs = dict(follow_robots_txt=True, max_dispatch_per_host_per_wave=5)
+    CrawlEngine(spark, corpus, robots,
+                CrawlConfig(max_waves=2, **kwargs), store).run(seeds)
+    mid_id = store.snapshots()[-1]['id']
+    res = CrawlEngine(spark, corpus, robots,
+                      CrawlConfig(**kwargs), store).resume()
+    mid = res.as_of(mid_id, 'seen').select(
+        'url', F.col('status').alias('status_mid'))
+    fin = res.seen.select('url', F.col('status').alias('status'), 'wave')
+    change = (
+        F.when(F.col('status_mid').isNull(), F.lit('added'))
+        .when(F.col('status_mid') != F.col('status'), F.lit('changed'))
+        .otherwise(F.lit('carried'))
+    )
+    return (
+        fin.join(mid, 'url', 'left')
+        .groupBy(change.alias('change'), 'status')
+        .agg(F.count('*').alias('n_urls'),
+             F.min('wave').cast('long').alias('first_wave'),
+             F.max('wave').cast('long').alias('last_wave'))
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+SELECT * FROM (VALUES
+  ('added', 'reachable', CAST(36 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT)),
+  ('added', 'robots_excluded', CAST(35 AS BIGINT), CAST(2 AS BIGINT), CAST(10 AS BIGINT)),
+  ('added', 'unreachable', CAST(3 AS BIGINT), CAST(6 AS BIGINT), CAST(9 AS BIGINT)),
+  ('carried', 'reachable', CAST(7 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  ('carried', 'robots_excluded', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(change, status, n_urls, first_wave, last_wave)
+"""
+
+
 def _stream_events(spark, tmpdir: str, rows) -> None:
     from scalpel_spark.streaming.frontier_stream import FETCH_EVENT_SCHEMA
     df = spark.createDataFrame(list(rows), FETCH_EVENT_SCHEMA)
@@ -6068,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_canonical_fold': q_crawl_canonical_fold,
         'crawl_host_rank': q_crawl_host_rank,
         'crawl_meta_robots': q_crawl_meta_robots,
+        'crawl_snapshot_diff': q_crawl_snapshot_diff,
         # -- host-graph ranks --
         'host_rank': q_host_rank,
         'host_trust_rank': q_host_trust_rank,
@@ -6290,6 +6352,7 @@ def oracle_sql() -> dict[str, str]:
         'retry_after_backoff': ORACLE_RETRY_AFTER,
         'latency_budget': ORACLE_LATENCY_BUDGET,
         'crawl_meta_robots': ORACLE_CRAWL_META_ROBOTS,
+        'crawl_snapshot_diff': ORACLE_SNAPSHOT_DIFF,
         'change_rates': ORACLE_CHANGE_RATES,
         'recrawl_selection': ORACLE_RECRAWL,
         'pipeline_decontaminate': ORACLE_DECONTAMINATE,
