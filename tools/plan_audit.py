@@ -42,7 +42,7 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_priority_global', 'crawl_host_budget_table',
         'crawl_rank_recrawl', 'crawl_sitemap_bootstrap',
         'crawl_robots_refresh', 'crawl_feed_bootstrap',
-        'crawl_score_aging', 'crawl_meta_robots',
+        'crawl_score_aging', 'crawl_meta_robots', 'crawl_snapshot_diff',
         # streaming queries RUN a stream inside the callable and return
         # an agg over the memory sink — the static plan is a memory-table
         # scan, so there is nothing to audit (the streaming plan itself
