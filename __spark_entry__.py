@@ -5708,6 +5708,26 @@ def _oracle_kmv_overlap() -> str:
             + kmv_overlap_sql('sa', 'sb', 256))
 
 
+def q_sketch_kmv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source overlap matrix
+    (operators/sketches.kmv_overlap_matrix): KMV Jaccard estimates
+    between every pair of `documents.source` groups on distinct text —
+    "which sources share content", the contamination matrix a mixture
+    designer reads before setting sampling weights. The corpus is
+    touched once (grouped sketch build: distinct + partitioned
+    row_number, each window task holds ONE group's hashes); everything
+    after is O(G^2 k) bounded rows. FULLY recomputed in DuckDB."""
+    from scalpel_spark.operators.sketches import kmv_overlap_matrix
+
+    return kmv_overlap_matrix(_t(spark, sf_dir, 'documents'),
+                              'text', 'source', k=128)
+
+
+def _oracle_kmv_matrix() -> str:
+    from scalpel_spark.operators.sketches import kmv_matrix_sql
+    return kmv_matrix_sql('text', 'documents', 'source', k=128)
+
+
 def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate media detection
     (operators/multimodal.media_phash_pairs): 63-bit dHash fingerprints
@@ -6203,6 +6223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sketch_hll_sources': q_sketch_hll_sources,
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
         'sketch_kmv_overlap': q_sketch_kmv_overlap,
+        'sketch_kmv_matrix': q_sketch_kmv_matrix,
         'media_phash_dedup': q_media_phash_dedup,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
@@ -6380,6 +6401,7 @@ def oracle_sql() -> dict[str, str]:
         'sketch_hll_sources': _oracle_hll_sources(),
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
         'sketch_kmv_overlap': _oracle_kmv_overlap(),
+        'sketch_kmv_matrix': _oracle_kmv_matrix(),
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

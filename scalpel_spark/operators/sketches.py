@@ -445,3 +445,103 @@ FROM (
     LEFT JOIN {b_cte} inb ON m.h = inb.h
   )
 )"""
+
+
+def kmv_sketch_grouped(df: DataFrame, col: str, group_col: str,
+                       k: int = 256, hash_fn=hash60) -> DataFrame:
+    """Per-group KMV sketches: (group, h) — the k smallest distinct
+    hashes WITHIN each group, via one distinct + one PARTITIONED window
+    (rank over (group) ORDER BY h, kept <= k; every window task holds
+    one group's distinct hashes, never the corpus)."""
+    from pyspark.sql import Window
+    return (
+        df.select(F.col(group_col).alias('grp'),
+                  hash_fn(F.col(col)).alias('h'))
+        .distinct()
+        .withColumn('_r', F.row_number().over(
+            Window.partitionBy('grp').orderBy('h')))
+        .filter(F.col('_r') <= k)
+        .select('grp', 'h')
+    )
+
+
+def kmv_overlap_matrix(df: DataFrame, col: str, group_col: str,
+                       k: int = 256, hash_fn=hash60) -> DataFrame:
+    """Pairwise Jaccard estimates between every pair of groups from
+    their KMV sketches — "which sources share content", the cross-source
+    contamination matrix, in O(G^2 * k) bounded rows (G = #groups; the
+    corpus is touched exactly once, by the grouped sketch build).
+
+    For each unordered pair (a < b): merge the two k-minima sets, rank
+    the union, keep the k smallest, count members present in both
+    sketches. Returns (grp_a, grp_b, n_merged, n_both, jaccard_ppm).
+    """
+    from pyspark.sql import Window
+    sk = kmv_sketch_grouped(df, col, group_col, k, hash_fn)
+    pairs = (
+        sk.select(F.col('grp').alias('grp_a')).distinct()
+        .join(sk.select(F.col('grp').alias('grp_b')).distinct())
+        .filter(F.col('grp_a') < F.col('grp_b'))
+    )
+    a = sk.select(F.col('grp').alias('grp_a'), 'h',
+                  F.lit(1).alias('in_a'))
+    b = sk.select(F.col('grp').alias('grp_b'), 'h',
+                  F.lit(1).alias('in_b'))
+    # union of the two sketches per pair, with membership flags: join
+    # each sketch row onto every pair the group participates in, then
+    # merge duplicate h per pair
+    ua = pairs.join(a, 'grp_a').select('grp_a', 'grp_b', 'h', 'in_a',
+                                       F.lit(0).alias('in_b'))
+    ub = pairs.join(b, 'grp_b').select('grp_a', 'grp_b', 'h',
+                                       F.lit(0).alias('in_a'), 'in_b')
+    merged = (
+        ua.unionByName(ub)
+        .groupBy('grp_a', 'grp_b', 'h')
+        .agg(F.max('in_a').alias('in_a'), F.max('in_b').alias('in_b'))
+        .withColumn('_r', F.row_number().over(
+            Window.partitionBy('grp_a', 'grp_b').orderBy('h')))
+        .filter(F.col('_r') <= k)
+    )
+    return (
+        merged.groupBy('grp_a', 'grp_b')
+        .agg(F.count('*').alias('n_merged'),
+             F.sum(F.expr('in_a * in_b')).cast('long').alias('n_both'))
+        .withColumn(
+            'jaccard_ppm',
+            F.expr('cast(cast(n_both as decimal(28,0)) * 1000000'
+                   ' div cast(n_merged as decimal(19,0)) as bigint)'))
+    )
+
+
+def kmv_matrix_sql(value_expr: str, from_sql: str, group_expr: str,
+                   k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_overlap_matrix` (full recompute)."""
+    h = hash60_sql(value_expr)
+    return f"""
+WITH sk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r
+    FROM (SELECT DISTINCT {group_expr} AS grp, {h} AS h FROM {from_sql}))
+  WHERE r <= {k}),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+  WHERE a.grp < b.grp),
+u AS (
+  SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.grp_a, p.grp_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.grp_a
+    UNION ALL
+    SELECT p.grp_a, p.grp_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.grp = p.grp_b)
+  GROUP BY grp_a, grp_b, h),
+m AS (
+  SELECT * FROM (
+    SELECT u.*, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+    FROM u)
+  WHERE r <= {k})
+SELECT grp_a, grp_b, COUNT(*) AS n_merged,
+       CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+       CAST(CAST(SUM(in_a * in_b) AS HUGEINT) * 1000000 // COUNT(*)
+            AS BIGINT) AS jaccard_ppm
+FROM m GROUP BY grp_a, grp_b"""

@@ -220,3 +220,38 @@ def test_hll_xxhash_production_path(spark, urls):
     dup = hll_cardinality(urls.unionAll(urls), 'url', p=8,
                           hash_fn=xxhash60).collect()[0]['estimate_milli'] / 1000
     assert dup == est
+
+
+def test_kmv_matrix_pairwise_jaccard(spark):
+    from scalpel_spark.operators.sketches import kmv_overlap_matrix
+
+    df = None
+    for g, lo, hi in [('A', 0, 10000), ('B', 5000, 15000), ('C', 20000, 30000)]:
+        part = spark.range(lo, hi).select(
+            F.lit(g).alias('src'), F.concat(F.lit('u'), 'id').alias('url'))
+        df = part if df is None else df.unionAll(part)
+    rows = {(r['grp_a'], r['grp_b']): r
+            for r in kmv_overlap_matrix(df, 'url', 'src', 256).collect()}
+    assert set(rows) == {('A', 'B'), ('A', 'C'), ('B', 'C')}
+    assert abs(rows[('A', 'B')]['jaccard_ppm'] / 1e6 - 1 / 3) < 0.10
+    assert rows[('A', 'C')]['jaccard_ppm'] == 0
+    assert rows[('B', 'C')]['jaccard_ppm'] == 0
+    assert all(r['n_merged'] == 256 for r in rows.values())
+
+
+def test_kmv_matrix_duckdb_parity(spark):
+    from scalpel_spark.operators.sketches import (kmv_matrix_sql,
+                                                  kmv_overlap_matrix)
+
+    df = spark.range(0, 9000).select(
+        F.concat(F.lit('s'), F.pmod('id', F.lit(4)).cast('string')).alias('src'),
+        F.concat(F.lit('u'), F.pmod('id', F.lit(3000)).cast('string')).alias('url'))
+    got = sorted(tuple(r) for r in
+                 kmv_overlap_matrix(df, 'url', 'src', 128).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 's' || CAST(i % 4 AS VARCHAR) AS src, "
+        "'u' || CAST(i % 3000 AS VARCHAR) AS url FROM range(9000) t(i)")
+    want = sorted(tuple(r) for r in
+                  con.execute(kmv_matrix_sql('url', 't', 'src', 128)).fetchall())
+    assert got == want
