@@ -220,3 +220,41 @@ def test_bpe_encode_partitioning_invariant(spark):
     b = sorted(tuple(r) for r in
                V.bpe_token_stats(docs.repartition(11), merges).collect())
     assert a == b
+
+
+def test_bpe_fold_equals_reference_property(spark):
+    """Property (hypothesis): for ANY word over a small alphabet and ANY
+    valid merge sequence (each merge fuses two symbols already in the
+    pool), the distributed array fold segments EXACTLY like the textbook
+    while-loop encoder — including adjacent-overlap runs like 'aaaa'.
+    One Spark job per example batch keeps the runtime sane."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words_strategy = st.lists(
+        st.text(alphabet='abc', min_size=0, max_size=10),
+        min_size=1, max_size=12, unique=True)
+
+    def merges_from_seed(picks):
+        pool = ['a', 'b', 'c', '</w>']
+        merges = []
+        for i, j in picks:
+            left, right = pool[i % len(pool)], pool[j % len(pool)]
+            merges.append((left, right))
+            pool.append(left + right)
+        return merges
+
+    @settings(max_examples=8, deadline=None)
+    @given(words=words_strategy,
+           picks=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                          min_size=0, max_size=6))
+    def run(words, picks):
+        merges = merges_from_seed(picks)
+        words = [w for w in words if w] or ['a']
+        wdf = spark.createDataFrame([(w,) for w in set(words)], 'word string')
+        got = {r['word']: r['tokens']
+               for r in V.bpe_encode_words(wdf, merges).collect()}
+        for w in set(words):
+            assert got[w] == _ref_encode(w, merges), (w, merges)
+
+    run()
