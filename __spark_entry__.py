@@ -5708,6 +5708,42 @@ def _oracle_kmv_overlap() -> str:
             + kmv_overlap_sql('sa', 'sb', 256))
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source ingestion (sources/warc.read_warc): two deterministic
+    WARC files (one plain, one whole-file gzip) parsed one-task-per-file
+    with Content-Length record framing (never delimiter splitting — a
+    payload containing the magic bytes survives, pinned by
+    tests/test_warc.py), HTTP bodies split from response blocks, rolled
+    up per (warc_type, http_status). Pinned VALUES oracle (the source
+    synthesizes its own input; DuckDB has no WARC reader to twin)."""
+    import tempfile
+
+    from scalpel_spark.sources.warc import (read_warc, warc_response_stats,
+                                            write_synthetic_warc)
+
+    d = tempfile.mkdtemp(prefix='warc_ingest_')
+    write_synthetic_warc(f'{d}/a.warc', n_records=20, seed=3)
+    write_synthetic_warc(f'{d}/b.warc.gz', n_records=10, seed=4,
+                         gzip_file=True)
+    # -1 = "no HTTP status" (non-response records): NULL sort keys are
+    # not comparable in the driver's canonicalizer
+    return (
+        warc_response_stats(read_warc(spark, d))
+        .withColumn('http_status',
+                    F.coalesce('http_status', F.lit(-1)).cast('int'))
+    )
+
+
+ORACLE_WARC_INGEST = """
+SELECT * FROM (VALUES
+  ('request', CAST(-1 AS INTEGER), CAST(5 AS BIGINT), CAST(216 AS BIGINT), CAST(3 AS BIGINT)),
+  ('response', CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(716 AS BIGINT), CAST(17 AS BIGINT)),
+  ('response', CAST(404 AS INTEGER), CAST(5 AS BIGINT), CAST(129 AS BIGINT), CAST(3 AS BIGINT)),
+  ('warcinfo', CAST(-1 AS INTEGER), CAST(2 AS BIGINT), CAST(62 AS BIGINT), CAST(0 AS BIGINT))
+) AS t(warc_type, http_status, n_records, payload_bytes, n_uris)
+"""
+
+
 def q_sketch_kmv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source overlap matrix
     (operators/sketches.kmv_overlap_matrix): KMV Jaccard estimates
@@ -6224,6 +6260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
         'sketch_kmv_overlap': q_sketch_kmv_overlap,
         'sketch_kmv_matrix': q_sketch_kmv_matrix,
+        'warc_ingest': q_warc_ingest,
         'media_phash_dedup': q_media_phash_dedup,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
@@ -6402,6 +6439,7 @@ def oracle_sql() -> dict[str, str]:
         'sketch_cms_heavy_hitters': _oracle_cms_heavy_hitters(),
         'sketch_kmv_overlap': _oracle_kmv_overlap(),
         'sketch_kmv_matrix': _oracle_kmv_matrix(),
+        'warc_ingest': ORACLE_WARC_INGEST,
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

@@ -1,0 +1,188 @@
+"""WARC (Web ARChive, ISO 28500) source — the crawl-interchange format
+CommonCrawl and every archive pipeline speak.
+
+The reference spider persists msgpack item files (any_io/files.py:45-84,
+covered by `plans/storage`); WARC is the beyond-reference source a
+web-scale pipeline actually ingests. Layout reality at 100 TB: WARC is a
+sequence of length-delimited records per file (~1 GB each), so the unit
+of parallelism is the FILE — Spark lists the bucket, one task streams
+one file (`binaryFile` source), and the parser honors each record's
+``Content-Length`` header (NOT delimiter splitting, which corrupts any
+payload containing the magic bytes). That per-file decode is Python by
+necessity — a record-framing format with no JVM builtin — and runs as
+the same Arrow-batched ``mapInPandas`` boundary as the media decode
+stage (DESIGN.md Python boundary; one batch row = one file, bounded
+record lists out).
+
+Gzip: CommonCrawl WARCs are per-record gzip members; ``read_warc``
+transparently handles whole-file gzip (``.warc.gz``) via the stdlib and
+treats a non-gzip prefix as plain WARC. Per-member splitting without
+decompression needs a gzip-member index (a real deployment injects its
+byte offsets the same way fetch_fn is injected); the parse contract and
+schema are identical either way.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField('warc_file', T.StringType()),
+    T.StructField('record_seq', T.IntegerType()),   # position within file
+    T.StructField('warc_type', T.StringType()),     # response/request/...
+    T.StructField('target_uri', T.StringType()),
+    T.StructField('warc_date', T.StringType()),
+    T.StructField('record_id', T.StringType()),
+    T.StructField('content_type', T.StringType()),
+    T.StructField('content_length', T.LongType()),
+    T.StructField('http_status', T.IntegerType()),  # null unless response
+    T.StructField('payload', T.BinaryType()),       # HTTP body (or block)
+])
+
+
+def parse_warc_bytes(blob: bytes, name: str = '') -> list[tuple]:
+    """Minimal ISO 28500 parser over one WARC file's bytes: version line,
+    CRLF-delimited headers, ``Content-Length`` exact block read, CRLF CRLF
+    record separator. For ``response`` records the HTTP status line +
+    headers are split off the block so ``payload`` is the body. Raises
+    ValueError on a malformed version line (quarantined by the caller)."""
+    if blob[:2] == b'\x1f\x8b':
+        blob = gzip.decompress(blob)
+    out, pos, seq = [], 0, 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and blob[pos:pos + 2] == b'\r\n':
+            pos += 2
+        if pos >= n:
+            break
+        eol = blob.index(b'\r\n', pos)
+        version = blob[pos:eol].decode('ascii', 'replace')
+        if not version.startswith('WARC/'):
+            raise ValueError(f'{name}: bad WARC version line at {pos}: {version!r}')
+        pos = eol + 2
+        headers = {}
+        while True:
+            eol = blob.index(b'\r\n', pos)
+            line = blob[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, _, v = line.decode('utf-8', 'replace').partition(':')
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get('content-length', '0'))
+        block = blob[pos:pos + clen]
+        pos += clen
+        wtype = headers.get('warc-type', '')
+        status, payload = None, block
+        if wtype == 'response' and block[:5] == b'HTTP/':
+            try:
+                head_end = block.index(b'\r\n\r\n')
+                status_line = block[:block.index(b'\r\n')].decode('ascii', 'replace')
+                status = int(status_line.split(' ')[1])
+                payload = block[head_end + 4:]
+            except (ValueError, IndexError):
+                pass  # keep the whole block; status stays null
+        out.append((
+            name, seq, wtype,
+            headers.get('warc-target-uri'),
+            headers.get('warc-date'),
+            headers.get('warc-record-id'),
+            headers.get('content-type'),
+            clen, status, payload,
+        ))
+        seq += 1
+    return out
+
+
+def read_warc(spark: SparkSession, path: str,
+              ignore_errors: bool = True) -> DataFrame:
+    """WARC files under ``path`` as one record-per-row DataFrame
+    (WARC_RECORD_SCHEMA). One Spark task parses one file (binaryFile
+    source — parallelism = file count, the native WARC layout); a
+    malformed file either raises (``ignore_errors=False``) or yields a
+    single quarantine row with ``warc_type='_error'`` — the same
+    quarantine-not-crash policy as the fetch and decode stages."""
+    files = spark.read.format('binaryFile').load(path)
+
+    def per_file(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, blob in zip(pdf['path'], pdf['content']):
+                try:
+                    rows.extend(parse_warc_bytes(bytes(blob), fname))
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    if not ignore_errors:
+                        raise
+                    rows.append((fname, -1, '_error', None, None, None,
+                                 str(e)[:200], 0, None, b''))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        files.select('path', 'content')
+        .mapInPandas(per_file, WARC_RECORD_SCHEMA)
+    )
+
+
+def warc_response_stats(records: DataFrame) -> DataFrame:
+    """Ingest rollup per (warc_type, http_status): record counts and
+    payload byte totals — the sanity table an ingestion job emits before
+    anything downstream trusts the batch. Pure JVM aggregation."""
+    return (
+        records.groupBy('warc_type', 'http_status')
+        .agg(F.count('*').alias('n_records'),
+             F.sum(F.length('payload')).cast('long').alias('payload_bytes'),
+             F.count_distinct('target_uri').alias('n_uris'))
+    )
+
+
+def write_synthetic_warc(path: str, n_records: int, seed: int = 3,
+                         gzip_file: bool = False) -> None:
+    """Deterministic WARC file for tests/oracles: responses with known
+    statuses/bodies, one request and one warcinfo record interleaved.
+    Driver-side test fixture (bounded), NOT a production writer."""
+    buf = io.BytesIO()
+
+    def rec(wtype: str, headers: dict, block: bytes) -> None:
+        h = {'WARC-Type': wtype, 'Content-Length': str(len(block)), **headers}
+        buf.write(b'WARC/1.0\r\n')
+        for k, v in h.items():
+            buf.write(f'{k}: {v}\r\n'.encode())
+        buf.write(b'\r\n')
+        buf.write(block)
+        buf.write(b'\r\n\r\n')
+
+    rec('warcinfo', {'WARC-Record-ID': f'<urn:uuid:info-{seed}>',
+                     'Content-Type': 'application/warc-fields'},
+        b'software: scalpel-spark-tests\r\n')
+    for i in range(n_records):
+        url = f'https://h{i % 5}.example.com/p/{i}'
+        status = 404 if i % 7 == 0 else 200
+        body = (f'<html>page {i} ' + 'x' * (i % 23) + '</html>').encode()
+        http = (f'HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n'
+                f'Content-Length: {len(body)}\r\n\r\n').encode() + body
+        rec('response',
+            {'WARC-Target-URI': url,
+             'WARC-Date': '2026-01-01T00:00:00Z',
+             'WARC-Record-ID': f'<urn:uuid:resp-{seed}-{i}>',
+             'Content-Type': 'application/http; msgtype=response'},
+            http)
+        if i % 9 == 0:
+            rec('request',
+                {'WARC-Target-URI': url,
+                 'WARC-Record-ID': f'<urn:uuid:req-{seed}-{i}>',
+                 'Content-Type': 'application/http; msgtype=request'},
+                f'GET /p/{i} HTTP/1.1\r\nHost: h{i % 5}.example.com\r\n\r\n'.encode())
+    data = buf.getvalue()
+    if gzip_file:
+        data = gzip.compress(data, mtime=0)
+    with open(path, 'wb') as f:
+        f.write(data)

@@ -1,0 +1,100 @@
+"""WARC source (sources/warc.py): Content-Length-honoring record
+framing, HTTP body split, gzip handling, quarantine policy, and the
+parallel-by-file read path."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalpel_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+    warc_response_stats,
+    write_synthetic_warc,
+)
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / 'warcs'
+    d.mkdir()
+    write_synthetic_warc(str(d / 'a.warc'), n_records=20, seed=3)
+    write_synthetic_warc(str(d / 'b.warc.gz'), n_records=10, seed=4,
+                         gzip_file=True)
+    return str(d)
+
+
+def test_read_warc_counts_and_bodies(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r['warc_type'], []).append(r)
+    # 20 + 10 responses, 2 warcinfo, ceil(20/9)=3 + 2 requests
+    assert len(by_type['response']) == 30
+    assert len(by_type['warcinfo']) == 2
+    assert len(by_type['request']) == 3 + 2
+    assert '_error' not in by_type
+    # body split off the HTTP head: payload starts with <html>
+    resp = by_type['response'][0]
+    assert bytes(resp['payload']).startswith(b'<html>')
+    assert resp['http_status'] in (200, 404)
+    assert resp['target_uri'].startswith('https://h')
+
+
+def test_payload_containing_magic_bytes_survives(spark, tmp_path):
+    """Content-Length framing: a body that CONTAINS 'WARC/1.0\\r\\n' must
+    not split the record (the delimiter-splitting failure mode)."""
+    import io
+    body = b'evil WARC/1.0\r\n\r\nWARC-Type: fake\r\n payload'
+    http = (f'HTTP/1.1 200 OK\r\n\r\n').encode() + body
+    buf = io.BytesIO()
+    buf.write(b'WARC/1.0\r\n')
+    for k, v in [('WARC-Type', 'response'),
+                 ('WARC-Target-URI', 'https://x.test/'),
+                 ('Content-Length', str(len(http)))]:
+        buf.write(f'{k}: {v}\r\n'.encode())
+    buf.write(b'\r\n' + http + b'\r\n\r\n')
+    recs = parse_warc_bytes(buf.getvalue(), 'x')
+    assert len(recs) == 1
+    assert recs[0][9] == body
+
+
+def test_warc_response_stats_rollup(spark, warc_dir):
+    stats = {(r['warc_type'], r['http_status']): r
+             for r in warc_response_stats(read_warc(spark, warc_dir)).collect()}
+    # statuses: i%7==0 -> 404: a has i in 0,7,14 -> 3; b has 0,7 -> 2
+    assert stats[('response', 404)]['n_records'] == 5
+    assert stats[('response', 200)]['n_records'] == 25
+    assert stats[('warcinfo', None)]['n_records'] == 2
+    assert stats[('response', 200)]['payload_bytes'] > 0
+
+
+def test_malformed_file_quarantines_not_crashes(spark, tmp_path):
+    d = tmp_path / 'bad'
+    d.mkdir()
+    (d / 'good.warc').write_bytes(b'')  # empty file -> zero records, fine
+    (d / 'bad.warc').write_bytes(b'NOT A WARC FILE AT ALL\r\n')
+    df = read_warc(spark, str(d))
+    rows = df.collect()
+    errs = [r for r in rows if r['warc_type'] == '_error']
+    assert len(errs) == 1 and 'bad.warc' in errs[0]['warc_file']
+    with pytest.raises(Exception):
+        read_warc(spark, str(d), ignore_errors=False).collect()
+
+
+def test_gzip_and_plain_parse_identically(spark, tmp_path):
+    a, b = str(tmp_path / 'p.warc'), str(tmp_path / 'p.warc.gz')
+    write_synthetic_warc(a, n_records=8, seed=5)
+    write_synthetic_warc(b, n_records=8, seed=5, gzip_file=True)
+    ra = sorted((r['record_seq'], r['warc_type'], r['target_uri'],
+                 bytes(r['payload']))
+                for r in read_warc(spark, a).collect())
+    rb = sorted((r['record_seq'], r['warc_type'], r['target_uri'],
+                 bytes(r['payload']))
+                for r in read_warc(spark, b).collect())
+    assert ra == rb

@@ -23,7 +23,11 @@ sys.path.insert(0, '.')
 # robots_rfc9309 — its per-URL matching is JVM-side)
 PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
              'robots_rfc9309', 'fetch_mapinpandas',
-             'text_normalize_unicode'}
+             'text_normalize_unicode',
+             # WARC record framing is per-FILE Python by necessity (no
+             # JVM reader for a length-delimited archive format) — the
+             # same sanctioned boundary as the media decode stage
+             'warc_ingest'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
