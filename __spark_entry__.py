@@ -5734,6 +5734,48 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> interleaved-document bridge (sources/warc.warc_to_corpus):
+    200-status responses become the input_hint span shape — charset via
+    the WHATWG sniffer, one tag-stripped text span, one media span per
+    <img src> in document order — then a per-host rollup over the span
+    arrays (map-side F.filter/F.aggregate, no explode). This is the
+    ingestion path that feeds every downstream operator from real
+    archive files. Pinned VALUES oracle."""
+    import tempfile
+
+    from scalpel_spark.sources.warc import (read_warc, warc_to_corpus,
+                                            write_synthetic_warc)
+
+    d = tempfile.mkdtemp(prefix='warc_docs_')
+    write_synthetic_warc(f'{d}/a.warc', n_records=30, seed=11,
+                         with_images=True)
+    docs = warc_to_corpus(read_warc(spark, d))
+    n_media = F.size(F.filter('spans', lambda s: s['kind'] == 'media'))
+    text_tokens = F.aggregate(
+        F.filter('spans', lambda s: s['kind'] == 'text'),
+        F.lit(0).cast('long'),
+        lambda acc, s: acc + F.size(F.split(F.coalesce(s['text'], F.lit('')),
+                                            ' ')))
+    return (
+        docs.groupBy(F.parse_url('doc_id', F.lit('HOST')).alias('host'))
+        .agg(F.count('*').alias('n_docs'),
+             F.sum(n_media).cast('long').alias('n_media_spans'),
+             F.sum(text_tokens).cast('long').alias('n_text_tokens'))
+    )
+
+
+ORACLE_WARC_TO_DOCS = """
+SELECT * FROM (VALUES
+  ('h0.example.com', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(15 AS BIGINT)),
+  ('h1.example.com', CAST(5 AS BIGINT), CAST(1 AS BIGINT), CAST(15 AS BIGINT)),
+  ('h2.example.com', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(15 AS BIGINT)),
+  ('h3.example.com', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(14 AS BIGINT)),
+  ('h4.example.com', CAST(5 AS BIGINT), CAST(2 AS BIGINT), CAST(15 AS BIGINT))
+) AS t(host, n_docs, n_media_spans, n_text_tokens)
+"""
+
+
 ORACLE_WARC_INGEST = """
 SELECT * FROM (VALUES
   ('request', CAST(-1 AS INTEGER), CAST(5 AS BIGINT), CAST(216 AS BIGINT), CAST(3 AS BIGINT)),
@@ -6261,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sketch_kmv_overlap': q_sketch_kmv_overlap,
         'sketch_kmv_matrix': q_sketch_kmv_matrix,
         'warc_ingest': q_warc_ingest,
+        'warc_to_documents': q_warc_to_documents,
         'media_phash_dedup': q_media_phash_dedup,
         # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
@@ -6440,6 +6483,7 @@ def oracle_sql() -> dict[str, str]:
         'sketch_kmv_overlap': _oracle_kmv_overlap(),
         'sketch_kmv_matrix': _oracle_kmv_matrix(),
         'warc_ingest': ORACLE_WARC_INGEST,
+        'warc_to_documents': ORACLE_WARC_TO_DOCS,
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,

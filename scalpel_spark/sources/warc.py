@@ -145,7 +145,8 @@ def warc_response_stats(records: DataFrame) -> DataFrame:
 
 
 def write_synthetic_warc(path: str, n_records: int, seed: int = 3,
-                         gzip_file: bool = False) -> None:
+                         gzip_file: bool = False,
+                         with_images: bool = False) -> None:
     """Deterministic WARC file for tests/oracles: responses with known
     statuses/bodies, one request and one warcinfo record interleaved.
     Driver-side test fixture (bounded), NOT a production writer."""
@@ -166,7 +167,9 @@ def write_synthetic_warc(path: str, n_records: int, seed: int = 3,
     for i in range(n_records):
         url = f'https://h{i % 5}.example.com/p/{i}'
         status = 404 if i % 7 == 0 else 200
-        body = (f'<html>page {i} ' + 'x' * (i % 23) + '</html>').encode()
+        img = (f'<img src="https://img.example.com/a{i % 4}.png">'
+               if with_images and i % 3 == 0 else '')
+        body = (f'<html>page {i} {img}' + 'x' * (i % 23) + '</html>').encode()
         http = (f'HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n'
                 f'Content-Length: {len(body)}\r\n\r\n').encode() + body
         rec('response',
@@ -186,3 +189,57 @@ def write_synthetic_warc(path: str, n_records: int, seed: int = 3,
         data = gzip.compress(data, mtime=0)
     with open(path, 'wb') as f:
         f.write(data)
+
+
+def warc_to_corpus(records: DataFrame) -> DataFrame:
+    """Bridge: 200-status WARC responses -> the engine's interleaved
+    document shape (doc_id, spans: array<struct<kind,text,media_ref,
+    offset>>) — the input_hint schema every downstream operator
+    (dedup, curation, content extraction, packing) consumes.
+
+    Pure JVM column algebra: charset chosen by the WHATWG sniffer
+    (`multimodal.sniff_charset` — BOM > transport header > meta prescan)
+    over a BOUNDED charset set (CASE over decode()), one text span from
+    the tag-stripped body, one media span per <img src> occurrence in
+    document order (offset = position). Tag-stripping by regexp is the
+    documented simplification — span-faithful HTML segmentation is the
+    content-extraction layer's job (`operators/content.py`); this
+    bridge feeds it.
+    """
+    from scalpel_spark.operators.multimodal import sniff_charset
+
+    resp = records.filter(
+        (F.col('warc_type') == 'response') & (F.col('http_status') == 200))
+    declared = F.regexp_extract(F.coalesce(F.col('content_type'), F.lit('')),
+                                r'charset=([A-Za-z0-9_\-]+)', 1)
+    cs = sniff_charset(F.col('payload'), declared=declared)
+    html = (
+        F.when(cs == 'utf-8', F.decode('payload', 'UTF-8'))
+        .when(cs == 'utf-16be', F.decode('payload', 'UTF-16BE'))
+        .when(cs == 'utf-16le', F.decode('payload', 'UTF-16LE'))
+        .when(cs == 'ascii', F.decode('payload', 'US-ASCII'))
+        .otherwise(F.decode('payload', 'ISO-8859-1'))
+    )
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(html, r'<[^>]*>', ' '), r'\s+', ' '))
+    imgs = F.regexp_extract_all(
+        F.col('_html'), F.lit('<img[^>]*src=["\']([^"\']+)'), F.lit(1))
+    text_span = F.struct(
+        F.lit('text').alias('kind'), text.alias('text'),
+        F.lit(None).cast('string').alias('media_ref'),
+        F.lit(0).alias('offset'))
+    media_spans = F.transform(
+        F.col('_imgs'),
+        lambda ref, i: F.struct(
+            F.lit('media').alias('kind'),
+            F.lit(None).cast('string').alias('text'),
+            ref.alias('media_ref'),
+            (i + 1).cast('int').alias('offset')))
+    return (
+        resp.withColumn('_html', html)
+        .withColumn('_imgs', imgs)
+        .select(
+            F.col('target_uri').alias('doc_id'),
+            F.concat(F.array(text_span), media_spans).alias('spans'),
+        )
+    )

@@ -98,3 +98,42 @@ def test_gzip_and_plain_parse_identically(spark, tmp_path):
                  bytes(r['payload']))
                 for r in read_warc(spark, b).collect())
     assert ra == rb
+
+
+def test_warc_to_corpus_spans(spark, tmp_path):
+    from scalpel_spark.sources.warc import warc_to_corpus
+
+    d = tmp_path / 'c'
+    d.mkdir()
+    write_synthetic_warc(str(d / 'c.warc'), n_records=12, seed=6,
+                         with_images=True)
+    docs = {r['doc_id']: r['spans']
+            for r in warc_to_corpus(read_warc(spark, str(d))).collect()}
+    # only 200s become documents: i % 7 != 0 -> 12 - 2 = 10
+    assert len(docs) == 10
+    for doc_id, spans in docs.items():
+        assert spans[0]['kind'] == 'text' and spans[0]['offset'] == 0
+        assert '<' not in spans[0]['text']  # tags stripped
+        for j, sp in enumerate(spans[1:], start=1):
+            assert sp['kind'] == 'media' and sp['offset'] == j
+            assert sp['media_ref'].startswith('https://img.example.com/')
+    # i % 3 == 0 and i % 7 != 0 -> i in {3, 6, 9} have one image span
+    n_media = sum(len(sp) - 1 for sp in docs.values())
+    assert n_media == 3
+
+
+def test_warc_to_corpus_feeds_downstream_operators(spark, tmp_path):
+    """The bridge output IS the input_hint shape: the span fingerprint
+    operator (north-rule invariant surface) consumes it unchanged."""
+    from scalpel_spark.operators.spans import with_span_signature
+    from scalpel_spark.sources.warc import warc_to_corpus
+
+    d = tmp_path / 'f'
+    d.mkdir()
+    write_synthetic_warc(str(d / 'f.warc'), n_records=8, seed=7,
+                         with_images=True)
+    docs = warc_to_corpus(read_warc(spark, str(d)))
+    fps = with_span_signature(docs)
+    rows = fps.collect()
+    assert len(rows) == docs.count()
+    assert all(r['span_sig'] is not None for r in rows)

@@ -27,7 +27,7 @@ PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
              # WARC record framing is per-FILE Python by necessity (no
              # JVM reader for a length-delimited archive format) — the
              # same sanctioned boundary as the media decode stage
-             'warc_ingest'}
+             'warc_ingest', 'warc_to_documents'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
