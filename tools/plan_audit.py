@@ -79,7 +79,9 @@ def main():
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString('formatted')
         )
-        has_python = bool(re.search(r'(BatchEvalPython|ArrowEvalPython)', plan))
+        has_python = bool(re.search(
+            r'(BatchEvalPython|ArrowEvalPython|MapInPandas'
+            r'|FlatMapGroupsInPandas|MapInArrow)', plan))
         n_codegen = len(re.findall(r'WholeStageCodegen', plan))
         n_exchange = len(re.findall(r'Exchange', plan))
         scans = re.findall(r'PushedFilters: \[([^\]]*)\]', plan)
