@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     'sketch_hll_sources',
     'media_phash_dedup',
     'vocab_bpe_encode',
+    'sketch_kmv_matrix',
+    'warc_to_documents',
 ]
 
 
