@@ -6171,6 +6171,235 @@ FROM ranked WHERE r <= CAST(FLOOR(n_docs * 0.25) AS BIGINT)
 """
 
 
+def q_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/quantiles.exact_quantiles — exact type-1 (inverse-CDF)
+    per-group quantiles with NO global sort and NO approximation: one
+    groupBy(group, value) shuffle, then a value-range-bucket-decomposed
+    cumulative count (per-bucket windows + a tiny cross-bucket offset
+    aggregate, provably independent of the bucket count), target ranks in
+    integer parts-per-million.  The reference only ever derives a mean
+    fetch time (core/spider.py:144); tail latencies (p90/p95/p99) are
+    what a politeness scheduler actually needs.  DuckDB twin recomputes
+    the identical rank rule with a flat window."""
+    from scalpel_spark.operators import quantiles
+
+    return quantiles.exact_quantiles(
+        _t(spark, sf_dir, 'events'), 'value', ['event_type'])
+
+
+ORACLE_LATENCY_QUANTILES = """
+WITH counts AS (
+  SELECT event_type, value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM counts GROUP BY 1),
+cum AS (
+  SELECT event_type, v, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum
+  FROM counts),
+probs AS (SELECT UNNEST([500000, 900000, 950000, 990000]) AS p_ppm)
+SELECT c.event_type, CAST(p.p_ppm AS BIGINT) AS p_ppm, c.v AS q_value,
+       t.n_rows
+FROM cum c JOIN tot t USING (event_type) CROSS JOIN probs p
+WHERE (CAST(p.p_ppm AS BIGINT) * t.n_rows + 999999) // 1000000
+      BETWEEN c.cum - c.cnt + 1 AND c.cum
+"""
+
+
+def q_quantile_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/quantiles.quantile_gate — per-language exact [p5, p95]
+    length band as a document outlier gate: the band is one broadcast row
+    per group, the corpus is touched map-side only, and the thresholds
+    are exact (reproducible) rather than percentile_approx sketch values.
+    """
+    from scalpel_spark.operators import quantiles
+
+    docs = _t(spark, sf_dir, 'documents')
+    return quantiles.quantile_gate(
+        docs, 'n_chars', ['lang'], low_ppm=50_000, high_ppm=950_000
+    ).select('doc_id', 'lang', 'n_chars', 'q_low', 'q_high', 'keep')
+
+
+ORACLE_QUANTILE_GATE = """
+WITH counts AS (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1),
+cum AS (
+  SELECT lang, v, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum
+  FROM counts),
+band AS (
+  SELECT c.lang,
+         MIN(CASE WHEN (50000 * t.n + 999999) // 1000000
+                       BETWEEN c.cum - c.cnt + 1 AND c.cum
+                  THEN c.v END) AS q_low,
+         MIN(CASE WHEN (950000 * t.n + 999999) // 1000000
+                       BETWEEN c.cum - c.cnt + 1 AND c.cum
+                  THEN c.v END) AS q_high
+  FROM cum c JOIN tot t USING (lang) GROUP BY c.lang)
+SELECT d.doc_id, d.lang, d.n_chars, b.q_low, b.q_high,
+       COALESCE(d.n_chars IS NOT NULL
+                AND d.n_chars >= b.q_low AND d.n_chars <= b.q_high,
+                FALSE) AS keep
+FROM documents d LEFT JOIN band b USING (lang)
+"""
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/c4rules.c4_filter — the C4 (Raffel et al. 2020 §2.2)
+    page/line cleaning battery: terminal-punctuation line rule, short
+    lines, javascript lines, cookie/policy boilerplate, lorem-ipsum and
+    curly-brace page strikes, min-surviving-lines page verdict.  The
+    synthetic corpus has no punctuation, so the query deterministically
+    plants it first (mirrored in the oracle): every standalone 'the'
+    gains a period (creating terminal lines mid-document), every 17th
+    doc gains a lorem-ipsum tail, every 23rd-congruent-to-5 doc gains a
+    brace + javascript tail.  All line flags map-side; one reassembly
+    groupBy — the same plan family as line_quality_filter."""
+    from scalpel_spark.operators import c4rules
+
+    docs = _t(spark, sf_dir, 'documents')
+    planted = docs.withColumn(
+        'text',
+        F.concat(
+            F.regexp_replace('text', r'\bthe\b', 'the.'),
+            F.when(F.col('doc_id') % 17 == 0, F.lit(' lorem ipsum'))
+            .otherwise(F.lit('')),
+            F.when(F.col('doc_id') % 23 == 5, F.lit(' { javascript'))
+            .otherwise(F.lit('')),
+        ),
+    )
+    return c4rules.c4_filter(planted, min_kept_lines=1)
+
+
+ORACLE_C4_FILTER = r"""
+WITH planted AS (
+  SELECT doc_id,
+         regexp_replace(text, '\bthe\b', 'the.', 'g')
+         || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+         || CASE WHEN doc_id % 23 = 5 THEN ' { javascript' ELSE '' END AS text
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM planted)),
+lines AS (SELECT doc_id, (pos - 1) // 8 AS line_no,
+                 string_agg(tok, ' ' ORDER BY pos) AS line
+          FROM toks GROUP BY doc_id, (pos - 1) // 8),
+flags AS (
+  SELECT doc_id, line_no, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(string_split(line, ' ')) >= 5
+          AND NOT contains(lower(line), 'javascript')
+          AND NOT regexp_matches(lower(line),
+              '(terms of use|privacy policy|cookie policy|uses cookies)')
+         ) AS line_keep
+  FROM lines),
+per_doc AS (
+  SELECT doc_id,
+         COALESCE(string_agg(CASE WHEN line_keep THEN line END,
+                             chr(10) ORDER BY line_no), '') AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN line_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_kept
+  FROM flags GROUP BY doc_id)
+SELECT p.doc_id, p.clean_text, p.n_lines, p.n_lines_kept,
+       contains(lower(d.text), 'lorem ipsum') AS has_lorem,
+       contains(d.text, '{') AS has_brace,
+       (NOT contains(lower(d.text), 'lorem ipsum')
+        AND NOT contains(d.text, '{')
+        AND p.n_lines_kept >= 1) AS doc_keep
+FROM per_doc p JOIN planted d USING (doc_id)
+"""
+
+
+def q_warc_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sources/warc.warc_record_bytes — the WARC *writer* half of the
+    archive interchange loop: ISO 28500 response records assembled as
+    pure binary column algebra (two-layer exact Content-Length framing,
+    no Python).  The oracle reconstructs every record byte-for-byte in
+    SQL and md5s it — a serialization bug of even one byte flips the
+    hash.  The sink (write_warc_shards) is exercised by round-trip tests;
+    this query pins the distributed byte-assembly itself."""
+    from scalpel_spark.sources import warc
+
+    docs = _t(spark, sf_dir, 'documents')
+    frame = docs.select(
+        F.concat(F.lit('https://'), F.col('source'),
+                 F.lit('.example.com/d/'),
+                 F.col('doc_id').cast('string')).alias('url'),
+        F.when(F.col('doc_id') % 7 == 0, F.lit(404)).otherwise(F.lit(200))
+        .cast('int').alias('status'),
+        F.lit('text/html').alias('content_type'),
+        F.encode(F.col('text'), 'UTF-8').alias('body'),
+        F.concat(F.lit('<urn:uuid:'), F.col('doc_id').cast('string'),
+                 F.lit('>')).alias('record_id'),
+    )
+    return warc.warc_record_bytes(frame).select(
+        'url', 'record_len', F.md5('record_bytes').alias('record_md5'))
+
+
+ORACLE_WARC_SERIALIZE = """
+WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+frame AS (
+  SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+             AS url,
+         CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+         text AS body,
+         '<urn:uuid:' || CAST(doc_id AS VARCHAR) || '>' AS rid
+  FROM documents),
+http AS (
+  SELECT url, body,
+         'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' OK' || c
+         || 'Content-Type: text/html' || c
+         || 'Content-Length: ' || CAST(octet_length(encode(body)) AS VARCHAR)
+         || c || c AS http_head,
+         rid, c
+  FROM frame CROSS JOIN crlf),
+rec AS (
+  SELECT url,
+         'WARC/1.0' || c
+         || 'WARC-Type: response' || c
+         || 'WARC-Target-URI: ' || url || c
+         || 'WARC-Date: 2026-01-01T00:00:00Z' || c
+         || 'WARC-Record-ID: ' || rid || c
+         || 'Content-Type: application/http; msgtype=response' || c
+         || 'Content-Length: ' || CAST(octet_length(encode(http_head))
+                                       + octet_length(encode(body)) AS VARCHAR)
+         || c || c
+         || http_head || body || c || c AS record
+  FROM http)
+SELECT url, CAST(octet_length(encode(record)) AS BIGINT) AS record_len,
+       md5(record) AS record_md5
+FROM rec
+"""
+
+
+def q_epoch_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/curation.epoch_layout — deterministic per-epoch global
+    shuffle + shard layout (WebDataset/Megatron training-set write):
+    shard = top bits of hash60('e{epoch}|doc_id') so shards are key
+    RANGES (reading shards in order replays the global permutation),
+    pos_in_shard from the two-level sub-bucket rank decomposition — no
+    single-task sort.  Oracle recomputes with a flat per-shard window,
+    proving the decomposition exact."""
+    return curation.epoch_layout(
+        _t(spark, sf_dir, 'documents'), n_shards=8, epoch=2)
+
+
+ORACLE_EPOCH_LAYOUT = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {H60.format(x="'e2|' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents)
+SELECT doc_id, CAST(2 AS INTEGER) AS epoch,
+       CAST(k >> 57 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY k >> 57 ORDER BY k, doc_id)
+            - 1 AS BIGINT) AS pos_in_shard
+FROM keyed
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6254,6 +6483,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-driver-checked remainder, first in line for round 5
         'media_sniff_types': q_media_sniff_types,
         'media_sniff_charset': q_media_sniff_charset,
+        'latency_quantiles': q_latency_quantiles,
+        'quantile_length_gate': q_quantile_length_gate,
+        'c4_filter': q_c4_filter,
+        'warc_serialize': q_warc_serialize,
+        'epoch_layout': q_epoch_layout,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6500,6 +6734,11 @@ def oracle_sql() -> dict[str, str]:
         'media_frontier_dedup': ORACLE_MEDIA_FRONTIER,
         'media_sniff_types': ORACLE_MEDIA_SNIFF,
         'media_sniff_charset': ORACLE_MEDIA_CHARSET,
+        'latency_quantiles': ORACLE_LATENCY_QUANTILES,
+        'quantile_length_gate': ORACLE_QUANTILE_GATE,
+        'c4_filter': ORACLE_C4_FILTER,
+        'warc_serialize': ORACLE_WARC_SERIALIZE,
+        'epoch_layout': ORACLE_EPOCH_LAYOUT,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

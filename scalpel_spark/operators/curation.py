@@ -507,3 +507,69 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 512,
             F.array_join(chunk, ' ').alias('chunk_text'),
         )
     )
+
+
+def epoch_layout(docs: DataFrame, n_shards: int, epoch: int = 0,
+                 n_buckets: int = 64) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard layout — the final
+    "write the training set" step (WebDataset / Megatron-style): every
+    epoch is an independent pseudo-random permutation of the corpus, cut
+    into ``n_shards`` shard files read sequentially by the loader.
+
+    The permutation key is ``hash60('e{epoch}|' || doc_id)`` — a new
+    order per epoch with no RNG state to ship. The shard is the key's
+    TOP bits, so shards are key *ranges*: reading shard 0..n in order
+    replays the exact global permutation (loaders need no cross-shard
+    merge), and shard sizes are balanced in expectation regardless of
+    doc_id distribution.
+
+    ``pos_in_shard`` comes from the same two-level decomposition as
+    :func:`pack_sequences`: per-(sub-bucket) windows rank locally
+    (``n_shards * n_buckets`` ranges, each 1/(shards·buckets) of the
+    corpus — no single-task sort anywhere) and a tiny
+    shards×buckets-row aggregate supplies the cross-bucket offsets.
+    Both bit-widths must be powers of two; the layout is provably
+    independent of ``n_buckets`` (buckets subdivide shards on the same
+    key order).
+
+    Returns ``(doc_id, epoch, shard, pos_in_shard)``.
+    """
+    for name, v in (('n_shards', n_shards), ('n_buckets', n_buckets)):
+        if v & (v - 1) or v <= 0:
+            raise ValueError(f'{name} must be a power of two, got {v}')
+    s_bits = n_shards.bit_length() - 1
+    b_bits = n_buckets.bit_length() - 1
+    if s_bits + b_bits >= _KEY_BITS:
+        raise ValueError('n_shards * n_buckets exceeds the key space')
+
+    base = docs.select('doc_id').withColumn(
+        'shuffle_key',
+        hash60(F.concat(F.lit(f'e{epoch}|'), F.col('doc_id').cast('string'))),
+    ).withColumn(
+        'shard', F.shiftright('shuffle_key', _KEY_BITS - s_bits).cast('int'),
+    ).withColumn(
+        'bucket', F.shiftright('shuffle_key', _KEY_BITS - s_bits - b_bits),
+    )
+    w_in = Window.partitionBy('bucket').orderBy('shuffle_key', 'doc_id')
+    ranked = base.withColumn(
+        'in_bucket_before', F.row_number().over(w_in).cast('long') - 1)
+    w_b = (
+        Window.partitionBy('shard').orderBy('bucket')
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_cum = (
+        base.groupBy('shard', 'bucket').agg(F.count(F.lit(1)).alias('bn'))
+        .withColumn('bucket_before',
+                    F.coalesce(F.sum('bn').over(w_b), F.lit(0)))
+        .select('shard', 'bucket', 'bucket_before')
+    )
+    return (
+        ranked.join(F.broadcast(bucket_cum), ['shard', 'bucket'])
+        .select(
+            'doc_id',
+            F.lit(epoch).cast('int').alias('epoch'),
+            'shard',
+            (F.col('bucket_before') + F.col('in_bucket_before'))
+            .cast('long').alias('pos_in_shard'),
+        )
+    )

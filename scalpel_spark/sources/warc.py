@@ -191,6 +191,106 @@ def write_synthetic_warc(path: str, n_records: int, seed: int = 3,
         f.write(data)
 
 
+WARC_WRITE_DATE = '2026-01-01T00:00:00Z'
+
+
+def warc_record_bytes(df: DataFrame,
+                      warc_date: str = WARC_WRITE_DATE) -> DataFrame:
+    """Serialize crawl results into ISO 28500 ``response`` records as a
+    PURE column transformation — ``record_bytes BINARY`` per row, no
+    Python, no side effects.
+
+    Input contract: ``(url STRING, status INT, content_type STRING,
+    body BINARY, record_id STRING)``. Output adds ``record_bytes`` (the
+    full framed record incl. the trailing CRLF CRLF separator) and
+    ``record_len``. The HTTP block is reconstructed with exact
+    ``Content-Length`` headers at both layers, so
+    ``read_warc(write_warc_shards(...))`` round-trips bit-for-bit — and
+    because framing is length-delimited, a body containing ``WARC/1.0``
+    survives (same property the reader is pinned on).
+
+    Keeping serialization separate from the sink means the expensive part
+    (byte assembly) is distributed, testable, and oracle-checkable
+    (md5 of the record bytes recomputes in SQL); the sink below only
+    concatenates.
+    """
+    body = F.col('body')
+    http_head = F.concat(
+        F.lit('HTTP/1.1 '), F.col('status').cast('string'), F.lit(' OK\r\n'),
+        F.lit('Content-Type: '), F.col('content_type'), F.lit('\r\n'),
+        F.lit('Content-Length: '), F.length(body).cast('string'),
+        F.lit('\r\n\r\n'),
+    )
+    block_len = F.length(F.encode(http_head, 'UTF-8')) + F.length(body)
+    warc_head = F.concat(
+        F.lit('WARC/1.0\r\n'),
+        F.lit('WARC-Type: response\r\n'),
+        F.lit('WARC-Target-URI: '), F.col('url'), F.lit('\r\n'),
+        F.lit('WARC-Date: '), F.lit(warc_date), F.lit('\r\n'),
+        F.lit('WARC-Record-ID: '), F.col('record_id'), F.lit('\r\n'),
+        F.lit('Content-Type: application/http; msgtype=response\r\n'),
+        F.lit('Content-Length: '), block_len.cast('string'),
+        F.lit('\r\n\r\n'),
+    )
+    rec = F.concat(F.encode(warc_head, 'UTF-8'), F.encode(http_head, 'UTF-8'),
+                   body, F.encode(F.lit('\r\n\r\n'), 'UTF-8'))
+    return df.withColumn('record_bytes', rec) \
+             .withColumn('record_len', F.length(rec).cast('long'))
+
+
+def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
+                      order_col: str = 'url') -> DataFrame:
+    """Sink: write ``record_bytes`` rows as ``n_shards`` WARC files under
+    ``out_dir`` (``part-NNNNN.warc``), returning a manifest DataFrame
+    ``(shard, path, n_records, n_bytes)``.
+
+    Shard routing is ``xxhash64(order_col) pmod n_shards`` (size-balanced,
+    deterministic) and rows are written in ``order_col`` order within the
+    shard, so file contents are a pure function of the input — a
+    speculatively re-executed task rewrites the identical bytes, and the
+    write itself goes to a tmp path then ``os.replace`` (atomic on POSIX),
+    the same retry discipline as the snapshot store. One grouped-map task
+    streams one file — the native WARC parallelism unit, mirroring the
+    reader.
+    """
+    import os
+
+    from pyspark.sql import types as TT
+
+    manifest_schema = TT.StructType([
+        TT.StructField('shard', TT.IntegerType()),
+        TT.StructField('path', TT.StringType()),
+        TT.StructField('n_records', TT.LongType()),
+        TT.StructField('n_bytes', TT.LongType()),
+    ])
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        pdf = pdf.sort_values('_order', kind='mergesort')
+        path = os.path.join(out_dir, f'part-{shard:05d}.warc')
+        tmp = path + '.tmp'
+        n_bytes = 0
+        with open(tmp, 'wb') as f:
+            for blob in pdf['record_bytes']:
+                b = bytes(blob)
+                f.write(b)
+                n_bytes += len(b)
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            [(shard, path, len(pdf), n_bytes)],
+            columns=['shard', 'path', 'n_records', 'n_bytes'])
+
+    routed = df.withColumn(
+        'shard',
+        F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast('int'),
+    ).withColumn('_order', F.col(order_col))
+    return (
+        routed.select('shard', '_order', 'record_bytes')
+        .groupBy('shard').applyInPandas(write_shard, manifest_schema)
+    )
+
+
 def warc_to_corpus(records: DataFrame) -> DataFrame:
     """Bridge: 200-status WARC responses -> the engine's interleaved
     document shape (doc_id, spans: array<struct<kind,text,media_ref,

@@ -386,3 +386,55 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curation.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# ---------------------------------------------------------------------------
+# epoch_layout: per-epoch deterministic shuffle + shard layout
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_layout_is_a_permutation_and_bucket_invariant(spark):
+    import hashlib
+
+    from scalpel_spark.operators.curation import epoch_layout
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], 'doc_id LONG')
+    outs = []
+    for nb in (1, 8, 64):
+        rows = epoch_layout(docs, n_shards=4, epoch=1, n_buckets=nb).collect()
+        outs.append(sorted((r['doc_id'], r['shard'], r['pos_in_shard'])
+                           for r in rows))
+    assert outs[0] == outs[1] == outs[2]
+    rows = outs[0]
+    assert len(rows) == 200
+    # within each shard, positions are dense 0..n-1
+    by_shard = {}
+    for d, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # shard-major order equals global md5-key order (shards are key ranges)
+    def key(doc_id):
+        h = hashlib.md5(f'e1|{doc_id}'.encode()).hexdigest()
+        return int(h[:15], 16)
+    global_order = sorted((d for d, _, _ in rows), key=lambda d: (key(d), d))
+    layout_order = [d for d, _, _ in sorted(rows, key=lambda t: (t[1], t[2]))]
+    assert layout_order == global_order
+
+
+def test_epoch_layout_epochs_differ_and_validate(spark):
+    import pytest as _pytest
+
+    from scalpel_spark.operators.curation import epoch_layout
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], 'doc_id LONG')
+    e0 = {r['doc_id']: (r['shard'], r['pos_in_shard'])
+          for r in epoch_layout(docs, n_shards=4, epoch=0).collect()}
+    e1 = {r['doc_id']: (r['shard'], r['pos_in_shard'])
+          for r in epoch_layout(docs, n_shards=4, epoch=1).collect()}
+    assert e0 != e1  # a different permutation per epoch
+    assert set(e0) == set(e1)
+    with _pytest.raises(ValueError):
+        epoch_layout(docs, n_shards=3)
+    with _pytest.raises(ValueError):
+        epoch_layout(docs, n_shards=4, n_buckets=5)
