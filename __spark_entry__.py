@@ -6400,6 +6400,94 @@ FROM keyed
 """
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/layout.zorder_key — Morton-interleaved two-column sort
+    key for at-rest data skipping (the Delta OPTIMIZE ZORDER / Iceberg
+    z-transform semantics as plain column algebra): equal-width range
+    bins from one broadcast min/max aggregate, then unrolled exact bit
+    interleave — all inside whole-stage codegen.  Axes here: a uniform
+    hash bin of source (the 'host' axis) x doc_id (the 'time' axis).
+    The oracle recomputes bins and interleave bit-for-bit."""
+    from scalpel_spark.functions.texthash import hash60
+    from scalpel_spark.operators import layout
+
+    docs = _t(spark, sf_dir, 'documents').select(
+        'doc_id', (hash60(F.col('source')) % 1024).alias('src_bin'))
+    return layout.zorder_key(docs, 'src_bin', 'doc_id', bits=10)
+
+
+def _zorder_oracle() -> str:
+    from scalpel_spark.operators.layout import morton_interleave_sql
+
+    bin_sql = (
+        "CASE WHEN {vmax} > {vmin} THEN LEAST(1023, GREATEST(0, "
+        "CAST(floor(CAST({v} - {vmin} AS DOUBLE) * 1024 "
+        "/ CAST({vmax} - {vmin} AS DOUBLE)) AS BIGINT))) "
+        "ELSE 0 END"
+    )
+    xb = bin_sql.format(v='src_bin', vmin='xmin', vmax='xmax')
+    yb = bin_sql.format(v='doc_id', vmin='ymin', vmax='ymax')
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST({H60.format(x='source')} % 1024 AS BIGINT) AS src_bin
+  FROM documents),
+mm AS (
+  SELECT MIN(src_bin) AS xmin, MAX(src_bin) AS xmax,
+         MIN(doc_id) AS ymin, MAX(doc_id) AS ymax FROM b),
+binned AS (
+  SELECT doc_id, src_bin, {xb} AS xb, {yb} AS yb FROM b CROSS JOIN mm)
+SELECT doc_id, src_bin,
+       CAST({morton_interleave_sql('xb', 'yb', 10)} AS BIGINT) AS zkey
+FROM binned
+"""
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/selection.source_drift_matrix — pairwise exact-integer
+    Jeffreys divergence (symmetric KL) between sources over hashed
+    2-gram bucket histograms: the distribution-shape drift monitor that
+    complements KMV identity overlap (sketch_kmv_matrix).  Probabilities
+    are integral parts-per-billion, logs are log2_milli — every step
+    64-bit integer arithmetic, recomputed bit-for-bit by the oracle over
+    the full smoothing grid."""
+    from scalpel_spark.operators.selection import source_drift_matrix
+
+    return source_drift_matrix(
+        _t(spark, sf_dir, 'documents'), n_buckets=512, shingle_n=2)
+
+
+ORACLE_SOURCE_DRIFT = f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS l
+             FROM documents),
+sh AS (SELECT source, l[i] || ' ' || l[i + 1] AS shingle
+       FROM (SELECT source, l, UNNEST(generate_series(1, len(l) - 1)) AS i
+             FROM tok)),
+counts AS (
+  SELECT source AS g, {H60.format(x='shingle')} % 512 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sh GROUP BY 1, 2),
+tots AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+grid AS (
+  SELECT t.g, t.tot, b.bucket, COALESCE(c.cnt, 0) AS cnt
+  FROM tots t CROSS JOIN (SELECT UNNEST(range(512)) AS bucket) b
+  LEFT JOIN counts c ON c.g = t.g AND c.bucket = b.bucket),
+pp AS (
+  SELECT g, bucket,
+         CAST(CAST(cnt + 1 AS HUGEINT) * 1000000000 // (tot + 512) AS BIGINT)
+             AS p_ppb
+  FROM grid),
+pl AS (SELECT g, bucket, p_ppb,
+              {log2_milli_sql('GREATEST(p_ppb, 1)')} AS l_milli
+       FROM pp)
+SELECT a.g AS src_a, b.g AS src_b,
+       CAST(SUM((a.p_ppb - b.p_ppb) * (a.l_milli - b.l_milli)) AS BIGINT)
+           AS jeffreys_pico
+FROM pl a JOIN pl b ON a.bucket = b.bucket AND a.g < b.g
+GROUP BY 1, 2
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6488,6 +6576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'c4_filter': q_c4_filter,
         'warc_serialize': q_warc_serialize,
         'epoch_layout': q_epoch_layout,
+        'zorder_layout': q_zorder_layout,
+        'source_drift': q_source_drift,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6739,6 +6829,8 @@ def oracle_sql() -> dict[str, str]:
         'c4_filter': ORACLE_C4_FILTER,
         'warc_serialize': ORACLE_WARC_SERIALIZE,
         'epoch_layout': ORACLE_EPOCH_LAYOUT,
+        'zorder_layout': _zorder_oracle(),
+        'source_drift': ORACLE_SOURCE_DRIFT,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

@@ -129,3 +129,63 @@ def dsir_select(corpus: DataFrame, target: DataFrame, keep_fraction: float,
     finally:
         scored.unpersist()
     return out
+
+
+def source_drift_matrix(docs: DataFrame, n_buckets: int = 1024,
+                        shingle_n: int = 2, text_col: str = 'text',
+                        group_col: str = 'source') -> DataFrame:
+    """Pairwise distribution drift between sources: exact-integer Jeffreys
+    divergence (symmetric KL) over hashed-shingle bucket histograms — the
+    corpus-monitoring twin of :func:`dsir_weights` (same features, but
+    source-vs-source instead of corpus-vs-target).
+
+    The production question this answers: "did crawl batch B's content
+    distribution shift against batch A / source X?" — the alarm that
+    catches a spam flood, a parser regression, or a language mix change
+    before it pollutes a training mix. KMV overlap
+    (`sketches.kmv_overlap_matrix`) measures shared *identity*; this
+    measures shared *shape* (two disjoint crawls of the same site family
+    have near-zero overlap but near-zero drift).
+
+    Exactness: per-bucket probabilities are add-one-smoothed integral
+    parts-per-billion (DECIMAL integral div), logs are ``log2_milli``
+    (bit length + octave interpolation), so
+
+        J(a,b) = Σ_b (p_a − p_b) · (log2m p_a − log2m p_b)   [pico units]
+
+    is pure 64-bit integer arithmetic, non-negative, symmetric, and
+    bit-identical in the DuckDB oracle. Untouched buckets still carry
+    smoothing mass, so the sum runs over the FULL bucket grid (sources ×
+    n_buckets rows — bounded and tiny after the one histogram shuffle;
+    the pair join is grid×grid on bucket, never corpus×corpus).
+
+    Returns (src_a, src_b, jeffreys_pico) for src_a < src_b.
+    """
+    counts = (
+        _bucket_counts(docs.withColumnRenamed(group_col, '_g'),
+                       n_buckets, shingle_n, text_col, '_g')
+        .withColumnRenamed('doc_id', 'g')
+        .withColumnRenamed('n', 'cnt')
+    )
+    tots = counts.groupBy('g').agg(F.sum('cnt').alias('tot'))
+    grid = (
+        tots.select('g', 'tot',
+                    F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
+                    .alias('bucket'))
+        .join(counts, ['g', 'bucket'], 'left')
+        .withColumn('cnt', F.coalesce('cnt', F.lit(0)))
+    )
+    p = F.expr(
+        'CAST(CAST(cnt + 1 AS DECIMAL(28,0)) * 1000000000 div '
+        f'CAST(tot + {n_buckets} AS DECIMAL(19,0)) AS BIGINT)')
+    grid = grid.withColumn('p_ppb', p).withColumn(
+        'l_milli', F.expr(log2_milli_expr('GREATEST(p_ppb, 1)')))
+    a, b = grid.alias('a'), grid.alias('b')
+    pair = a.join(b, (F.col('a.bucket') == F.col('b.bucket'))
+                  & (F.col('a.g') < F.col('b.g')))
+    return (
+        pair.groupBy(F.col('a.g').alias('src_a'), F.col('b.g').alias('src_b'))
+        .agg(F.sum((F.col('a.p_ppb') - F.col('b.p_ppb'))
+                   * (F.col('a.l_milli') - F.col('b.l_milli')))
+             .cast('long').alias('jeffreys_pico'))
+    )

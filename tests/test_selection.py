@@ -72,3 +72,52 @@ def test_dsir_select_fraction_floor(spark):
     corpus = _df(spark, [(i, f'alpha beta w{i}') for i in range(7)])
     target = _df(spark, [(9, 'alpha beta')])
     assert dsir_select(corpus, target, 0.5).count() == 3  # floor(7*0.5)
+
+
+# ---------------------------------------------------------------------------
+# source_drift_matrix: exact-integer Jeffreys divergence between sources
+# ---------------------------------------------------------------------------
+
+
+def _drift_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, 'en', s, len(t)) for i, (s, t) in enumerate(rows)],
+        'doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG')
+
+
+def test_drift_zero_for_identical_distributions(spark):
+    from scalpel_spark.operators.selection import source_drift_matrix
+
+    text = 'spark table scan join filter group'
+    docs = _drift_docs(spark, [('a', text), ('b', text)] * 3)
+    out = source_drift_matrix(docs, n_buckets=64).collect()
+    assert len(out) == 1
+    assert out[0]['src_a'] == 'a' and out[0]['src_b'] == 'b'
+    assert out[0]['jeffreys_pico'] == 0
+
+
+def test_drift_detects_shifted_source_and_is_nonnegative(spark):
+    from scalpel_spark.operators.selection import source_drift_matrix
+
+    same = 'the quick brown fox jumps over the lazy dog again and again'
+    spam = 'buy cheap pills now buy cheap pills now buy cheap pills now'
+    docs = _drift_docs(spark, [('a', same)] * 4 + [('b', same)] * 4
+                       + [('c', spam)] * 4)
+    got = {(r['src_a'], r['src_b']): r['jeffreys_pico']
+           for r in source_drift_matrix(docs, n_buckets=64).collect()}
+    assert set(got) == {('a', 'b'), ('a', 'c'), ('b', 'c')}
+    assert got[('a', 'b')] == 0
+    assert got[('a', 'c')] > 0 and got[('b', 'c')] > 0
+    assert got[('a', 'c')] == got[('b', 'c')]  # same content -> same drift
+    assert all(v >= 0 for v in got.values())
+
+
+def test_drift_smoothing_sees_total_size_difference(spark):
+    from scalpel_spark.operators.selection import source_drift_matrix
+
+    # same shape, very different totals: smoothing mass differs, so the
+    # drift is small but nonzero — and must not crash on empty buckets
+    text = 'alpha beta gamma delta'
+    docs = _drift_docs(spark, [('a', text)] * 1 + [('b', text)] * 8)
+    out = source_drift_matrix(docs, n_buckets=32).collect()
+    assert len(out) == 1 and out[0]['jeffreys_pico'] >= 0
