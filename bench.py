@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     'vocab_bpe_encode',
     'sketch_kmv_matrix',
     'warc_to_documents',
+    # round-4 session additions: exact quantiles, C4 cleaning, WARC
+    # serialization, training-set layout, drift monitoring
+    'latency_quantiles',
+    'c4_filter',
+    'warc_serialize',
+    'epoch_layout',
+    'zorder_layout',
+    'source_drift',
 ]
 
 
