@@ -6488,6 +6488,42 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/clustering.embedding_outliers — per-cluster noise gate:
+    k-means blocks (broadcast-argmin assignment), exact integer squared
+    distance to the owning centroid, and the cluster's exact p90 distance
+    quantile as a reproducible keep threshold.  A composition of two
+    exact primitives (kmeans_fit × exact_quantiles); the oracle replays
+    the full Lloyd chain (shared _kmeans_cte), recomputes every distance,
+    and applies the identical integer-ppm rank rule."""
+    return clustering.embedding_outliers(
+        _t(spark, sf_dir, 'embeddings'), k=4, iters=2, high_ppm=900_000)
+
+
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH {_kmeans_cte(4, 2)},
+dist AS (
+  SELECT q.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1),
+              j -> (qv[j] - cvec[j]) * (qv[j] - cvec[j]))) AS BIGINT) AS d2
+  FROM q JOIN asg2 a USING (vec_id) JOIN cv2 ON a.cell = cv2.cell),
+counts AS (SELECT cell, d2 AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM dist GROUP BY 1, 2),
+tot AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1),
+cum AS (SELECT cell, v, cnt,
+               SUM(cnt) OVER (PARTITION BY cell ORDER BY v) AS cum
+        FROM counts),
+band AS (
+  SELECT c.cell,
+         MIN(CASE WHEN (900000 * t.n + 999999) // 1000000
+                       BETWEEN c.cum - c.cnt + 1 AND c.cum
+                  THEN c.v END) AS q_high
+  FROM cum c JOIN tot t USING (cell) GROUP BY c.cell)
+SELECT d.vec_id, d.cell, d.d2, b.q_high, (d.d2 <= b.q_high) AS keep
+FROM dist d JOIN band b USING (cell)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6578,6 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'epoch_layout': q_epoch_layout,
         'zorder_layout': q_zorder_layout,
         'source_drift': q_source_drift,
+        'embedding_outliers': q_embedding_outliers,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6831,6 +6868,7 @@ def oracle_sql() -> dict[str, str]:
         'epoch_layout': ORACLE_EPOCH_LAYOUT,
         'zorder_layout': _zorder_oracle(),
         'source_drift': ORACLE_SOURCE_DRIFT,
+        'embedding_outliers': ORACLE_EMBEDDING_OUTLIERS,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

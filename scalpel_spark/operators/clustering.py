@@ -174,3 +174,47 @@ def semdedup(
     return v.join(dup, 'vec_id', 'left').select(
         'vec_id', 'cell', F.coalesce(~F.col('dropped'), F.lit(True)).alias('keep')
     )
+
+
+def embedding_outliers(emb: DataFrame, k: int = 4, iters: int = 2,
+                       quant: int = 1000,
+                       high_ppm: int = 900_000) -> DataFrame:
+    """Per-cluster embedding outlier gate: k-means blocks, then drop the
+    vectors whose squared distance to their own centroid exceeds the
+    cluster's exact ``high_ppm`` quantile — the standard noise/mislabel
+    pruning pass an embedding pipeline runs before SemDeDup (a far
+    outlier is not a *duplicate* of anything; it is junk that poisons
+    centroid updates and retrieval).
+
+    Composition of two existing exact primitives: :func:`kmeans_fit`
+    (shuffle-free broadcast-argmin assignment, integer distances) and
+    ``quantiles.exact_quantiles`` (bucket-decomposed type-1 quantile per
+    cluster — a reproducible threshold, unlike a sketch). The corpus
+    sees one map-side distance pass + the distinct-value quantile
+    machinery; the band joins back as one broadcast row per cluster.
+
+    Returns ``(vec_id, cell, d2, q_high, keep)``.
+    """
+    from scalpel_spark.operators.quantiles import exact_quantiles
+
+    asg, codebook = kmeans_fit(emb, k, iters, quant)
+    v = _quantized(emb, quant)
+    d2 = F.aggregate(
+        F.zip_with('q', 'cv', lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast('long'),
+        lambda acc, x: acc + x,
+    )
+    dist = (
+        v.join(asg, 'vec_id')
+        .join(F.broadcast(codebook), 'cell')
+        .withColumn('d2', d2)
+        .select('vec_id', 'cell', 'd2')
+    )
+    band = exact_quantiles(
+        dist, 'd2', ['cell'], probs_ppm=(high_ppm,)
+    ).select('cell', F.col('q_value').alias('q_high'))
+    return (
+        dist.join(F.broadcast(band), 'cell')
+        .withColumn('keep', F.col('d2') <= F.col('q_high'))
+        .select('vec_id', 'cell', 'd2', 'q_high', 'keep')
+    )

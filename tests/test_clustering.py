@@ -102,3 +102,46 @@ def test_kmeans_k_exceeding_corpus_gives_singleton_cells(spark):
     out = {r['vec_id']: r['cell'] for r in
            clustering.kmeans_assign(_emb(spark, rows), k=5, iters=1).collect()}
     assert out == {0: 0, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers: per-cluster exact-quantile distance gate
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_drops_far_vectors(spark):
+    from scalpel_spark.operators.clustering import embedding_outliers
+
+    # two tight clusters around (0,0) and (10,10), one far outlier each;
+    # vec_ids 0 and 1 anchor one cluster each (init = k smallest ids)
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    for i in range(9):
+        rows.append((2 + i, [0.0 + i * 0.01, 0.0]))
+        rows.append((100 + i, [10.0 + i * 0.01, 10.0]))
+    rows.append((50, [3.0, 3.0]))      # far from the (0,0) cluster
+    rows.append((150, [7.0, 7.0]))     # far from the (10,10) cluster
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], 'vec_id LONG, embedding ARRAY<FLOAT>')
+    out = {r['vec_id']: r for r in embedding_outliers(
+        emb, k=2, iters=2, high_ppm=900_000).collect()}
+    assert len(out) == len(rows)
+    # the two planted outliers are exactly the dropped rows
+    dropped = {i for i, r in out.items() if not r['keep']}
+    assert dropped == {50, 150}
+    for i, r in out.items():
+        assert (r['d2'] <= r['q_high']) == r['keep']
+
+
+def test_embedding_outliers_threshold_is_exact_quantile(spark):
+    from scalpel_spark.operators.clustering import embedding_outliers
+
+    # one cluster, distances 0..9 squared -> d2 known; p50 keeps half
+    emb = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(10)],
+        'vec_id LONG, embedding ARRAY<FLOAT>')
+    out = embedding_outliers(emb, k=1, iters=1, high_ppm=500_000).collect()
+    kept = sorted(r['vec_id'] for r in out if r['keep'])
+    # iters=1 assigns against the INIT centroid (vec 0 -> [0]), so
+    # d2 = (1000 i)^2: 10 distinct ranks, median rank 5 -> q = (4000)^2,
+    # keep exactly i in 0..4
+    assert kept == [0, 1, 2, 3, 4]
