@@ -6524,6 +6524,41 @@ FROM dist d JOIN band b USING (cell)
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/asof.asof_join — temporal as-of lookup (Spark has no
+    builtin; SPARK-22947 never merged): every purchase event matched to
+    the same user's most recent view at-or-before it.  Implementation is
+    union + carry-forward decomposed by TIME-RANGE BUCKET (per-(key,
+    bucket) windows + a metadata-scale cross-bucket fallback frame), so
+    a hot key's history never lands in one task; result provably
+    independent of the bucket count (tests sweep 1/4/64).  The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN — a fully independent implementation
+    of the same semantics."""
+    from scalpel_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, 'events')
+    left = ev.filter(F.col('event_type') == 'purchase').select(
+        'event_id', 'user_id',
+        F.unix_micros(F.col('ts').cast('timestamp')).alias('t'))
+    right = ev.filter(F.col('event_type') == 'view').select(
+        'user_id',
+        F.unix_micros(F.col('ts').cast('timestamp')).alias('vts'),
+        F.col('event_id').alias('view_event'))
+    return asof_join(left, right, on='user_id', left_ts='t',
+                     right_ts='vts', right_cols=['view_event'])
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
+       epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6615,6 +6650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'zorder_layout': q_zorder_layout,
         'source_drift': q_source_drift,
         'embedding_outliers': q_embedding_outliers,
+        'asof_join': q_asof_join,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6869,6 +6905,7 @@ def oracle_sql() -> dict[str, str]:
         'zorder_layout': _zorder_oracle(),
         'source_drift': ORACLE_SOURCE_DRIFT,
         'embedding_outliers': ORACLE_EMBEDDING_OUTLIERS,
+        'asof_join': ORACLE_ASOF_JOIN,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

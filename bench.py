@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     'epoch_layout',
     'zorder_layout',
     'source_drift',
+    'asof_join',
+    'embedding_outliers',
 ]
 
 
