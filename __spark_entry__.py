@@ -6559,6 +6559,36 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/ranges.interval_join — grid-decomposed range join (the
+    IP→ASN attribution lookup: politeness by network owner, not just
+    host).  Narrow intervals explode into per-bucket equi-join keys
+    (bucket width = mean span, one exact-integer aggregate); the few
+    wide intervals broadcast through a theta join.  The oracle is the
+    plain SQL containment theta join, evaluated directly by DuckDB —
+    independent of the decomposition entirely."""
+    from scalpel_spark.operators.ranges import interval_join
+
+    cust = _t(spark, sf_dir, 'customer').select(
+        (F.col('c_custkey') * 97 % 9500).alias('ip'), 'c_custkey')
+    lo = (F.col('s_suppkey') * 137) % 9000
+    iv = _t(spark, sf_dir, 'supplier').select(
+        lo.alias('lo'), (lo + (F.col('s_suppkey') % 61) * 5).alias('hi'),
+        F.col('s_suppkey').alias('asn'))
+    return interval_join(cust, iv, 'ip', 'lo', 'hi', wide_buckets=8)
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH pts AS (SELECT c_custkey * 97 % 9500 AS ip, c_custkey FROM customer),
+iv AS (SELECT (s_suppkey * 137) % 9000 AS lo,
+              (s_suppkey * 137) % 9000 + (s_suppkey % 61) * 5 AS hi,
+              s_suppkey AS asn
+       FROM supplier)
+SELECT p.ip, p.c_custkey, i.lo, i.hi, i.asn
+FROM pts p JOIN iv i ON p.ip >= i.lo AND p.ip <= i.hi
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6651,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'source_drift': q_source_drift,
         'embedding_outliers': q_embedding_outliers,
         'asof_join': q_asof_join,
+        'interval_join': q_interval_join,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6906,6 +6937,7 @@ def oracle_sql() -> dict[str, str]:
         'source_drift': ORACLE_SOURCE_DRIFT,
         'embedding_outliers': ORACLE_EMBEDDING_OUTLIERS,
         'asof_join': ORACLE_ASOF_JOIN,
+        'interval_join': ORACLE_INTERVAL_JOIN,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }
