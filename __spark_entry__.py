@@ -6589,6 +6589,59 @@ FROM pts p JOIN iv i ON p.ip >= i.lo AND p.ip <= i.hi
 """
 
 
+def q_latency_budget_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scheduling.latency_budget_quantile — tail-aware politeness: the
+    per-host pause scales with the host's exact p95 response time (the
+    saturation signal a mean hides on bimodal servers), composed from
+    exact_quantiles + the same integer delay/budget algebra as
+    latency_budget.  Identical synthetic fetch log as the mean variant,
+    so the two queries pin mean-vs-tail pacing side by side."""
+    from scalpel_spark.operators import scheduling
+
+    orders = _t(spark, sf_dir, 'orders')
+    k = F.col('o_orderkey')
+    fetches = orders.select(
+        F.concat(F.lit('h'), F.pmod(F.col('o_custkey'), F.lit(20))
+                 .cast('string')).alias('host'),
+        ((k % 97).cast('double') / 10.0 + 1.0).alias('fetch_ms'),
+    )
+    return scheduling.latency_budget_quantile(
+        fetches, wave_duration_ms=60_000, p_ppm=950_000,
+        min_budget=1, max_budget=5000)
+
+
+ORACLE_LATENCY_BUDGET_P95 = """
+WITH fetches AS (
+  SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+         CAST(o_orderkey % 97 AS DOUBLE) / 10.0 + 1.0 AS fetch_ms
+  FROM orders),
+us AS (
+  SELECT host, CAST(floor(fetch_ms * 1000) AS BIGINT) AS u FROM fetches),
+counts AS (
+  SELECT host, u, CAST(COUNT(*) AS BIGINT) AS cnt FROM us GROUP BY 1, 2),
+tot AS (SELECT host, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY 1),
+cum AS (SELECT host, u, cnt,
+               SUM(cnt) OVER (PARTITION BY host ORDER BY u) AS cum
+        FROM counts),
+q AS (
+  SELECT c.host, t.n AS n_fetches,
+         MIN(CASE WHEN (950000 * t.n + 999999) // 1000000
+                       BETWEEN c.cum - c.cnt + 1 AND c.cum
+                  THEN c.u END) AS p_fetch_us
+  FROM cum c JOIN tot t USING (host) GROUP BY c.host, t.n),
+b AS (
+  SELECT host, n_fetches, p_fetch_us,
+         (2000000 * p_fetch_us) // 1000000 AS delay_us
+  FROM q)
+SELECT host, n_fetches, p_fetch_us, delay_us,
+       LEAST(CAST(5000 AS BIGINT),
+             GREATEST(CAST(1 AS BIGINT),
+                      60000000 // GREATEST(CAST(1 AS BIGINT), delay_us)))
+         AS budget
+FROM b
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6682,6 +6735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_outliers': q_embedding_outliers,
         'asof_join': q_asof_join,
         'interval_join': q_interval_join,
+        'latency_budget_p95': q_latency_budget_p95,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6938,6 +6992,7 @@ def oracle_sql() -> dict[str, str]:
         'embedding_outliers': ORACLE_EMBEDDING_OUTLIERS,
         'asof_join': ORACLE_ASOF_JOIN,
         'interval_join': ORACLE_INTERVAL_JOIN,
+        'latency_budget_p95': ORACLE_LATENCY_BUDGET_P95,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

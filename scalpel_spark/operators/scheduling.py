@@ -451,3 +451,44 @@ def latency_budget(fetches: DataFrame, wave_duration_ms: int,
     if max_budget is not None:
         budget = F.least(budget, F.lit(max_budget).cast('long'))
     return out.withColumn('budget', budget)
+
+
+def latency_budget_quantile(fetches: DataFrame, wave_duration_ms: int,
+                            p_ppm: int = 950_000,
+                            delay_factor_ppm: int = 2_000_000,
+                            min_budget: int = 1,
+                            max_budget: int | None = None) -> DataFrame:
+    """Tail-aware :func:`latency_budget`: pace each host by its exact
+    p95 (``p_ppm``) response time instead of the mean. A bimodal server
+    — fast cache hits, occasional slow misses — averages fast, but it is
+    the tail that signals saturation; Heritrix operators commonly raise
+    delay-factor for exactly this case, and an exact quantile makes the
+    resulting budget reproducible (``percentile_approx`` would not be).
+
+    Same integer contract as the mean variant (per-row floor to µs,
+    ppm factor, integral division); the quantile comes from
+    ``quantiles.exact_quantiles`` (type-1, bucket-decomposed — no
+    per-host sort task). Returns
+    ``(host, n_fetches, p_fetch_us, delay_us, budget)``.
+    """
+    from scalpel_spark.operators.quantiles import exact_quantiles
+
+    wave_us = wave_duration_ms * 1000
+    us_df = (
+        fetches.filter(F.col('fetch_ms').isNotNull())
+        .select('host', F.floor(F.col('fetch_ms') * 1000)
+                .cast('long').alias('_us'))
+    )
+    q = exact_quantiles(us_df, '_us', ['host'], probs_ppm=(p_ppm,))
+    out = q.select(
+        'host', F.col('n_rows').alias('n_fetches'),
+        F.col('q_value').alias('p_fetch_us'),
+    ).withColumn(
+        'delay_us', F.expr(f'({delay_factor_ppm}L * p_fetch_us) div 1000000')
+    )
+    budget = F.greatest(
+        F.lit(min_budget).cast('long'),
+        F.expr(f'{wave_us}L div greatest(1L, delay_us)'))
+    if max_budget is not None:
+        budget = F.least(budget, F.lit(max_budget).cast('long'))
+    return out.withColumn('budget', budget)

@@ -348,3 +348,40 @@ def test_latency_budget_scales_with_response_time(spark):
         fetches, wave_duration_ms=3_600_000).collect()}
     assert nocap['zero'] == 3_600_000_000
     assert nocap['slow'] == 360
+
+
+def test_latency_budget_quantile_tail_beats_mean(spark):
+    from scalpel_spark.operators.scheduling import (
+        latency_budget,
+        latency_budget_quantile,
+    )
+
+    # bimodal host: 18 fast (1 ms) + 2 slow (1000 ms) fetches — rank
+    # ceil(.95*20)=19 lands in the slow mode
+    rows = [('h0', 1.0)] * 18 + [('h0', 1000.0)] * 2
+    # steady host: always 50 ms
+    rows += [('h1', 50.0)] * 20
+    fetches = spark.createDataFrame(rows, 'host STRING, fetch_ms DOUBLE')
+    mean = {r['host']: r for r in latency_budget(
+        fetches, wave_duration_ms=60_000).collect()}
+    p95 = {r['host']: r for r in latency_budget_quantile(
+        fetches, wave_duration_ms=60_000, p_ppm=950_000).collect()}
+    # p95 of the bimodal host is the slow mode; mean is diluted
+    assert p95['h0']['p_fetch_us'] == 1_000_000
+    assert mean['h0']['mean_fetch_us'] < 200_000  # diluted ~10x
+    # so the tail-aware budget is far smaller (more polite) on h0
+    assert p95['h0']['budget'] < mean['h0']['budget']
+    # steady host: p95 == mean -> identical budgets
+    assert p95['h1']['budget'] == mean['h1']['budget']
+
+
+def test_latency_budget_quantile_clamps_and_nulls(spark):
+    from scalpel_spark.operators.scheduling import latency_budget_quantile
+
+    fetches = spark.createDataFrame(
+        [('a', 0.001), ('a', 0.001), ('b', None)],
+        'host STRING, fetch_ms DOUBLE')
+    out = {r['host']: r for r in latency_budget_quantile(
+        fetches, wave_duration_ms=60_000, max_budget=100).collect()}
+    assert out['a']['budget'] == 100      # max clamp
+    assert 'b' not in out                 # untimed host drops out
