@@ -6642,6 +6642,39 @@ FROM b
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/substr.ngram_novelty — per-document memorization-risk
+    score: the fraction of 8-gram windows that are corpus-duplicated
+    (Lee et al. 2022 correlate duplication with verbatim memorization).
+    Scores text the strike pass would rewrite; exact integer ppm; run
+    over docs_plus so the planted duplicates exercise the dup branch."""
+    return substr.ngram_novelty(_docs_plus(spark, sf_dir),
+                                window_tokens=8, min_count=2)
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH {DOCS_PLUS_SQL},
+t AS (SELECT doc_id, string_split(text, ' ') AS l FROM docs_plus),
+wins AS (
+  SELECT doc_id, {H60.format(x='win')} AS h
+  FROM (SELECT doc_id, unnest(w) AS win
+        FROM (SELECT doc_id, {_SUBSTR_WIN_SQL} AS w FROM t))),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows
+  FROM wins w LEFT JOIN dup d ON w.h = d.h GROUP BY w.doc_id)
+SELECT t.doc_id,
+       COALESCE(s.n_windows, 0) AS n_windows,
+       COALESCE(s.n_dup_windows, 0) AS n_dup_windows,
+       CAST(CASE WHEN COALESCE(s.n_windows, 0) > 0
+                 THEN (s.n_windows - s.n_dup_windows) * 1000000 // s.n_windows
+                 ELSE 1000000 END AS BIGINT) AS novelty_ppm
+FROM t LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6736,6 +6769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'asof_join': q_asof_join,
         'interval_join': q_interval_join,
         'latency_budget_p95': q_latency_budget_p95,
+        'ngram_novelty': q_ngram_novelty,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -6993,6 +7027,7 @@ def oracle_sql() -> dict[str, str]:
         'asof_join': ORACLE_ASOF_JOIN,
         'interval_join': ORACLE_INTERVAL_JOIN,
         'latency_budget_p95': ORACLE_LATENCY_BUDGET_P95,
+        'ngram_novelty': ORACLE_NGRAM_NOVELTY,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

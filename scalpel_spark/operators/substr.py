@@ -128,3 +128,47 @@ def strike_dup_substrings(docs: DataFrame, window_tokens: int = 50,
         F.array_join(F.transform(kept, lambda s: s['t']), ' ')
         .alias('clean_text'),
     )
+
+
+def ngram_novelty(docs: DataFrame, window_tokens: int = 8,
+                  min_count: int = 2) -> DataFrame:
+    """Per-document novelty / memorization-risk score: the fraction of a
+    document's ``window_tokens``-gram windows that are corpus-duplicated
+    (occur ≥ ``min_count`` times corpus-wide, within-doc repeats
+    included — the suffix-array view of :func:`dup_window_positions`).
+
+    Where :func:`strike_dup_substrings` REWRITES text, this only SCORES
+    it — the ranking signal for "which documents are mostly boilerplate
+    / likely to be memorized verbatim" (Lee et al. 2022 §5 correlate
+    duplication with memorization) that a curation mix can threshold or
+    sample against without touching the text.
+
+    Same plan skeleton as the strike pass (one window-hash shuffle, dup
+    set joined back, per-doc agg); novelty is exact integer ppm:
+    ``(n_windows − n_dup) * 1e6 div n_windows``. Documents shorter than
+    ``window_tokens`` have no windows and score novelty 1e6 (nothing
+    measurable is duplicated).
+
+    Returns (doc_id, n_windows, n_dup_windows, novelty_ppm).
+    """
+    toks = docs.select('doc_id', tokens(F.col('text')).alias('toks'))
+    wins = toks.select(
+        'doc_id',
+        F.explode_outer(word_shingles(F.col('toks'), window_tokens))
+        .alias('win'),
+    ).select('doc_id', hash60(F.col('win')).alias('h'))
+    dup_h = (wins.filter(F.col('h').isNotNull())
+             .groupBy('h').agg(F.count(F.lit(1)).alias('cnt'))
+             .filter(F.col('cnt') >= min_count).select('h', F.lit(1).alias('_d')))
+    scored = wins.join(dup_h, 'h', 'left').groupBy('doc_id').agg(
+        F.count(F.col('h')).cast('long').alias('n_windows'),
+        F.sum(F.coalesce(F.col('_d'), F.lit(0))).cast('long')
+        .alias('n_dup_windows'),
+    )
+    return scored.withColumn(
+        'novelty_ppm',
+        F.when(F.col('n_windows') > 0,
+               F.expr('(n_windows - n_dup_windows) * 1000000L'
+                      ' div n_windows'))
+        .otherwise(F.lit(1_000_000).cast('long')),
+    )

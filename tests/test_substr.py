@@ -98,3 +98,44 @@ def test_plan_stays_jvm(spark):
     plan = substr.strike_dup_substrings(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert 'Python' not in plan
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty: memorization-risk scoring
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_scores(spark):
+    from scalpel_spark.operators.substr import ngram_novelty
+
+    boiler = 'b1 b2 b3 b4 b5 b6 b7 b8'           # one shared 8-gram
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + ' u1 u2 u3 u4'),        # shares the boiler window
+            (1, boiler + ' v1 v2 v3 v4'),        # shares it too
+            (2, 'w1 w2 w3 w4 w5 w6 w7 w8 w9'),   # fully novel, 2 windows
+            (3, 'short doc'),                    # no windows at all
+        ],
+        'doc_id LONG, text STRING',
+    )
+    out = {r['doc_id']: r for r in
+           ngram_novelty(docs, window_tokens=8, min_count=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # docs 0/1: 5 windows each, exactly the first (pure-boiler) window is
+    # shared between them
+    assert out[0]['n_windows'] == 5 and out[0]['n_dup_windows'] == 1
+    assert out[0]['novelty_ppm'] == 4 * 1_000_000 // 5
+    assert out[1]['n_dup_windows'] == 1
+    assert out[2]['n_dup_windows'] == 0
+    assert out[2]['novelty_ppm'] == 1_000_000
+    assert out[3]['n_windows'] == 0 and out[3]['novelty_ppm'] == 1_000_000
+
+
+def test_ngram_novelty_within_doc_repeat_counts(spark):
+    from scalpel_spark.operators.substr import ngram_novelty
+
+    rep = ' '.join(['r'] * 16)  # 16 identical tokens: every 8-gram equal
+    docs = spark.createDataFrame([(0, rep)], 'doc_id LONG, text STRING')
+    out = ngram_novelty(docs, window_tokens=8, min_count=2).collect()[0]
+    assert out['n_windows'] == 9 and out['n_dup_windows'] == 9
+    assert out['novelty_ppm'] == 0
