@@ -6675,6 +6675,39 @@ FROM t LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.chunk_documents_cdc — content-defined chunking: chunk
+    boundaries after tokens whose hash ≡ 0 mod 64, so an edit changes
+    only its own chunk and every later chunk stays byte-identical
+    (dedup-friendly storage / chunk-level dedup; fixed-stride
+    chunk_documents re-aligns everything after an edit).  Boundary flags
+    map-side, per-doc running sum, one reassembly groupBy."""
+    return curation.chunk_documents_cdc(
+        _t(spark, sf_dir, 'documents'), mean_tokens=64)
+
+
+ORACLE_CHUNK_CDC = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           WHERE len(string_split(text, ' ')) > 0),
+ex AS (
+  SELECT doc_id, pos - 1 AS pos, tok,
+         CASE WHEN {H60.format(x='tok')} % 64 = 0 THEN 1 ELSE 0 END AS b
+  FROM (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+        FROM t)),
+cs AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_seq
+  FROM ex)
+SELECT doc_id, CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       CAST(MIN(pos) AS BIGINT) AS start,
+       CAST(COUNT(*) AS BIGINT) AS chunk_len,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM cs GROUP BY doc_id, chunk_seq
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6770,6 +6803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'interval_join': q_interval_join,
         'latency_budget_p95': q_latency_budget_p95,
         'ngram_novelty': q_ngram_novelty,
+        'chunk_cdc': q_chunk_cdc,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7028,6 +7062,7 @@ def oracle_sql() -> dict[str, str]:
         'interval_join': ORACLE_INTERVAL_JOIN,
         'latency_budget_p95': ORACLE_LATENCY_BUDGET_P95,
         'ngram_novelty': ORACLE_NGRAM_NOVELTY,
+        'chunk_cdc': ORACLE_CHUNK_CDC,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

@@ -573,3 +573,58 @@ def epoch_layout(docs: DataFrame, n_shards: int, epoch: int = 0,
             .cast('long').alias('pos_in_shard'),
         )
     )
+
+
+def chunk_documents_cdc(docs: DataFrame, mean_tokens: int = 64) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER any token
+    whose 60-bit hash is ≡ 0 mod ``mean_tokens`` — so boundaries are a
+    function of the CONTENT, not the position. Insert or delete a token
+    early in a document and only the chunk containing the edit changes;
+    every later chunk is byte-identical — which is what makes CDC the
+    chunking for dedup-friendly storage (restic/borg/LBFS lineage) and
+    for chunk-level dedup across near-identical documents, where the
+    fixed-stride :func:`chunk_documents` re-aligns every chunk after an
+    edit. Expected chunk length = ``mean_tokens`` (geometric, no hard
+    min/max — the plain gear-CDC contract; callers needing bounds
+    compose with a split pass).
+
+    ``mean_tokens`` must be a power of two (the boundary test is a mask,
+    matching both engines' integer semantics exactly).
+
+    Plan: map-side boundary flags (hash per token inside one higher-order
+    ``transform``), a per-document running sum to number chunks (window
+    partitioned by doc — bounded by document length, the same shape as
+    every reassembly in this module), one groupBy(doc_id, chunk) rebuild.
+
+    Returns (doc_id, chunk_seq, start, chunk_len, chunk_text).
+    """
+    if mean_tokens & (mean_tokens - 1) or mean_tokens <= 0:
+        raise ValueError(f'mean_tokens must be a power of two, got {mean_tokens}')
+    toks = docs.select('doc_id', tokens(F.col('text')).alias('toks')) \
+               .filter(F.size('toks') > 0)
+    ex = toks.select(
+        'doc_id', F.posexplode('toks').alias('pos', 'tok')
+    ).withColumn(
+        '_b', (F.pmod(hash60(F.col('tok')), F.lit(mean_tokens)) == 0)
+        .cast('long'),
+    )
+    # chunk id = boundaries strictly BEFORE this token (boundary token
+    # ends its chunk, next token starts the new one)
+    w = (
+        Window.partitionBy('doc_id').orderBy('pos')
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ex = ex.withColumn('chunk_seq',
+                       F.coalesce(F.sum('_b').over(w), F.lit(0)).cast('long'))
+    return (
+        ex.groupBy('doc_id', 'chunk_seq')
+        .agg(
+            F.min('pos').cast('long').alias('start'),
+            F.count(F.lit(1)).cast('long').alias('chunk_len'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct('pos', 'tok'))),
+                    lambda s: s['tok']),
+                ' ').alias('chunk_text'),
+        )
+    )

@@ -438,3 +438,66 @@ def test_epoch_layout_epochs_differ_and_validate(spark):
         epoch_layout(docs, n_shards=3)
     with _pytest.raises(ValueError):
         epoch_layout(docs, n_shards=4, n_buckets=5)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents_cdc: content-defined chunk boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_cover_and_are_shift_resistant(spark):
+    import pytest as _pytest
+
+    from scalpel_spark.operators.curation import chunk_documents_cdc
+
+    words = [f'w{i}' for i in range(200)]
+    base = ' '.join(words)
+    edited = ' '.join(['INSERTED'] + words)  # one token prepended
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited)], 'doc_id LONG, text STRING')
+    out = chunk_documents_cdc(docs, mean_tokens=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r['doc_id'], []).append(r)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r['chunk_seq'])
+        # chunks tile the document exactly
+        joined = ' '.join(c['chunk_text'] for c in chunks)
+        assert joined == (base if d == 0 else edited)
+        assert chunks[0]['start'] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b['start'] == a['start'] + a['chunk_len']
+    # shift resistance: all base chunks except the first reappear
+    # verbatim in the edited doc (fixed-stride would share none)
+    base_texts = {c['chunk_text'] for c in by_doc[0]}
+    edit_texts = {c['chunk_text'] for c in by_doc[1]}
+    shared = base_texts & edit_texts
+    assert len(shared) >= len(base_texts) - 1
+    with _pytest.raises(ValueError):
+        chunk_documents_cdc(docs, mean_tokens=10)
+
+
+def test_cdc_boundary_is_content_mask(spark):
+    import hashlib
+
+    from scalpel_spark.operators.curation import chunk_documents_cdc
+
+    words = [f'tok{i}' for i in range(64)]
+    docs = spark.createDataFrame(
+        [(0, ' '.join(words))], 'doc_id LONG, text STRING')
+    out = sorted(chunk_documents_cdc(docs, mean_tokens=8).collect(),
+                 key=lambda r: r['chunk_seq'])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # recompute expected boundaries in pure Python
+    expected_chunks, cur = [], []
+    for w in words:
+        cur.append(w)
+        if h60(w) % 8 == 0:
+            expected_chunks.append(cur)
+            cur = []
+    if cur:
+        expected_chunks.append(cur)
+    assert [c['chunk_text'] for c in out] == [' '.join(c) for c in expected_chunks]
