@@ -6708,6 +6708,91 @@ FROM cs GROUP BY doc_id, chunk_seq
 """
 
 
+_CACHE_T0 = 1_700_000_000_000_000  # fixed epoch µs for the capture log
+_CACHE_NOW = _CACHE_T0 + 7_500_000_000
+
+
+def q_cache_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/caching.cache_freshness — RFC 9111 declared-freshness
+    revisit planning (the pre-second-visit leg of the recrawl stack,
+    beside change-rate and validator planning): no-store/no-cache >
+    max-age > Expires−Date > the 10% Date−Last-Modified heuristic,
+    negative lifetimes clamped, strict fresh_until > now.  Deterministic
+    capture log synthesized from orders with every precedence branch
+    populated; map-side only."""
+    from scalpel_spark.operators.caching import cache_freshness
+
+    k = F.col('o_orderkey')
+    fetched = (F.lit(_CACHE_T0) + k * 1_000_000).cast('long')
+    cc = (
+        F.when(k % 5 == 0, F.concat(F.lit('max-age='),
+                                    (k % 900).cast('string')))
+        .when(k % 5 == 1, F.lit('no-cache'))
+        .when(k % 5 == 2, F.lit('no-store, max-age=60'))
+        .when(k % 5 == 3, F.lit('public'))
+        .otherwise(F.lit(None).cast('string'))
+    )
+    date_us = F.when(k % 7 != 0, fetched).otherwise(
+        F.lit(None).cast('long'))
+    captures = _t(spark, sf_dir, 'orders').select(
+        F.concat(F.lit('u'), k.cast('string')).alias('url'),
+        fetched.alias('fetched_us'),
+        cc.alias('cache_control'),
+        date_us.alias('date_us'),
+        F.when(k % 3 == 0, date_us + ((k % 1200) - 300) * 1_000_000)
+        .otherwise(F.lit(None).cast('long')).alias('expires_us'),
+        F.when(k % 2 == 0, date_us - (k % 5000) * 1_000_000)
+        .otherwise(F.lit(None).cast('long')).alias('last_modified_us'),
+    )
+    return cache_freshness(captures, now_us=_CACHE_NOW)
+
+
+ORACLE_CACHE_FRESHNESS = f"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         {_CACHE_T0} + o_orderkey * 1000000 AS f
+  FROM orders),
+cap AS (
+  SELECT 'u' || CAST(k AS VARCHAR) AS url, f AS fetched_us,
+         CASE k % 5
+           WHEN 0 THEN 'max-age=' || CAST(k % 900 AS VARCHAR)
+           WHEN 1 THEN 'no-cache'
+           WHEN 2 THEN 'no-store, max-age=60'
+           WHEN 3 THEN 'public' END AS cache_control,
+         CASE WHEN k % 7 <> 0 THEN f END AS date_us, k
+  FROM base),
+cap2 AS (
+  SELECT url, fetched_us, cache_control, date_us,
+         CASE WHEN k % 3 = 0
+              THEN date_us + (k % 1200 - 300) * 1000000 END AS expires_us,
+         CASE WHEN k % 2 = 0
+              THEN date_us - (k % 5000) * 1000000 END AS last_modified_us
+  FROM cap),
+life AS (
+  SELECT url, fetched_us,
+         GREATEST(CAST(0 AS BIGINT), CAST(
+           CASE
+             WHEN regexp_matches(COALESCE(cache_control, ''),
+                                 'no-store|no-cache') THEN 0
+             WHEN regexp_extract(COALESCE(cache_control, ''),
+                                 'max-age\\s*=\\s*(\\d+)', 1) <> ''
+               THEN CAST(regexp_extract(COALESCE(cache_control, ''),
+                         'max-age\\s*=\\s*(\\d+)', 1) AS BIGINT) * 1000000
+             WHEN expires_us IS NOT NULL AND date_us IS NOT NULL
+               THEN expires_us - date_us
+             WHEN date_us IS NOT NULL AND last_modified_us IS NOT NULL
+               THEN (date_us - last_modified_us) * 100000 // 1000000
+             ELSE 0 END AS BIGINT)) AS lifetime_us,
+         regexp_matches(COALESCE(cache_control, ''), 'no-store') AS no_store
+  FROM cap2)
+SELECT url, lifetime_us, fetched_us + lifetime_us AS fresh_until_us,
+       no_store,
+       CASE WHEN fetched_us + lifetime_us > {_CACHE_NOW}
+            THEN 'fresh' ELSE 'revalidate' END AS decision
+FROM life
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6804,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'latency_budget_p95': q_latency_budget_p95,
         'ngram_novelty': q_ngram_novelty,
         'chunk_cdc': q_chunk_cdc,
+        'cache_freshness': q_cache_freshness,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7063,6 +7149,7 @@ def oracle_sql() -> dict[str, str]:
         'latency_budget_p95': ORACLE_LATENCY_BUDGET_P95,
         'ngram_novelty': ORACLE_NGRAM_NOVELTY,
         'chunk_cdc': ORACLE_CHUNK_CDC,
+        'cache_freshness': ORACLE_CACHE_FRESHNESS,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }
