@@ -6793,6 +6793,51 @@ FROM life
 """
 
 
+def q_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops.token_spectrum — Zipf frequency spectrum
+    (count-of-counts): the one-glance corpus health plot and the input
+    to Good-Turing smoothing.  Two partial-agg shuffles, second over
+    distinct frequencies only."""
+    return textops.token_spectrum(_t(spark, sf_dir, 'documents'))
+
+
+ORACLE_TOKEN_SPECTRUM = """
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok)
+SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+FROM counts GROUP BY freq
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """textops.vocab_growth — Heaps-law vocabulary growth at 8
+    checkpoints over the deterministic md5-shuffle-key prefix order:
+    per-token FIRST bucket via one min-agg (no per-prefix distinct
+    pass), cumulative windows over ≤ 8 rows.  The saturation signal for
+    'is more crawling still buying new vocabulary?'."""
+    return textops.vocab_growth(_t(spark, sf_dir, 'documents'), n_points=8)
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH ex AS (
+  SELECT ({H60.format(x='CAST(doc_id AS VARCHAR)')} >> 57) AS bucket,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+per_tok AS (SELECT tok, MIN(bucket) AS fb FROM ex GROUP BY tok),
+fc AS (SELECT fb AS point, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM per_tok GROUP BY fb),
+mass AS (SELECT bucket AS point, CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM ex GROUP BY bucket)
+SELECT point,
+       CAST(SUM(n_occ) OVER (ORDER BY point) AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY point) AS BIGINT)
+           AS vocab_cum
+FROM mass LEFT JOIN fc USING (point)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6890,6 +6935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ngram_novelty': q_ngram_novelty,
         'chunk_cdc': q_chunk_cdc,
         'cache_freshness': q_cache_freshness,
+        'token_spectrum': q_token_spectrum,
+        'vocab_growth': q_vocab_growth,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7150,6 +7197,8 @@ def oracle_sql() -> dict[str, str]:
         'ngram_novelty': ORACLE_NGRAM_NOVELTY,
         'chunk_cdc': ORACLE_CHUNK_CDC,
         'cache_freshness': ORACLE_CACHE_FRESHNESS,
+        'token_spectrum': ORACLE_TOKEN_SPECTRUM,
+        'vocab_growth': ORACLE_VOCAB_GROWTH,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

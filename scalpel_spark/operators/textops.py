@@ -505,3 +505,71 @@ def normalize_unicode(docs: DataFrame, form: str = 'NFC',
     return tmp.select(
         'doc_id', 'norm_unicode',
         (F.col('norm_unicode') != F.col('_orig')).alias('changed'))
+
+
+def token_spectrum(docs: DataFrame) -> DataFrame:
+    """Zipf frequency spectrum (count-of-counts): how many distinct
+    token types occur exactly ``freq`` times corpus-wide. The one-glance
+    corpus health plot — a crawl batch whose spectrum bends away from
+    the familiar power law signals template floods (too much mass at
+    high freq) or encoding noise (too much hapax mass); also the input
+    Good-Turing smoothing needs.
+
+    Two partial-agg shuffles, the second over distinct frequencies only
+    (≤ a few thousand rows at any corpus size).
+
+    Returns (freq, n_types), freq ascending in value not order.
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col('text'))).alias('tok'))
+        .groupBy('tok').agg(F.count(F.lit(1)).alias('freq'))
+    )
+    return counts.groupBy('freq').agg(
+        F.count(F.lit(1)).cast('long').alias('n_types'))
+
+
+def vocab_growth(docs: DataFrame, n_points: int = 16) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct token types seen
+    after each prefix of the corpus, at ``n_points`` checkpoints — the
+    saturation signal for "is more crawling still buying new
+    vocabulary?" (deduped corpora grow like n^beta; a flattening curve
+    means the frontier is re-reading the same material).
+
+    "Prefix" is defined over the deterministic md5-shuffle-key order
+    (the same epoch-0 permutation ``curation.epoch_layout`` writes), cut
+    into ``n_points`` key-range buckets. Exact and shuffle-cheap:
+
+    * per-token FIRST bucket = one min-agg over the (token, bucket)
+      explode — no per-prefix distinct pass;
+    * vocab at checkpoint b = cumulative count of tokens whose first
+      bucket ≤ b; token mass at b = cumulative occurrence counts —
+      both windows run over ≤ ``n_points`` rows.
+
+    ``n_points`` must be a power of two. Returns
+    (point, tokens_cum, vocab_cum) with point in [0, n_points).
+    """
+    if n_points & (n_points - 1) or n_points <= 0:
+        raise ValueError(f'n_points must be a power of two, got {n_points}')
+    shift = 60 - (n_points.bit_length() - 1)
+    ex = docs.select(
+        F.shiftright(
+            hash60(F.col('doc_id').cast('string')), shift).alias('bucket'),
+        F.explode(tokens(F.col('text'))).alias('tok'),
+    )
+    per_tok = ex.groupBy('tok').agg(F.min('bucket').alias('first_bucket'))
+    first_counts = per_tok.groupBy('first_bucket').agg(
+        F.count(F.lit(1)).alias('n_new'))
+    mass = ex.groupBy('bucket').agg(F.count(F.lit(1)).alias('n_occ'))
+    from pyspark.sql.window import Window
+    w = Window.orderBy('point').rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)
+    grid = (
+        mass.select(F.col('bucket').alias('point'), 'n_occ')
+        .join(first_counts.withColumnRenamed('first_bucket', 'point'),
+              'point', 'left')
+        .withColumn('n_new', F.coalesce('n_new', F.lit(0)))
+        .withColumn('tokens_cum', F.sum('n_occ').over(w).cast('long'))
+        .withColumn('vocab_cum', F.sum('n_new').over(w).cast('long'))
+        .select('point', 'tokens_cum', 'vocab_cum')
+    )
+    return grid

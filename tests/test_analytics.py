@@ -416,3 +416,62 @@ def test_normalize_unicode_nfc_and_nfkc(spark):
     assert nfkc['d4'] == 'file'
     # after NFC, d1 and d2 fingerprint identically (the dedup motivation)
     assert nfc['d1'][0] == nfc['d2'][0]
+
+
+# ---------------------------------------------------------------------------
+# token_spectrum / vocab_growth: corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def test_token_spectrum_count_of_counts(spark):
+    from scalpel_spark.operators.textops import token_spectrum
+
+    docs = spark.createDataFrame(
+        [(0, 'a a a b b c'), (1, 'a d')],
+        'doc_id LONG, text STRING')
+    got = {r['freq']: r['n_types'] for r in token_spectrum(docs).collect()}
+    # a:4, b:2, c:1, d:1
+    assert got == {4: 1, 2: 1, 1: 2}
+
+
+def test_vocab_growth_monotone_and_totals(spark):
+    import pytest as _pytest
+
+    from scalpel_spark.operators.textops import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, f'w{i % 7} w{i % 13} shared') for i in range(64)],
+        'doc_id LONG, text STRING')
+    rows = sorted(vocab_growth(docs, n_points=8).collect(),
+                  key=lambda r: r['point'])
+    # cumulative counts are monotone and end at the exact totals
+    toks = [r['tokens_cum'] for r in rows]
+    vocab = [r['vocab_cum'] for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    assert toks[-1] == 64 * 3
+    assert vocab[-1] == 13 + 1  # w0..w12 (the %7 names overlap), shared
+    with _pytest.raises(ValueError):
+        vocab_growth(docs, n_points=6)
+
+
+def test_vocab_growth_prefix_definition_matches_python(spark):
+    import hashlib
+
+    from scalpel_spark.operators.textops import vocab_growth
+
+    docs = [(i, f't{i} common') for i in range(32)]
+    df = spark.createDataFrame(docs, 'doc_id LONG, text STRING')
+    rows = {r['point']: r for r in vocab_growth(df, n_points=4).collect()}
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h >> 58  # 60 - log2(4)
+
+    seen, growth = set(), {}
+    for b in range(4):
+        for i, text in docs:
+            if bucket(i) == b:
+                seen.update(text.split())
+        growth[b] = len(seen)
+    for b, r in rows.items():
+        assert r['vocab_cum'] == growth[b], b
