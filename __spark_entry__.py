@@ -6838,6 +6838,60 @@ FROM mass LEFT JOIN fc USING (point)
 """
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.hash_sample — consistent (deterministic) sampling: keep
+    iff hash60(salt|key) mod 1e6 < rate.  Unlike df.sample()'s
+    per-task-attempt RNG, membership is a pure function of the key —
+    reproducible across runs/retries/datasets, so held-out splits stay
+    held out and two tables' samples join.  Map-side only."""
+    return curation.hash_sample(
+        _t(spark, sf_dir, 'documents'), 250_000, 'doc_id')
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, text, lang, source, n_chars FROM documents
+WHERE {H60.format(x="'|' || CAST(doc_id AS VARCHAR)")} % 1000000 < 250000
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.skew_report — key-skew diagnosis before a big
+    groupBy/join: top-k hot keys with exact integral row shares plus a
+    __total__ summary row carrying the max key share (the alert
+    number).  The top-k cut is orderBy().limit(k) = TakeOrdered — no
+    global sort task; exercised on a synthetic 1/3-hot key mix."""
+    from scalpel_spark.operators.skew import skew_report
+
+    f = _t(spark, sf_dir, 'orders').select(
+        F.when(F.col('o_orderkey') % 3 == 0, F.lit('hot'))
+        .otherwise(F.concat(F.lit('h'),
+                            (F.col('o_custkey') % 50).cast('string')))
+        .alias('host'))
+    return skew_report(f, 'host', top_k=5)
+
+
+ORACLE_SKEW_REPORT = """
+WITH f AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'hot'
+              ELSE 'h' || CAST(o_custkey % 50 AS VARCHAR) END AS key
+  FROM orders),
+counts AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM f GROUP BY key),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+               CAST(MAX(n_rows) AS BIGINT) AS mx FROM counts),
+top AS (SELECT key, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rnk
+        FROM counts QUALIFY rnk <= 5)
+SELECT '__total__' AS key, t AS n_rows, mx * 1000000 // t AS share_ppm,
+       CAST(0 AS BIGINT) AS rank
+FROM tot
+UNION ALL
+SELECT top.key, top.n_rows, top.n_rows * 1000000 // tot.t AS share_ppm,
+       CAST(top.rnk AS BIGINT) AS rank
+FROM top, tot
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6937,6 +6991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'cache_freshness': q_cache_freshness,
         'token_spectrum': q_token_spectrum,
         'vocab_growth': q_vocab_growth,
+        'hash_sample': q_hash_sample,
+        'skew_report': q_skew_report,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7199,6 +7255,8 @@ def oracle_sql() -> dict[str, str]:
         'cache_freshness': ORACLE_CACHE_FRESHNESS,
         'token_spectrum': ORACLE_TOKEN_SPECTRUM,
         'vocab_growth': ORACLE_VOCAB_GROWTH,
+        'hash_sample': ORACLE_HASH_SAMPLE,
+        'skew_report': ORACLE_SKEW_REPORT,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

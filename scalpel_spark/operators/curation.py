@@ -628,3 +628,30 @@ def chunk_documents_cdc(docs: DataFrame, mean_tokens: int = 64) -> DataFrame:
                 ' ').alias('chunk_text'),
         )
     )
+
+
+def hash_sample(df: DataFrame, rate_ppm: int, key_col: str,
+                salt: str = '') -> DataFrame:
+    """Consistent (deterministic) sampling: keep rows where
+    ``hash60(salt | key) mod 1e6 < rate_ppm``.
+
+    Unlike ``df.sample()`` (RNG per task attempt — not reproducible
+    across runs, retries, or datasets), the decision is a pure function
+    of the KEY: the same document is in or out of the sample in every
+    run, every table it appears in, and every derived dataset — which is
+    what makes held-out splits honest (a doc sampled into eval stays out
+    of train even after the corpus is re-partitioned or re-crawled) and
+    lets two tables' samples JOIN (both sides keep the same keys).
+    ``salt`` derives independent samples from the same keys.
+
+    Map-side only. Expected kept fraction = rate_ppm/1e6 with hash
+    uniformity; exact membership is pinned, not the count.
+    """
+    if not 0 <= rate_ppm <= 1_000_000:
+        raise ValueError(f'rate_ppm must be within [0, 1e6], got {rate_ppm}')
+    gate = F.pmod(
+        hash60(F.concat(F.lit(salt), F.lit('|'),
+                        F.col(key_col).cast('string'))),
+        F.lit(1_000_000),
+    ) < rate_ppm
+    return df.filter(gate)

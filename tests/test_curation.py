@@ -501,3 +501,28 @@ def test_cdc_boundary_is_content_mask(spark):
     if cur:
         expected_chunks.append(cur)
     assert [c['chunk_text'] for c in out] == [' '.join(c) for c in expected_chunks]
+
+
+def test_hash_sample_consistent_and_joinable(spark):
+    import pytest as _pytest
+
+    from scalpel_spark.operators.curation import hash_sample
+
+    docs = spark.createDataFrame([(i, f'd{i}') for i in range(1000)],
+                                 'doc_id LONG, text STRING')
+    a = {r['doc_id'] for r in hash_sample(docs, 250_000, 'doc_id').collect()}
+    b = {r['doc_id'] for r in hash_sample(docs, 250_000, 'doc_id').collect()}
+    assert a == b and 150 < len(a) < 350  # deterministic, ~25%
+    # a different table sampled on the same keys keeps the SAME keys
+    other = spark.createDataFrame([(i, i * 2) for i in range(1000)],
+                                  'doc_id LONG, v LONG')
+    c = {r['doc_id'] for r in hash_sample(other, 250_000, 'doc_id').collect()}
+    assert c == a
+    # salt derives an independent sample; rate bounds enforced
+    d = {r['doc_id'] for r in
+         hash_sample(docs, 250_000, 'doc_id', salt='s2').collect()}
+    assert d != a
+    assert hash_sample(docs, 0, 'doc_id').count() == 0
+    assert hash_sample(docs, 1_000_000, 'doc_id').count() == 1000
+    with _pytest.raises(ValueError):
+        hash_sample(docs, 1_000_001, 'doc_id')

@@ -300,3 +300,23 @@ def test_sharded_cuckoo_reapplied_insert_is_noop(spark, tmp_path):
     assert store.contains(hashes).all()
     assert store.delete_df(df, apply_id='wave-4-forget') == 1_000
     assert not store.contains(hashes).any()
+
+
+def test_skew_report_ranks_and_summary(spark):
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.operators.skew import skew_report
+
+    rows = [('hot',)] * 60 + [('warm',)] * 30 + [('a',)] * 5 + [('b',)] * 5
+    df = spark.createDataFrame(rows, 'host STRING')
+    out = {r['key']: r for r in skew_report(df, 'host', top_k=2).collect()}
+    assert set(out) == {'__total__', 'hot', 'warm'}
+    assert out['hot']['rank'] == 1 and out['hot']['n_rows'] == 60
+    assert out['hot']['share_ppm'] == 600_000
+    assert out['warm']['rank'] == 2 and out['warm']['share_ppm'] == 300_000
+    assert out['__total__']['n_rows'] == 100
+    assert out['__total__']['share_ppm'] == 600_000  # max key share
+    # plan check: no Python nodes
+    plan = skew_report(df, 'host')._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert 'Python' not in plan
