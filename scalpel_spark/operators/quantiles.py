@@ -109,7 +109,16 @@ def exact_quantiles(
 
     # map-side: which target ranks does this row's (cum_before, cum] cover?
     probs_arr = F.array(*[F.lit(p).cast('long') for p in probs])
-    rank_of = lambda p: ((p * F.col('n_rows') + 999_999) / 1_000_000).cast('long')  # noqa: E731
+
+    def rank_of(p):
+        # exact 64-bit ceil-div inside the HOF lambda (F.expr cannot see
+        # the lambda variable, and a bare `/` is double division — at
+        # p*n > 2^53 the float rounds and the rank can be off by one):
+        # subtract the remainder first, so the numerator is an exact
+        # multiple of 1e6 (exact as a double up to ~5.7e17, i.e. n up to
+        # ~5.7e11 rows) and the division is exact.
+        x = p * F.col('n_rows') + 999_999
+        return ((x - x % 1_000_000) / 1_000_000).cast('long')
     hits = F.filter(
         probs_arr, lambda p: (rank_of(p) > cum_before) & (rank_of(p) <= cum)
     )
