@@ -77,3 +77,48 @@ def test_range_bin_degenerate_and_bounds(spark):
     assert {r['b'] for r in out} == {0}
     with pytest.raises(ValueError):
         layout.morton_interleave(F.col('v'), F.col('v'), bits=0)
+
+
+def test_zorder_parquet_min_max_stats_prune_both_axes(spark, tmp_path):
+    """Not a simulation: write real parquet under both layouts and read
+    the per-file column min/max back with pyarrow — the exact statistics
+    a scan's file/row-group pruning consults."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = [(h, d) for h in range(64) for d in range(64)]
+    df = layout.zorder_key(
+        spark.createDataFrame(rows, 'h LONG, d LONG'), 'h', 'd', bits=6)
+
+    zdir, ldir = str(tmp_path / 'z'), str(tmp_path / 'l')
+    (df.repartitionByRange(16, 'zkey').sortWithinPartitions('zkey')
+       .write.parquet(zdir))
+    (df.repartitionByRange(16, 'h').sortWithinPartitions('h', 'd')
+       .write.parquet(ldir))
+
+    def overlap_count(path, col, lo, hi):
+        n = 0
+        for f in glob.glob(f'{path}/part-*.parquet'):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            fmin = min(md.row_group(i).column(ci).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(ci).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    n_files = len(glob.glob(f'{zdir}/part-*.parquet'))
+    assert n_files >= 8
+    # predicate: a 1/8 slab on each axis
+    z_h = overlap_count(zdir, 'h', 0, 7)
+    z_d = overlap_count(zdir, 'd', 0, 7)
+    l_h = overlap_count(ldir, 'h', 0, 7)
+    l_d = overlap_count(ldir, 'd', 0, 7)
+    # linear layout: perfect on its sort axis, useless on the other
+    assert l_h <= 3 and l_d == n_files
+    # z-order: real min/max stats prune BOTH axes well below full scan
+    assert z_h <= n_files // 2 and z_d <= n_files // 2
