@@ -6892,6 +6892,59 @@ FROM top, tot
 """
 
 
+def q_url_homograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urlfilter.homograph_flags — IDN homograph screen (UTS #39
+    mixed-script labels, Cyrillic/Greek × Latin) + punycode declaration,
+    per-LABEL so legitimate all-Cyrillic IDNs under a Latin TLD don't
+    flag.  Deterministic URL mix planted from supplier covering every
+    branch; map-side regexps in one higher-order exists."""
+    from scalpel_spark.operators.urlfilter import homograph_flags
+
+    k = F.col('s_suppkey')
+    host = (
+        F.when(k % 4 == 0, F.concat(F.lit('h'), k.cast('string'),
+                                    F.lit('.example.com')))
+        .when(k % 4 == 1, F.concat(F.lit('xn--'), k.cast('string'),
+                                   F.lit('abc.test')))
+        .when(k % 4 == 2, F.concat(F.lit('pаypal'), k.cast('string'),
+                                   F.lit('.com')))
+        .otherwise(F.concat(F.lit('αlpha'), k.cast('string'),
+                            F.lit('.gr')))
+    )
+    urls = _t(spark, sf_dir, 'supplier').select(
+        F.concat(F.lit('https://'), host, F.lit('/p')).alias('url'))
+    return homograph_flags(urls)
+
+
+ORACLE_URL_HOMOGRAPH = """
+WITH u AS (
+  SELECT CASE s_suppkey % 4
+           WHEN 0 THEN 'h' || CAST(s_suppkey AS VARCHAR) || '.example.com'
+           WHEN 1 THEN 'xn--' || CAST(s_suppkey AS VARCHAR) || 'abc.test'
+           WHEN 2 THEN 'pаypal' || CAST(s_suppkey AS VARCHAR) || '.com'
+           ELSE 'αlpha' || CAST(s_suppkey AS VARCHAR) || '.gr'
+         END AS host
+  FROM supplier),
+c AS (SELECT 'https://' || host || '/p' AS url FROM u),
+h AS (
+  SELECT url,
+         lower(split_part(split_part(split_part(split_part(
+             url, '://', 2), '?', 1), '/', 1), ':', 1)) AS host
+  FROM c),
+m AS (
+  SELECT url, host,
+         regexp_matches(host, '(^|\\.)xn--') AS has_punycode,
+         list_contains(
+           list_transform(string_split(host, '.'),
+             l -> regexp_matches(l, '[a-zA-Z]')
+                  AND (regexp_matches(l, '[Ѐ-ӿ]')
+                       OR regexp_matches(l, '[Ͱ-Ͽ]'))),
+           true) AS mixed_script
+  FROM h)
+SELECT url, has_punycode, mixed_script, mixed_script AS suspicious FROM m
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -6993,6 +7046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'vocab_growth': q_vocab_growth,
         'hash_sample': q_hash_sample,
         'skew_report': q_skew_report,
+        'url_homograph': q_url_homograph,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7257,6 +7311,7 @@ def oracle_sql() -> dict[str, str]:
         'vocab_growth': ORACLE_VOCAB_GROWTH,
         'hash_sample': ORACLE_HASH_SAMPLE,
         'skew_report': ORACLE_SKEW_REPORT,
+        'url_homograph': ORACLE_URL_HOMOGRAPH,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

@@ -189,3 +189,43 @@ def filter_frontier(frontier: DataFrame, blocklist: DataFrame | None = None,
     ``host_col``/threshold kwargs as :func:`url_quality_flags`."""
     flagged = url_quality_flags(frontier, blocklist, url_col, **rule_kwargs)
     return flagged.filter('keep').select(*frontier.columns)
+
+
+# IDN homograph heuristics (UTS #39 confusables, the cheap column-algebra
+# subset): script ranges that commonly mix with Latin in spoofed hosts
+CYRILLIC_RE = '[Ѐ-ӿ]'
+GREEK_RE = '[Ͱ-Ͽ]'
+LATIN_RE = '[a-zA-Z]'
+
+
+def homograph_flags(df: DataFrame, url_col: str = 'url') -> DataFrame:
+    """IDN homograph / script-spoofing flags per URL — the phishing-site
+    screen a crawl frontier applies before spending fetches (and a
+    training-data pipeline applies before trusting a source): a host
+    whose labels mix Latin with Cyrillic or Greek renders identically to
+    a brand name it is not ('раypal.com' with a Cyrillic 'р'), which is
+    why UTS #39 calls mixed-script labels restricted. Flags:
+
+    * ``has_punycode`` — any ``xn--`` label (the host declares IDN);
+    * ``mixed_script`` — some single LABEL mixes Latin with Cyrillic or
+      Greek. Per-label, not per-host: the TLD is always Latin, so a
+      whole-host rule would flag every legitimate Cyrillic IDN
+      (``дом.test``); UTS #39 restricts mixing within one label;
+    * ``suspicious`` — mixed_script (punycode alone is legitimate IDN).
+
+    Pure map-side JVM regexps (unicode-range character classes, RE2-
+    compatible) inside one higher-order ``exists`` over the label array.
+    Returns the input plus the three flags.
+    """
+    host = F.lower(F.coalesce(url_host(F.col(url_col)), F.lit('')))
+    has_puny = host.rlike('(^|\\.)xn--')
+    mixed = F.exists(
+        F.split(host, '\\.'),
+        lambda l: l.rlike(LATIN_RE)
+        & (l.rlike(CYRILLIC_RE) | l.rlike(GREEK_RE)),
+    )
+    return (
+        df.withColumn('has_punycode', has_puny)
+        .withColumn('mixed_script', mixed)
+        .withColumn('suspicious', mixed)
+    )

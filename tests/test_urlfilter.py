@@ -206,3 +206,22 @@ def test_query_does_not_leak_into_blocklist_host(spark):
         _f(spark, ['http://h.test?x=1', 'http://ok.test/a']), bl).collect()}
     assert rows['http://h.test?x=1']['flag_blocked'] is True
     assert rows['http://ok.test/a']['flag_blocked'] is False
+
+
+def test_homograph_flags(spark):
+    from scalpel_spark.operators.urlfilter import homograph_flags
+
+    urls = [
+        ('https://paypal.com/a', False, False),
+        ('https://pаypal.com/a', False, True),      # Cyrillic а
+        ('https://αlpha.example.gr/', False, True),  # Greek α
+        ('https://xn--e1awd7f.test/x', True, False),      # pure punycode
+        ('https://дом.test/', False, False),  # all-Cyrillic: no mix
+        ('https://sub.xn--p1ai.host:8080/q?x=1', True, False),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in urls], 'url STRING')
+    out = {r['url']: r for r in homograph_flags(df).collect()}
+    for u, puny, mixed in urls:
+        assert out[u]['has_punycode'] == puny, u
+        assert out[u]['mixed_script'] == mixed, u
+        assert out[u]['suspicious'] == mixed, u
