@@ -238,8 +238,28 @@ def warc_record_bytes(df: DataFrame,
              .withColumn('record_len', F.length(rec).cast('long'))
 
 
+def warcinfo_bytes(software: str = 'scalpel-spark',
+                   warc_date: str = WARC_WRITE_DATE,
+                   shard: int = 0) -> bytes:
+    """A deterministic ``warcinfo`` header record (ISO 28500 convention:
+    every WARC file opens with one, describing its producer). Driver-side
+    helper — bounded bytes, passed into :func:`write_warc_shards`."""
+    fields = (f'software: {software}\r\nformat: WARC File Format 1.0\r\n'
+              ).encode()
+    head = (
+        'WARC/1.0\r\n'
+        'WARC-Type: warcinfo\r\n'
+        f'WARC-Date: {warc_date}\r\n'
+        f'WARC-Record-ID: <urn:uuid:warcinfo-{shard}>\r\n'
+        'Content-Type: application/warc-fields\r\n'
+        f'Content-Length: {len(fields)}\r\n\r\n'
+    ).encode()
+    return head + fields + b'\r\n\r\n'
+
+
 def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
-                      order_col: str = 'url') -> DataFrame:
+                      order_col: str = 'url',
+                      with_warcinfo: bool = False) -> DataFrame:
     """Sink: write ``record_bytes`` rows as ``n_shards`` WARC files under
     ``out_dir`` (``part-NNNNN.warc``), returning a manifest DataFrame
     ``(shard, path, n_records, n_bytes)``.
@@ -272,6 +292,10 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
         tmp = path + '.tmp'
         n_bytes = 0
         with open(tmp, 'wb') as f:
+            if with_warcinfo:
+                info = warcinfo_bytes(shard=shard)
+                f.write(info)
+                n_bytes += len(info)
             for blob in pdf['record_bytes']:
                 b = bytes(blob)
                 f.write(b)

@@ -202,3 +202,19 @@ def test_written_body_with_magic_bytes_survives(spark, tmp_path):
     write_warc_shards(df, out, n_shards=1).collect()
     back = read_warc(spark, out).collect()
     assert len(back) == 1 and bytes(back[0]['payload']) == evil
+
+
+def test_write_shards_with_warcinfo_header(spark, tmp_path):
+    from scalpel_spark.sources.warc import warc_record_bytes, write_warc_shards
+
+    df = warc_record_bytes(spark.createDataFrame(_write_rows(6), WRITE_SCHEMA))
+    out = str(tmp_path / 'wi')
+    write_warc_shards(df, out, n_shards=2, with_warcinfo=True).collect()
+    back = read_warc(spark, out).collect()
+    infos = [r for r in back if r['warc_type'] == 'warcinfo']
+    resps = [r for r in back if r['warc_type'] == 'response']
+    assert len(infos) == 2       # one header per shard file
+    assert all(r['record_seq'] == 0 for r in infos)
+    assert len(resps) == 6
+    assert all(b'software: scalpel-spark' in bytes(r['payload'])
+               for r in infos)
