@@ -6945,6 +6945,39 @@ SELECT url, has_punycode, mixed_script, mixed_script AS suspicious FROM m
 """
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curation.curation_report — per-source governance rollup over the
+    full curate() pipeline: survival counts by verdict and the exact
+    integral kept share, the table a source-drop review reads.  The
+    oracle nests the complete recursive curate oracle as a subquery and
+    rolls it up identically."""
+    docs = _docs_plus(spark, sf_dir)
+    verdicts = curation.curate(docs, quality_threshold=0.45, n=4,
+                               jaccard_threshold=0.5)
+    return curation.curation_report(verdicts, docs)
+
+
+def _curation_report_oracle() -> str:
+    return f"""
+WITH {DOCS_PLUS_SQL},
+v AS ({_curate_oracle()})
+SELECT d.source AS "group",
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN v.verdict = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(SUM(CASE WHEN v.verdict = 'low_quality' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_quality,
+       CAST(SUM(CASE WHEN v.verdict = 'exact_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup,
+       CAST(SUM(CASE WHEN v.verdict = 'near_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN v.verdict = 'kept' THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS kept_ppm
+FROM v JOIN docs_plus d USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -7047,6 +7080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'hash_sample': q_hash_sample,
         'skew_report': q_skew_report,
         'url_homograph': q_url_homograph,
+        'curation_report': q_curation_report,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7312,6 +7346,7 @@ def oracle_sql() -> dict[str, str]:
         'hash_sample': ORACLE_HASH_SAMPLE,
         'skew_report': ORACLE_SKEW_REPORT,
         'url_homograph': ORACLE_URL_HOMOGRAPH,
+        'curation_report': _curation_report_oracle(),
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

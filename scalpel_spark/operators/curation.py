@@ -655,3 +655,32 @@ def hash_sample(df: DataFrame, rate_ppm: int, key_col: str,
         F.lit(1_000_000),
     ) < rate_ppm
     return df.filter(gate)
+
+
+def curation_report(verdicts: DataFrame, docs: DataFrame,
+                    group_col: str = 'source') -> DataFrame:
+    """Per-group curation governance rollup over :func:`curate` verdicts:
+    how much of each source survives, and why the rest died — the table
+    a data-governance review (and the `source_reputation` drop decision)
+    actually reads. One doc_id-keyed join + one tiny groupBy; the
+    kept share is exact integral ppm.
+
+    Returns (group, n_docs, n_kept, n_low_quality, n_exact_dup,
+    n_near_dup, kept_ppm).
+    """
+    j = verdicts.join(docs.select('doc_id', group_col), 'doc_id')
+
+    def n_of(v):
+        return F.sum((F.col('verdict') == v).cast('long'))
+
+    return (
+        j.groupBy(F.col(group_col).alias('group'))
+        .agg(
+            F.count(F.lit(1)).cast('long').alias('n_docs'),
+            n_of('kept').alias('n_kept'),
+            n_of('low_quality').alias('n_low_quality'),
+            n_of('exact_dup').alias('n_exact_dup'),
+            n_of('near_dup').alias('n_near_dup'),
+        )
+        .withColumn('kept_ppm', F.expr('n_kept * 1000000L div n_docs'))
+    )

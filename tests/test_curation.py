@@ -526,3 +526,21 @@ def test_hash_sample_consistent_and_joinable(spark):
     assert hash_sample(docs, 1_000_000, 'doc_id').count() == 1000
     with _pytest.raises(ValueError):
         hash_sample(docs, 1_000_001, 'doc_id')
+
+
+def test_curation_report_rollup(spark):
+    from scalpel_spark.operators.curation import curation_report
+
+    verdicts = spark.createDataFrame(
+        [(0, 'kept'), (1, 'low_quality'), (2, 'exact_dup'),
+         (3, 'near_dup'), (4, 'kept'), (5, 'kept')],
+        'doc_id LONG, verdict STRING')
+    docs = spark.createDataFrame(
+        [(i, 'srcA' if i < 4 else 'srcB') for i in range(6)],
+        'doc_id LONG, source STRING')
+    out = {r['group']: r for r in curation_report(verdicts, docs).collect()}
+    a = out['srcA']
+    assert (a['n_docs'], a['n_kept'], a['n_low_quality'],
+            a['n_exact_dup'], a['n_near_dup']) == (4, 1, 1, 1, 1)
+    assert a['kept_ppm'] == 250_000
+    assert out['srcB']['kept_ppm'] == 1_000_000

@@ -31,6 +31,7 @@ PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
+        'curation_report',  # rollup over the same curate() fixpoint
         'crawl_golden_http', 'crawl_synthetic_politeness',
         'crawl_golden_statistics', 'crawl_manyhosts_robots',
         'crawl_politeness_budget', 'crawl_priority_frontier',
