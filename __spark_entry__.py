@@ -6978,6 +6978,69 @@ GROUP BY d.source
 """
 
 
+def q_path_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """urlfilter.path_prefix_stats — per-host path-prefix rollup (the
+    hub/trap topology view: where a host's crawl budget goes, by
+    directory).  Map-side prefix explode (≤ max_depth slim rows/URL),
+    one groupBy.  Synthetic URL frame from orders with depths 0-3 and
+    query noise; oracle replays the same string algebra."""
+    from scalpel_spark.operators.urlfilter import path_prefix_stats
+
+    k, c = F.col('o_orderkey'), F.col('o_custkey')
+    url = F.concat(
+        F.lit('https://h'), (c % 20).cast('string'), F.lit('.test'),
+        F.when(k % 4 == 0, F.lit(''))
+        .when(k % 4 == 1, F.concat(F.lit('/a'), (k % 5).cast('string')))
+        .when(k % 4 == 2, F.concat(F.lit('/a'), (k % 5).cast('string'),
+                                   F.lit('/b'), (k % 3).cast('string')))
+        .otherwise(F.concat(F.lit('/a'), (k % 5).cast('string'),
+                            F.lit('/b'), (k % 3).cast('string'),
+                            F.lit('/c'), (k % 2).cast('string'))),
+        F.when(k % 6 == 0, F.lit('?p=1/2')).otherwise(F.lit('')),
+    )
+    return path_prefix_stats(
+        _t(spark, sf_dir, 'orders').select(url.alias('url')), max_depth=2)
+
+
+ORACLE_PATH_PREFIX = """
+WITH u AS (
+  SELECT 'https://h' || CAST(o_custkey % 20 AS VARCHAR) || '.test'
+         || CASE o_orderkey % 4
+              WHEN 0 THEN ''
+              WHEN 1 THEN '/a' || CAST(o_orderkey % 5 AS VARCHAR)
+              WHEN 2 THEN '/a' || CAST(o_orderkey % 5 AS VARCHAR)
+                          || '/b' || CAST(o_orderkey % 3 AS VARCHAR)
+              ELSE '/a' || CAST(o_orderkey % 5 AS VARCHAR)
+                   || '/b' || CAST(o_orderkey % 3 AS VARCHAR)
+                   || '/c' || CAST(o_orderkey % 2 AS VARCHAR)
+            END
+         || CASE WHEN o_orderkey % 6 = 0 THEN '?p=1/2' ELSE '' END AS url
+  FROM orders),
+s AS (
+  SELECT lower(split_part(split_part(split_part(split_part(
+             url, '://', 2), '?', 1), '/', 1), ':', 1)) AS host,
+         list_filter(
+           string_split(
+             CASE WHEN strpos(split_part(split_part(url, '://', 2),
+                                         '?', 1), '/') > 0
+                  THEN substr(split_part(split_part(url, '://', 2),
+                                         '?', 1),
+                              strpos(split_part(split_part(url, '://', 2),
+                                                '?', 1), '/'))
+                  ELSE '' END, '/'),
+           x -> x <> '') AS segs
+  FROM u),
+ex AS (
+  SELECT host,
+         UNNEST(generate_series(1, LEAST(2, len(segs)))) AS d, segs
+  FROM s WHERE len(segs) > 0)
+SELECT host, CAST(d AS BIGINT) AS depth,
+       '/' || array_to_string(list_slice(segs, 1, d), '/') AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM ex GROUP BY host, d, prefix
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -7081,6 +7144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'skew_report': q_skew_report,
         'url_homograph': q_url_homograph,
         'curation_report': q_curation_report,
+        'path_prefix_stats': q_path_prefix_stats,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7347,6 +7411,7 @@ def oracle_sql() -> dict[str, str]:
         'skew_report': ORACLE_SKEW_REPORT,
         'url_homograph': ORACLE_URL_HOMOGRAPH,
         'curation_report': _curation_report_oracle(),
+        'path_prefix_stats': ORACLE_PATH_PREFIX,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

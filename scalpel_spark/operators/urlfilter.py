@@ -229,3 +229,44 @@ def homograph_flags(df: DataFrame, url_col: str = 'url') -> DataFrame:
         .withColumn('mixed_script', mixed)
         .withColumn('suspicious', mixed)
     )
+
+
+def path_prefix_stats(df: DataFrame, url_col: str = 'url',
+                      max_depth: int = 3) -> DataFrame:
+    """Per-host PATH-PREFIX rollup: URL counts under every directory
+    prefix up to ``max_depth`` — the hub/trap topology view that decides
+    where a host's crawl budget actually goes (``/product/`` vs
+    ``/search/``) and which subtrees :func:`trap_scores` should examine
+    first. The complement of DUST's query-parameter analysis: this is
+    the path axis.
+
+    Map-side prefix explode (≤ ``max_depth`` slim rows per URL), one
+    groupBy (host, depth, prefix). Prefixes are bounded by real site
+    structure, never URL×URL.
+
+    Returns (host, depth, prefix, n_urls) — depth 1 = first segment.
+    """
+    host = url_host(F.col(url_col))
+    segs = F.filter(F.split(_path(F.col(url_col)), '/'),
+                    lambda s: s != '')
+    # guard the empty path: sequence(1, 0) would DESCEND in Spark and
+    # fabricate depth-1/0 prefixes for segment-less URLs
+    depths = F.when(
+        F.size(segs) > 0,
+        F.sequence(F.lit(1), F.least(F.lit(max_depth), F.size(segs))),
+    ).otherwise(F.array().cast('array<int>'))
+    prefixes = F.transform(
+        depths,
+        lambda d: F.struct(
+            d.cast('long').alias('depth'),
+            F.concat(F.lit('/'),
+                     F.array_join(F.slice(segs, 1, d), '/')).alias('prefix'),
+        ),
+    )
+    ex = df.select(host.alias('host'), F.explode(prefixes).alias('p')) \
+           .filter(F.col('host') != '')
+    return (
+        ex.groupBy('host', F.col('p.depth').alias('depth'),
+                   F.col('p.prefix').alias('prefix'))
+        .agg(F.count(F.lit(1)).cast('long').alias('n_urls'))
+    )

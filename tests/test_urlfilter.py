@@ -225,3 +225,27 @@ def test_homograph_flags(spark):
         assert out[u]['has_punycode'] == puny, u
         assert out[u]['mixed_script'] == mixed, u
         assert out[u]['suspicious'] == mixed, u
+
+
+def test_path_prefix_stats(spark):
+    from scalpel_spark.operators.urlfilter import path_prefix_stats
+
+    urls = [
+        'https://a.test/product/shoes/red?page=2',
+        'https://a.test/product/shoes/blue',
+        'https://a.test/product/hats',
+        'https://a.test/search/q',
+        'https://a.test/',              # no segments -> no prefixes
+        'https://b.test/only',
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], 'url STRING')
+    got = {(r['host'], r['depth'], r['prefix']): r['n_urls']
+           for r in path_prefix_stats(df, max_depth=2).collect()}
+    assert got[('a.test', 1, '/product')] == 3
+    assert got[('a.test', 2, '/product/shoes')] == 2
+    assert got[('a.test', 2, '/product/hats')] == 1
+    assert got[('a.test', 1, '/search')] == 1
+    assert got[('b.test', 1, '/only')] == 1
+    # depth capped at max_depth; the root-only URL contributes nothing
+    assert all(d <= 2 for _, d, _ in got)
+    assert not any(h == 'a.test' and p == '/' for h, _, p in got)
