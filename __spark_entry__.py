@@ -7041,6 +7041,37 @@ FROM ex GROUP BY host, d, prefix
 """
 
 
+def q_asof_next_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/asof.asof_next_join — FORWARD as-of: the earliest right
+    row at-or-after each left timestamp ('which capture superseded this
+    one'), implemented by axis negation over the backward join so the
+    bucket decomposition is inherited, not re-proven.  Oracle: DuckDB's
+    native forward ASOF LEFT JOIN (l.ts <= r.ts)."""
+    from scalpel_spark.operators.asof import asof_next_join
+
+    ev = _t(spark, sf_dir, 'events')
+    left = ev.filter(F.col('event_type') == 'purchase').select(
+        'event_id', 'user_id',
+        F.unix_micros(F.col('ts').cast('timestamp')).alias('t'))
+    right = ev.filter(F.col('event_type') == 'view').select(
+        'user_id',
+        F.unix_micros(F.col('ts').cast('timestamp')).alias('vts'),
+        F.col('event_id').alias('view_event'))
+    return asof_next_join(left, right, on='user_id', left_ts='t',
+                          right_ts='vts', right_cols=['view_event'])
+
+
+ORACLE_ASOF_NEXT = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
+       epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view') r
+ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash-LSH dedup over the sf0.001 documents table."""
     return q_dedup_minhash_lsh(spark, SF_DEFAULT)
@@ -7145,6 +7176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'url_homograph': q_url_homograph,
         'curation_report': q_curation_report,
         'path_prefix_stats': q_path_prefix_stats,
+        'asof_next_join': q_asof_next_join,
         'link_context': q_link_context,
         'anchor_text_profile': q_anchor_text_profile,
         'line_dedup': q_line_dedup,
@@ -7412,6 +7444,7 @@ def oracle_sql() -> dict[str, str]:
         'url_homograph': ORACLE_URL_HOMOGRAPH,
         'curation_report': _curation_report_oracle(),
         'path_prefix_stats': ORACLE_PATH_PREFIX,
+        'asof_next_join': ORACLE_ASOF_NEXT,
         'crawl_synthetic_politeness': ORACLE_SYNTHETIC_POLITENESS,
         'crawl_golden_http_mapinpandas': ORACLE_CRAWL_GOLDEN,
     }

@@ -132,3 +132,35 @@ def asof_join(
             *[F.col(f'_best.{c}').alias(f'r_{c}') for c in rcols],
         )
     )
+
+
+def asof_next_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Forward as-of join: the EARLIEST right row with
+    ``right.{right_ts} >= left.{left_ts}`` per key — "which capture
+    superseded this one", "the first fetch after the robots change".
+
+    Implemented by axis negation over :func:`asof_join` (min over
+    ``ts >= t`` == max over ``-ts <= -t``), so every scale property —
+    bucket decomposition, bounded windows, determinism — is inherited
+    rather than re-proven. Ties among equal timestamps resolve by the
+    struct-greatest payload, same as the backward join.
+    """
+    nl = left.withColumn('_fwd_t', -F.col(left_ts))
+    nr = right.select(
+        F.col(on), (-F.col(right_ts)).alias('_fwd_ts'),
+        *[F.col(c) for c in right_cols],
+    )
+    out = asof_join(nl, nr, on=on, left_ts='_fwd_t', right_ts='_fwd_ts',
+                    right_cols=list(right_cols), n_buckets=n_buckets)
+    return (
+        out.withColumn('matched_ts', -F.col('matched_ts'))
+        .drop('_fwd_t')
+    )

@@ -63,3 +63,46 @@ def test_asof_left_rows_and_columns_preserved(spark):
                     right_cols=['val']).collect()
     assert sorted(r['tag'] for r in got) == ['x', 'y']  # duplicates kept
     assert all(r['r_val'] == 9 for r in got)
+
+
+def test_asof_next_join_forward_semantics(spark):
+    from scalpel_spark.operators.asof import asof_next_join
+
+    ldf = spark.createDataFrame(
+        [('a', 10), ('a', 4), ('b', 99)], 'host STRING, t LONG')
+    rdf = spark.createDataFrame(
+        [('a', 10, 1), ('a', 7, 2), ('a', 20, 3), ('b', 4, 9)],
+        'host STRING, ts LONG, val LONG')
+    got = {(r['host'], r['t']): (r['matched_ts'], r['r_val'])
+           for r in asof_next_join(ldf, rdf, on='host', left_ts='t',
+                                   right_ts='ts',
+                                   right_cols=['val']).collect()}
+    assert got[('a', 10)] == (10, 1)       # equal ts matches (inclusive)
+    assert got[('a', 4)] == (7, 2)         # earliest at-or-after
+    assert got[('b', 99)] == (None, None)  # nothing later
+
+
+def test_asof_next_matches_bruteforce(spark):
+    import random
+
+    from scalpel_spark.operators.asof import asof_next_join
+
+    rng = random.Random(13)
+    left = [(f'h{rng.randint(0, 3)}', rng.randint(0, 300)) for _ in range(80)]
+    right = [(k, t, t * 3 + 1) for k, t in
+             {(f'h{rng.randint(0, 3)}', rng.randint(0, 300))
+              for _ in range(60)}]
+    want = {}
+    for k, t in left:
+        cands = [r for r in right if r[0] == k and r[1] >= t]
+        want[(k, t)] = min(cands, key=lambda r: r[1]) if cands else None
+    ldf = spark.createDataFrame(left, 'host STRING, t LONG')
+    rdf = spark.createDataFrame(right, 'host STRING, ts LONG, val LONG')
+    got = asof_next_join(ldf, rdf, on='host', left_ts='t', right_ts='ts',
+                         right_cols=['val'], n_buckets=8).collect()
+    for r in got:
+        w = want[(r['host'], r['t'])]
+        if w is None:
+            assert r['matched_ts'] is None and r['r_val'] is None
+        else:
+            assert (r['matched_ts'], r['r_val']) == (w[1], w[2])
