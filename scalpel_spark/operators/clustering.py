@@ -210,6 +210,12 @@ def embedding_outliers(emb: DataFrame, k: int = 4, iters: int = 2,
         .withColumn('d2', d2)
         .select('vec_id', 'cell', 'd2')
     )
+    # dist feeds BOTH the quantile band and the final gate join; without
+    # truncation the whole Lloyd lineage executes twice. The frame is
+    # slim (24 B/row), so materializing it once is the cheap side of the
+    # trade at any scale — same discipline as graphrank's matrix-power
+    # checkpoints.
+    dist = dist.localCheckpoint(eager=False)
     band = exact_quantiles(
         dist, 'd2', ['cell'], probs_ppm=(high_ppm,)
     ).select('cell', F.col('q_value').alias('q_high'))
