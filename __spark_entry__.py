@@ -3545,6 +3545,48 @@ SELECT * FROM (VALUES
 """
 
 
+def q_crawl_render_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 selenium-spider semantics, driver-oracled (VERDICT r4 Missing
+    #4): the golden site with DOM variants on pages 1-2 (dom_mod=2,
+    seed=2 — page 3's DOM equals its static HTML) crawled through BOTH
+    render modes. render_mode='dom' emits coalesce(dom_spans, spans) —
+    the browser-rendered document — while the frontier / dedup / robots /
+    ordering discipline is the shared static loop
+    (any_io/selenium_spider.py:17-21 subclasses StaticSpider whole; the
+    divergence is only WHAT the fetch produced, core/selenium.py:14-39).
+    The pinned oracle shows identical (doc_id, priority) sets across
+    modes — same frontier — with the JS-injected span present exactly on
+    the dom-rendered pages in dom mode: different document."""
+    from scalpel_spark.config import CrawlConfig
+    from scalpel_spark.plans.engine import CrawlEngine
+    from scalpel_spark.sources.corpus import golden_site, with_dom_variants
+
+    corpus = with_dom_variants(golden_site(spark, 'http'), dom_mod=2, seed=2)
+    parts = []
+    for mode in ('static', 'dom'):
+        cfg = CrawlConfig(link_rule='second_contains_page', render_mode=mode)
+        r = CrawlEngine(spark, corpus, config=cfg).run(['http://quotes.com'])
+        parts.append(r.docs.select(
+            F.lit(mode).alias('mode'), 'doc_id',
+            F.col('priority').cast('long').alias('priority'),
+            F.size('spans').cast('long').alias('n_spans'),
+            F.exists('spans', lambda s: F.coalesce(s['text'], F.lit(''))
+                     .startswith('js-rendered:')).alias('has_js_span')))
+    return parts[0].unionByName(parts[1])
+
+
+ORACLE_CRAWL_RENDER_MODE = """
+SELECT * FROM (VALUES
+  ('static', 'http://quotes.com',            CAST(0 AS BIGINT), CAST(6 AS BIGINT), FALSE),
+  ('static', 'http://quotes.com/page2.html', CAST(1 AS BIGINT), CAST(6 AS BIGINT), FALSE),
+  ('static', 'http://quotes.com/page3.html', CAST(2 AS BIGINT), CAST(6 AS BIGINT), FALSE),
+  ('dom',    'http://quotes.com',            CAST(0 AS BIGINT), CAST(7 AS BIGINT), TRUE),
+  ('dom',    'http://quotes.com/page2.html', CAST(1 AS BIGINT), CAST(7 AS BIGINT), TRUE),
+  ('dom',    'http://quotes.com/page3.html', CAST(2 AS BIGINT), CAST(6 AS BIGINT), FALSE)
+) AS t(mode, doc_id, priority, n_spans, has_js_span)
+"""
+
+
 def q_crawl_golden_http_mapinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME golden crawl as crawl_golden_http, through the
     live-deployment fetch stage (CrawlConfig.fetch_mode='mapinpandas'):
@@ -6339,7 +6381,16 @@ def q_warc_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         'url', 'record_len', F.md5('record_bytes').alias('record_md5'))
 
 
-ORACLE_WARC_SERIALIZE = """
+# Reason-phrase CASE generated from the serializer's own HTTP_REASONS
+# map (warc.http_reason_sql_case) so oracle and Spark writer cannot
+# drift — closes ADVICE r4 warc.py:219 ('404 OK').
+def _warc_serialize_oracle() -> str:
+    from scalpel_spark.sources.warc import http_reason_sql_case
+    return ORACLE_WARC_SERIALIZE_TMPL.replace(
+        '{reason_case}', http_reason_sql_case('status'))
+
+
+ORACLE_WARC_SERIALIZE_TMPL = """
 WITH crlf AS (SELECT chr(13) || chr(10) AS c),
 frame AS (
   SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
@@ -6350,7 +6401,7 @@ frame AS (
   FROM documents),
 http AS (
   SELECT url, body,
-         'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' OK' || c
+         'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' ' || ({reason_case}) || c
          || 'Content-Type: text/html' || c
          || 'Content-Length: ' || CAST(octet_length(encode(body)) AS VARCHAR)
          || c || c AS http_head,
@@ -6372,6 +6423,55 @@ rec AS (
 SELECT url, CAST(octet_length(encode(record)) AS BIGINT) AS record_len,
        md5(record) AS record_md5
 FROM rec
+"""
+
+
+def q_warc_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record-gzip WARC round-trip (sources/warc.write_warc_shards
+    ``gzip_records=True`` -> read_warc): documents serialized as ISO
+    28500 response records, written as the CommonCrawl seekable layout —
+    ONE GZIP MEMBER PER RECORD, member byte offsets in the shard
+    manifest — then read back via the stdlib multi-member walk and
+    re-projected per URL. The oracle recomputes (status, body md5, body
+    length) straight from the documents table, so a green row proves the
+    gzip framing is bit-transparent end-to-end: any member-boundary or
+    Content-Length slip would corrupt payload bytes and break the md5.
+    Ref: reference persists items via msgpack files (any_io/files.py:
+    45-84); WARC+gzip is the at-scale interchange equivalent."""
+    import tempfile
+
+    from scalpel_spark.sources import warc
+
+    docs = _t(spark, sf_dir, 'documents').select(
+        F.concat(F.lit('https://'), F.col('source'),
+                 F.lit('.example.com/d/'), F.col('doc_id').cast('string')
+                 ).alias('url'),
+        F.when(F.col('doc_id') % 7 == 0, F.lit(404))
+         .otherwise(F.lit(200)).alias('status'),
+        F.lit('text/html').alias('content_type'),
+        F.encode(F.col('text'), 'UTF-8').alias('body'),
+        F.concat(F.lit('<urn:uuid:'), F.col('doc_id').cast('string'),
+                 F.lit('>')).alias('record_id'),
+    )
+    d = tempfile.mkdtemp(prefix='warc_gz_rt_')
+    warc.write_warc_shards(warc.warc_record_bytes(docs), d, n_shards=4,
+                           gzip_records=True)
+    return (
+        warc.read_warc(spark, d)
+        .select(F.col('target_uri').alias('url'),
+                F.col('http_status').alias('status'),
+                F.md5('payload').alias('body_md5'),
+                F.length('payload').cast('long').alias('body_len'))
+    )
+
+
+ORACLE_WARC_GZIP_ROUNDTRIP = """
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+           AS url,
+       CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+       md5(text) AS body_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+FROM documents
 """
 
 
@@ -6548,13 +6648,19 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_ts='vts', right_cols=['view_event'])
 
 
+-- Right side pre-deduped per (user_id, ts) to max(event_id), mirroring
+-- the operator's in-operator struct-greatest tie dedupe: DuckDB's native
+-- ASOF picks an ARBITRARY row on duplicate (key, ts) — without the
+-- GROUP BY the compare would be flaky whenever the events table holds
+-- two views at the same instant (ADVICE r4, asof.py:29).
 ORACLE_ASOF_JOIN = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
        epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
 FROM (SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
-                WHERE event_type = 'view') r
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
@@ -7061,13 +7167,18 @@ def q_asof_next_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           right_ts='vts', right_cols=['view_event'])
 
 
+-- Same tie-proofing as ORACLE_ASOF_JOIN: dedupe right per (key, ts).
+-- NOTE the forward join negates the axis internally, so its payload
+-- struct compares on NEGATED ts first — within one (key, ts) group ts
+-- is constant either way and max(event_id) is the matching tie-break.
 ORACLE_ASOF_NEXT = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
        epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
 FROM (SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
-                WHERE event_type = 'view') r
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts) r
 ON l.user_id = r.user_id AND l.ts <= r.ts
 """
 
@@ -7426,7 +7537,7 @@ def oracle_sql() -> dict[str, str]:
         'latency_quantiles': ORACLE_LATENCY_QUANTILES,
         'quantile_length_gate': ORACLE_QUANTILE_GATE,
         'c4_filter': ORACLE_C4_FILTER,
-        'warc_serialize': ORACLE_WARC_SERIALIZE,
+        'warc_serialize': _warc_serialize_oracle(),
         'epoch_layout': ORACLE_EPOCH_LAYOUT,
         'zorder_layout': _zorder_oracle(),
         'source_drift': ORACLE_SOURCE_DRIFT,

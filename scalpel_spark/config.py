@@ -241,6 +241,21 @@ class CrawlConfig:
     # corpora — a deployment MUST inject its real client here; loadable
     # from YAML/TOML/env as a dotted path like item_processors).
     fetch_fn: Optional[Callable] = None
+    # document rendering mode (SURVEY §2.1 S5 — the selenium spider,
+    # any_io/selenium_spider.py / core/selenium.py:14-39): 'static'
+    # (default, reference StaticSpider parity) emits the corpus `spans`;
+    # 'dom' emits the browser-rendered variant — `coalesce(dom_spans,
+    # spans)` when the corpus carries a dom_spans column (pages without a
+    # JS-modified DOM render identically) — and, matching the reference,
+    # treats file:// URLs as UNREACHABLE (SeleniumSpider._handle_url
+    # hard-errors the file scheme, any_io/selenium_spider.py:70-73; the
+    # static spider reads them, any_io/static_spider.py:116-127). The
+    # frontier/dedup/robots/politeness discipline is IDENTICAL in both
+    # modes — the selenium spider subclasses the whole static loop and
+    # differs only in how the document was produced; links are extracted
+    # from the rendered spans, so a JS-injected link span is followed in
+    # dom mode only (SPA crawling).
+    render_mode: str = 'static'
     seed: int = 42
 
     def __post_init__(self):
@@ -266,6 +281,8 @@ class CrawlConfig:
             raise ValueError('max_retries must be >= 0')
         if self.fetch_mode not in ('corpus_join', 'mapinpandas'):
             raise ValueError(f'unknown fetch_mode: {self.fetch_mode}')
+        if self.render_mode not in ('static', 'dom'):
+            raise ValueError(f'unknown render_mode: {self.render_mode}')
         if self.sitemap_index_hops < 0:
             raise ValueError('sitemap_index_hops must be >= 0')
         if self.score_aging_per_wave < 0:

@@ -26,11 +26,14 @@ BUCKET (the same discipline as ``quantiles``/``pack_sequences``):
 4. match = the struct-greater of (2) and (3); struct comparison is
    lexicographic on (ts, tiebreak...), so the result is deterministic.
 
-Input contract: right rows unique per ``(key, ts)`` (dedupe first
-otherwise — the operator asserts nothing and would pick the
-struct-greatest). Oracle note: DuckDB's native ``ASOF JOIN`` implements
-the identical semantics, giving the driver contract a fully independent
-reference implementation.
+Input contract: none on the right side — duplicate ``(key, ts)`` right
+rows are deduped INSIDE the operator (one cheap ``max``-struct aggregate
+on the already-key-shuffled side) to the struct-greatest payload, so the
+result is deterministic and independent of which row a native ASOF
+implementation happens to pick on ties. Oracle note: DuckDB's native
+``ASOF JOIN`` implements the identical semantics, giving the driver
+contract a fully independent reference implementation; the in-operator
+dedupe is what makes the comparison tie-proof.
 """
 
 from __future__ import annotations
@@ -64,9 +67,17 @@ def asof_join(
         F.col(right_ts).alias('_mts'),
         *[F.col(c).alias(c) for c in rcols],
     )
-    r = right.select(
-        F.col(on).alias('_k'), F.col(right_ts).alias('_ts'),
-        payload.alias('_r'), F.lit(1).alias('_side'),
+    # Dedupe right per (key, ts) to the struct-greatest payload: ties in
+    # the source (two captures at the same instant) would otherwise make
+    # the match depend on the reference implementation's arbitrary pick.
+    # One aggregate on the side the join shuffles by key anyway.
+    r = (
+        right.select(
+            F.col(on).alias('_k'), F.col(right_ts).alias('_ts'),
+            payload.alias('_r'),
+        )
+        .groupBy('_k', '_ts').agg(F.max('_r').alias('_r'))
+        .withColumn('_side', F.lit(1))
     )
     l = left.select(
         F.col(on).alias('_k'), F.col(left_ts).alias('_ts'),

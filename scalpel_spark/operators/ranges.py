@@ -41,14 +41,35 @@ def interval_join(
     hi_col: str,
     bucket_width: int | None = None,
     wide_buckets: int = 64,
+    eager_probe: bool = True,
 ) -> DataFrame:
     """Inner-join ``points`` to every interval with
     ``lo_col <= point_col <= hi_col`` (integer domains; empty intervals
     ``lo > hi`` match nothing). Returns all point columns + all interval
     columns. ``bucket_width=None`` derives the width from the mean
     interval span (exact integer arithmetic, deterministic).
+
+    EAGER EVALUATION NOTE (unusual for a DataFrame-returning combinator):
+    two small Spark jobs can run AT CALL TIME, both against the
+    interval side only — (a) the width-derivation aggregate when
+    ``bucket_width is None``, and (b) a ``limit(1)`` probe for wide
+    intervals so the common no-wide case plans a pure equi-join with no
+    union/broadcast branch. Pass an explicit ``bucket_width`` to skip
+    (a); pass ``eager_probe=False`` to skip (b) (the plan then always
+    carries both branches — correct either way, just a wider plan).
+    When any eager job runs, the filtered interval frame is
+    local-checkpointed first so its lineage is computed ONCE — the
+    returned plan and the probe read the materialized intervals rather
+    than re-running the upstream lineage (ADVICE r4, ranges.py:82).
+    Intervals are the dimension side (ASN tables, latency bands) —
+    materializing them is metadata-scale next to the point side.
     """
     iv = intervals.filter(F.col(lo_col) <= F.col(hi_col))
+    if bucket_width is None or eager_probe:
+        # lazy localCheckpoint: materializes at the first eager job below,
+        # after which neither the probe nor the returned plan recompute
+        # the interval lineage
+        iv = iv.localCheckpoint(eager=False)
     if bucket_width is None:
         mm = iv.agg(
             F.greatest(
@@ -77,8 +98,8 @@ def interval_join(
                 (F.col(point_col) <= F.col(hi_col))
     narrow_hits = p.join(narrow, '_bucket').filter(contained).drop('_bucket')
     # the wide branch is a broadcast theta join; probe first (one tiny
-    # job against the small wide set) so the common no-wide case plans
-    # a pure equi-join
-    if wide.limit(1).isEmpty():
+    # job against the small checkpointed wide set) so the common no-wide
+    # case plans a pure equi-join
+    if eager_probe and wide.limit(1).isEmpty():
         return narrow_hits
     return narrow_hits.unionByName(points.join(F.broadcast(wide), contained))

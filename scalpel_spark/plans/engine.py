@@ -1241,17 +1241,32 @@ class CrawlEngine:
         # mode changes nothing about frontier/dedup/robots semantics
         # (any_io/selenium_spider.py subclasses share the whole loop)
         render_cols = ['render'] if 'render' in self.corpus.columns else []
+        # render_mode='dom' (S5, any_io/selenium_spider.py): the emitted
+        # document is the browser-rendered span set — coalesce(dom_spans,
+        # spans), pages without a JS-modified DOM render identically —
+        # and file:// URLs are UNREACHABLE (SeleniumSpider._handle_url
+        # hard-errors the file scheme, :70-73). Everything else —
+        # frontier, dedup, robots, politeness, ordering — is the shared
+        # static loop, so the plan is identical up to the span column.
+        dom_mode = cfg.render_mode == 'dom'
+        span_expr = (
+            F.coalesce(F.col('dom_spans'), F.col('spans')).alias('spans')
+            if dom_mode and 'dom_spans' in self.corpus.columns
+            else F.col('spans')
+        )
         # meta-robots tag rides the corpus row only when the knob consumes
         # it — plans stay byte-identical with the knob off
         tag_cols = ['robots_tag'] if cfg.respect_meta_robots else []
 
         def base_fetch(allowed_df: DataFrame) -> DataFrame:
-            corpus = self.corpus.select('doc_id', 'spans', 'http_status', 'readable', 'fetch_ms',
-                                        *render_cols, *tag_cols)
+            corpus = self.corpus.select('doc_id', span_expr, 'http_status', 'readable',
+                                        'fetch_ms', *render_cols, *tag_cols)
             out = allowed_df.join(corpus, allowed_df['url'] == corpus['doc_id'], 'left')
             found = F.col('doc_id').isNotNull()
+            file_ok = (F.lit(False) if dom_mode
+                       else found & F.coalesce(F.col('readable'), F.lit(False)))
             ok = F.when(
-                F.col('scheme') == 'file', found & F.coalesce(F.col('readable'), F.lit(False))
+                F.col('scheme') == 'file', file_ok
             ).otherwise(found & (F.col('http_status') < 400))
             return out.withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))
 
@@ -1280,15 +1295,17 @@ class CrawlEngine:
                      F.col('fetch_ms').alias('_t_fetch_ms'),
                      'dispatch_ms')
             corpus = self.corpus.select(
-                'doc_id', 'spans', 'readable',
+                'doc_id', span_expr, 'readable',
                 F.col('fetch_ms').alias('_c_fetch_ms'), *render_cols, *tag_cols)
             out = (allowed_df.drop('delay')
                    .join(transport, F.col('url') == F.col('_t_url'), 'left')
                    .join(corpus, F.col('url') == F.col('doc_id'), 'left'))
             found = F.col('doc_id').isNotNull()
             is_file = F.col('scheme') == 'file'
+            file_ok = (F.lit(False) if dom_mode
+                       else found & F.coalesce(F.col('readable'), F.lit(False)))
             ok = F.when(
-                is_file, found & F.coalesce(F.col('readable'), F.lit(False))
+                is_file, file_ok
             ).otherwise(found & (F.col('_t_status') >= 100) & (F.col('_t_status') < 400))
             return (out
                     .withColumn('status', F.when(ok, 'reachable').otherwise('unreachable'))

@@ -365,3 +365,36 @@ def with_render_modes(corpus_df: DataFrame, dom_mod: int = 3, seed: int = 42) ->
     (``any_io/selenium_spider.py:17-18`` subclasses the static loop)."""
     is_dom = F.pmod(F.xxhash64('doc_id', F.lit(seed)), F.lit(dom_mod)) == 0
     return corpus_df.withColumn('render', F.when(is_dom, 'dom').otherwise('static'))
+
+
+def with_dom_variants(corpus_df: DataFrame, dom_mod: int = 3, seed: int = 42,
+                      js_link: str | None = None) -> DataFrame:
+    """S5 selenium semantics with a DIVERGENT rendered document: every
+    ``dom_mod``-th page (hash-selected, deterministic) gets a
+    ``dom_spans`` column — the static spans plus one JS-injected text
+    span appended at the next offset (what the browser's DOM holds after
+    scripts ran); other pages get ``dom_spans = NULL`` (their DOM equals
+    the static HTML, so ``CrawlConfig(render_mode='dom')``'s
+    ``coalesce(dom_spans, spans)`` falls back). ``js_link='<url>'``
+    additionally appends a kind='link' span pointing there on the
+    JS-modified pages — a link only a browser discovers, so dom mode
+    crawls it and static mode never sees it (the SPA case,
+    any_io/selenium_spider.py:17-21). Pure column algebra over the span
+    arrays — no explode, scales with the corpus."""
+    tagged = with_render_modes(corpus_df, dom_mod=dom_mod, seed=seed)
+    js_span = F.struct(
+        F.lit('text').alias('kind'),
+        F.concat(F.lit('js-rendered:'), F.col('doc_id')).alias('text'),
+        F.lit(None).cast('string').alias('media_ref'),
+        F.size('spans').cast('int').alias('offset'))
+    extra = F.array(js_span)
+    if js_link is not None:
+        extra = F.concat(extra, F.array(F.struct(
+            F.lit('link').alias('kind'),
+            F.lit(js_link).alias('text'),
+            F.lit(None).cast('string').alias('media_ref'),
+            (F.size('spans') + 1).cast('int').alias('offset'))))
+    return tagged.withColumn(
+        'dom_spans',
+        F.when(F.col('render') == 'dom',
+               F.concat(F.col('spans'), extra)).otherwise(F.lit(None)))

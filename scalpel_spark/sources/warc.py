@@ -15,11 +15,15 @@ stage (DESIGN.md Python boundary; one batch row = one file, bounded
 record lists out).
 
 Gzip: CommonCrawl WARCs are per-record gzip members; ``read_warc``
-transparently handles whole-file gzip (``.warc.gz``) via the stdlib and
-treats a non-gzip prefix as plain WARC. Per-member splitting without
-decompression needs a gzip-member index (a real deployment injects its
-byte offsets the same way fetch_fn is injected); the parse contract and
-schema are identical either way.
+transparently handles BOTH whole-file gzip (``.warc.gz``) and
+concatenated per-record members via the stdlib (``gzip.decompress``
+walks every member in a multi-member stream), and treats a non-gzip
+prefix as plain WARC. ``write_warc_shards(gzip_records=True)`` emits the
+CommonCrawl layout — one gzip member per record — and records each
+member's byte offset in the shard manifest (``member_offsets``), which
+is exactly the index a random-access consumer (CDX lookup, range-GET
+replay) needs to seek to one record without touching the rest of the
+file; the parse contract and schema are identical either way.
 """
 
 from __future__ import annotations
@@ -32,6 +36,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Standard reason phrases (RFC 9110 §15) for the statuses a crawl
+# archive actually sees; anything else serializes with an empty reason
+# phrase — "HTTP/1.1 <code> " — which RFC 9112 §4 explicitly allows
+# (reason-phrase may be empty; the SP before it stays).
+HTTP_REASONS: dict[int, str] = {
+    200: 'OK', 201: 'Created', 204: 'No Content', 206: 'Partial Content',
+    301: 'Moved Permanently', 302: 'Found', 303: 'See Other',
+    304: 'Not Modified', 307: 'Temporary Redirect', 308: 'Permanent Redirect',
+    400: 'Bad Request', 401: 'Unauthorized', 403: 'Forbidden',
+    404: 'Not Found', 405: 'Method Not Allowed', 410: 'Gone',
+    429: 'Too Many Requests', 500: 'Internal Server Error',
+    502: 'Bad Gateway', 503: 'Service Unavailable', 504: 'Gateway Timeout',
+}
+
+
+def http_reason_sql_case(col: str = 'status') -> str:
+    """The same status→reason mapping as a SQL CASE fragment, generated
+    from HTTP_REASONS so the DuckDB oracle can never drift from the
+    Spark serializer."""
+    whens = ' '.join(f"WHEN {k} THEN '{v}'" for k, v in HTTP_REASONS.items())
+    return f"CASE {col} {whens} ELSE '' END"
+
 
 WARC_RECORD_SCHEMA = T.StructType([
     T.StructField('warc_file', T.StringType()),
@@ -215,8 +242,13 @@ def warc_record_bytes(df: DataFrame,
     concatenates.
     """
     body = F.col('body')
+    reasons = F.create_map(
+        *[F.lit(x) for kv in HTTP_REASONS.items() for x in kv])
+    reason = F.coalesce(
+        F.element_at(reasons, F.col('status')), F.lit(''))
     http_head = F.concat(
-        F.lit('HTTP/1.1 '), F.col('status').cast('string'), F.lit(' OK\r\n'),
+        F.lit('HTTP/1.1 '), F.col('status').cast('string'),
+        F.lit(' '), reason, F.lit('\r\n'),
         F.lit('Content-Type: '), F.col('content_type'), F.lit('\r\n'),
         F.lit('Content-Length: '), F.length(body).cast('string'),
         F.lit('\r\n\r\n'),
@@ -259,10 +291,12 @@ def warcinfo_bytes(software: str = 'scalpel-spark',
 
 def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
                       order_col: str = 'url',
-                      with_warcinfo: bool = False) -> DataFrame:
+                      with_warcinfo: bool = False,
+                      gzip_records: bool = False) -> DataFrame:
     """Sink: write ``record_bytes`` rows as ``n_shards`` WARC files under
-    ``out_dir`` (``part-NNNNN.warc``), returning a manifest DataFrame
-    ``(shard, path, n_records, n_bytes)``.
+    ``out_dir`` (``part-NNNNN.warc`` / ``.warc.gz``), returning a
+    MATERIALIZED manifest DataFrame ``(shard, path, n_records, n_bytes,
+    member_offsets)``.
 
     Shard routing is ``xxhash64(order_col) pmod n_shards`` (size-balanced,
     deterministic) and rows are written in ``order_col`` order within the
@@ -272,6 +306,26 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
     the same retry discipline as the snapshot store. One grouped-map task
     streams one file — the native WARC parallelism unit, mirroring the
     reader.
+
+    ``gzip_records=True`` emits the CommonCrawl/ISO 28500 seekable layout:
+    ONE GZIP MEMBER PER RECORD (``mtime=0`` so bytes stay deterministic),
+    and ``member_offsets`` carries each record's starting byte offset in
+    the file — the index a CDX/range-GET consumer seeks by. Uncompressed
+    shards get the same offsets (record starts), so downstream indexing
+    code is layout-agnostic. ``read_warc`` reads both layouts (stdlib
+    gzip walks concatenated members).
+
+    Evaluation and deployment contract: the write runs EXACTLY ONCE,
+    inside this call — the shard tasks execute eagerly and the returned
+    manifest is a small materialized frame (``n_shards`` rows), so
+    re-running actions on it never re-executes the file writes (ADVICE r4,
+    warc.py:286). Executors ``open()`` local paths: ``out_dir`` must be on
+    a filesystem shared by driver and executors (local mode, NFS, or a
+    FUSE-mounted object store); a pure-object-store deployment swaps the
+    ``open``/``os.replace`` pair for its client the same way ``fetch_fn``
+    is injected. Each shard buffers in one pandas frame in its task —
+    size shards (``n_shards``) so a shard fits executor memory (~1 GB
+    WARC convention).
     """
     import os
 
@@ -282,37 +336,49 @@ def write_warc_shards(df: DataFrame, out_dir: str, n_shards: int = 4,
         TT.StructField('path', TT.StringType()),
         TT.StructField('n_records', TT.LongType()),
         TT.StructField('n_bytes', TT.LongType()),
+        TT.StructField('member_offsets', TT.ArrayType(TT.LongType())),
     ])
     os.makedirs(out_dir, exist_ok=True)
+    ext = '.warc.gz' if gzip_records else '.warc'
 
     def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
         pdf = pdf.sort_values('_order', kind='mergesort')
-        path = os.path.join(out_dir, f'part-{shard:05d}.warc')
+        path = os.path.join(out_dir, f'part-{shard:05d}{ext}')
         tmp = path + '.tmp'
         n_bytes = 0
+        offsets: list[int] = []
         with open(tmp, 'wb') as f:
             if with_warcinfo:
                 info = warcinfo_bytes(shard=shard)
+                if gzip_records:
+                    info = gzip.compress(info, mtime=0)
                 f.write(info)
                 n_bytes += len(info)
             for blob in pdf['record_bytes']:
                 b = bytes(blob)
+                if gzip_records:
+                    b = gzip.compress(b, mtime=0)
+                offsets.append(n_bytes)
                 f.write(b)
                 n_bytes += len(b)
         os.replace(tmp, path)
         return pd.DataFrame(
-            [(shard, path, len(pdf), n_bytes)],
-            columns=['shard', 'path', 'n_records', 'n_bytes'])
+            [(shard, path, len(pdf), n_bytes, offsets)],
+            columns=['shard', 'path', 'n_records', 'n_bytes',
+                     'member_offsets'])
 
     routed = df.withColumn(
         'shard',
         F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast('int'),
     ).withColumn('_order', F.col(order_col))
-    return (
+    lazy = (
         routed.select('shard', '_order', 'record_bytes')
         .groupBy('shard').applyInPandas(write_shard, manifest_schema)
     )
+    # Force the writes NOW, exactly once; the manifest is n_shards rows.
+    rows = lazy.collect()
+    return df.sparkSession.createDataFrame(rows, manifest_schema)
 
 
 def warc_to_corpus(records: DataFrame) -> DataFrame:
