@@ -6648,11 +6648,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      right_ts='vts', right_cols=['view_event'])
 
 
--- Right side pre-deduped per (user_id, ts) to max(event_id), mirroring
--- the operator's in-operator struct-greatest tie dedupe: DuckDB's native
--- ASOF picks an ARBITRARY row on duplicate (key, ts) — without the
--- GROUP BY the compare would be flaky whenever the events table holds
--- two views at the same instant (ADVICE r4, asof.py:29).
+# Right side pre-deduped per (user_id, ts) to max(event_id), mirroring
+# the operator's in-operator struct-greatest tie dedupe: DuckDB's native
+# ASOF picks an ARBITRARY row on duplicate (key, ts) — without the
+# GROUP BY the compare would be flaky whenever the events table holds
+# two views at the same instant (ADVICE r4, asof.py:29).
 ORACLE_ASOF_JOIN = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
        epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
@@ -7167,10 +7167,10 @@ def q_asof_next_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           right_ts='vts', right_cols=['view_event'])
 
 
--- Same tie-proofing as ORACLE_ASOF_JOIN: dedupe right per (key, ts).
--- NOTE the forward join negates the axis internally, so its payload
--- struct compares on NEGATED ts first — within one (key, ts) group ts
--- is constant either way and max(event_id) is the matching tie-break.
+# Same tie-proofing as ORACLE_ASOF_JOIN: dedupe right per (key, ts).
+# NOTE the forward join negates the axis internally, so its payload
+# struct compares on NEGATED ts first — within one (key, ts) group ts
+# is constant either way and max(event_id) is the matching tie-break.
 ORACLE_ASOF_NEXT = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t,
        epoch_us(r.ts) AS matched_ts, r.event_id AS r_view_event
@@ -7189,31 +7189,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER IS THE VERIFICATION POLICY (VERDICT r3 "What's wrong" #2):
-    # the driver oracle-checks the FIRST 50 entries only, so the window
-    # below leads with the queries that have never had a driver row —
-    # every crawl_* engine-lifecycle query, the graph ranks, the
-    # scheduling/recrawl planners, PQ/IVFADC, spans/media, and the two
-    # Structured Streaming queries (streaming never had a driver row;
-    # their pinned-VALUES oracles make the stateful cross-batch
-    # semantics driver-checkable for the first time) — plus three
-    # r3-green canaries (regression tripwires) and the two fetch-path
-    # queries whose oracles changed this round. Entries 51+ are ordered
-    # never-checked-first so the round-5 rotation picks them up next;
-    # the tail is the r3-driver-green set (hard evidence already
-    # recorded in CORRECTNESS_r03.json).
+    # ORDER IS THE VERIFICATION POLICY (VERDICT r3 #2, r4 Next #1):
+    # the driver oracle-checks the FIRST 50 entries per round. Round-5
+    # window = 5 r4-green canaries (regression tripwires spanning the
+    # engine, frontier dedup, politeness window, MinHash-LSH, and
+    # streaming) + 2 queries NEW this round (render-mode divergence,
+    # per-record-gzip WARC round-trip) + 43 queries that have NEVER had
+    # a driver row — the whole LLM-pipeline tail the r4 verdict ranked
+    # first (line/substr/semantic dedup, curation, BM25 index, DSIR,
+    # content extraction, BPE, sketches, WARC, quantiles, layout,
+    # temporal joins). 45 first-time rows this round; union of driver
+    # rows r1-r5 then covers 144/170. Entries 51+ stay ordered
+    # never-checked-first (27 remain) so a future rotation picks them
+    # up next; the tail is the r4/r3/earlier driver-green evidence
+    # already recorded in CORRECTNESS_r0{1..4}.json.
     return {
-        # -- canaries (driver-green in r3, kept in-window as tripwires) --
+        # -- canaries (driver-green in r4, kept in-window as tripwires) --
         'frontier_dedup_anti_join': q_frontier_dedup_anti_join,
         'politeness_dispatch_window': q_politeness_dispatch_window,
         'dedup_minhash_lsh': q_dedup_minhash_lsh,
-        # -- streaming: first-ever driver rows for the streaming layer --
-        'stream_politeness_drain': q_stream_politeness_drain,
-        'stream_dedup_watermark': q_stream_dedup_watermark,
-        # -- oracle fixed this round (r3's only red row) --
-        'fetch_mapinpandas': q_fetch_mapinpandas,
-        # -- engine lifecycle: golden crawls + both fetch modes --
         'crawl_golden_http': q_crawl_golden_http,
+        'stream_dedup_watermark': q_stream_dedup_watermark,
+        # -- NEW this round: S5 render-mode oracle + gzip WARC members --
+        'crawl_render_mode': q_crawl_render_mode,
+        'warc_gzip_roundtrip': q_warc_gzip_roundtrip,
+        # -- first-time driver rows: LLM-pipeline tail (VERDICT r4 #1) --
+        'line_dedup': q_line_dedup,
+        'line_quality_filter': q_line_quality_filter,
+        'dedup_substr_strike': q_substr_strike,
+        'classifier_scores': q_classifier_scores,
+        'semdedup': q_semdedup,
+        'kmeans_assign': q_kmeans_assign,
+        'embedding_outliers': q_embedding_outliers,
+        'url_dust_rules': q_url_dust_rules,
+        'cdx_revisit_index': q_cdx_revisit_index,
+        'pipeline_decontaminate': q_decontaminate,
+        'domain_cap': q_domain_cap,
+        'source_reputation': q_source_reputation,
+        'index_champion_postings': q_index_champion_postings,
+        'index_anchor_terms': q_index_anchor_terms,
+        'index_collocations': q_index_collocations,
+        'index_bm25_topk': q_index_bm25_topk,
+        'selection_dsir_weights': q_selection_dsir_weights,
+        'selection_dsir_select': q_selection_dsir_select,
+        'source_drift': q_source_drift,
+        'content_media_captions': q_content_media_captions,
+        'content_main_extract': q_content_main_extract,
+        'content_host_templates': q_content_host_templates,
+        'content_strip_templates': q_content_strip_templates,
+        'content_caption_pairs': q_content_caption_pairs,
+        'content_pack_interleaved': q_content_pack_interleaved,
+        'vocab_bpe_merges': q_vocab_bpe_merges,
+        'vocab_bpe_encode': q_vocab_bpe_encode,
+        'sketch_hll_sources': q_sketch_hll_sources,
+        'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
+        'sketch_kmv_overlap': q_sketch_kmv_overlap,
+        'sketch_kmv_matrix': q_sketch_kmv_matrix,
+        'warc_serialize': q_warc_serialize,
+        'warc_ingest': q_warc_ingest,
+        'warc_to_documents': q_warc_to_documents,
+        'media_phash_dedup': q_media_phash_dedup,
+        'latency_quantiles': q_latency_quantiles,
+        'quantile_length_gate': q_quantile_length_gate,
+        'c4_filter': q_c4_filter,
+        'zorder_layout': q_zorder_layout,
+        'epoch_layout': q_epoch_layout,
+        'asof_join': q_asof_join,
+        'asof_next_join': q_asof_next_join,
+        'interval_join': q_interval_join,
+        # ---- driver window ends here (50 entries above) ----
+        # never-driver-checked remainder (27), first in line next round
+        'media_sniff_types': q_media_sniff_types,
+        'media_sniff_charset': q_media_sniff_charset,
+        'latency_budget_p95': q_latency_budget_p95,
+        'ngram_novelty': q_ngram_novelty,
+        'chunk_cdc': q_chunk_cdc,
+        'cache_freshness': q_cache_freshness,
+        'token_spectrum': q_token_spectrum,
+        'vocab_growth': q_vocab_growth,
+        'hash_sample': q_hash_sample,
+        'skew_report': q_skew_report,
+        'url_homograph': q_url_homograph,
+        'curation_report': q_curation_report,
+        'path_prefix_stats': q_path_prefix_stats,
+        'link_context': q_link_context,
+        'anchor_text_profile': q_anchor_text_profile,
+        'url_dust_strip': q_url_dust_strip,
+        'mirror_hosts': q_mirror_hosts,
+        'soft404_flags': q_soft404_flags,
+        'url_rel_canonical': q_url_rel_canonical,
+        'feed_discovery': q_feed_discovery,
+        'url_quality_filter': q_url_quality_filter,
+        'url_trap_scores': q_url_trap_scores,
+        'sitemap_delta': q_sitemap_delta,
+        'robots_directives': q_robots_directives,
+        'host_anti_trust_rank': q_host_anti_trust_rank,
+        'host_spam_mass': q_host_spam_mass,
+        'link_spam_features': q_link_spam_features,
+        # r4-driver-green set (CORRECTNESS_r04.json rows on record) and
+        # earlier-round evidence, unchanged order
+        'stream_politeness_drain': q_stream_politeness_drain,
+        'fetch_mapinpandas': q_fetch_mapinpandas,
         'crawl_golden_http_mapinpandas': q_crawl_golden_http_mapinpandas,
         'crawl_golden_statistics': q_crawl_golden_statistics,
         'crawl_manyhosts_robots': q_crawl_manyhosts_robots,
@@ -7240,12 +7316,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'crawl_host_rank': q_crawl_host_rank,
         'crawl_meta_robots': q_crawl_meta_robots,
         'crawl_snapshot_diff': q_crawl_snapshot_diff,
-        # -- host-graph ranks --
         'host_rank': q_host_rank,
         'host_trust_rank': q_host_trust_rank,
         'host_hits': q_host_hits,
         'host_opic': q_host_opic,
-        # -- scheduling / recrawl planners --
         'plan_host_budgets': q_plan_host_budgets,
         'adaptive_backoff': q_adaptive_backoff,
         'conditional_fetch_plan': q_conditional_fetch_plan,
@@ -7253,93 +7327,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'latency_budget': q_latency_budget,
         'change_rates': q_change_rates,
         'recrawl_selection': q_recrawl_selection,
-        # -- quantized ANN (PQ / IVFADC) --
         'similarity_quantized_topk': q_similarity_quantized_topk,
         'similarity_pq_topk': q_similarity_pq_topk,
         'similarity_ivf_pq': q_similarity_ivf_pq,
-        # -- span invariant + media --
         'spans_fingerprint_golden': q_spans_fingerprint_golden,
         'spans_media_stats': q_spans_media_stats,
         'spans_parity_check': q_spans_parity_check,
         'media_frontier_dedup': q_media_frontier_dedup,
-        # ---- driver window ends here (50 entries above) ----
-        # never-driver-checked remainder, first in line for round 5
-        'media_sniff_types': q_media_sniff_types,
-        'media_sniff_charset': q_media_sniff_charset,
-        'latency_quantiles': q_latency_quantiles,
-        'quantile_length_gate': q_quantile_length_gate,
-        'c4_filter': q_c4_filter,
-        'warc_serialize': q_warc_serialize,
-        'epoch_layout': q_epoch_layout,
-        'zorder_layout': q_zorder_layout,
-        'source_drift': q_source_drift,
-        'embedding_outliers': q_embedding_outliers,
-        'asof_join': q_asof_join,
-        'interval_join': q_interval_join,
-        'latency_budget_p95': q_latency_budget_p95,
-        'ngram_novelty': q_ngram_novelty,
-        'chunk_cdc': q_chunk_cdc,
-        'cache_freshness': q_cache_freshness,
-        'token_spectrum': q_token_spectrum,
-        'vocab_growth': q_vocab_growth,
-        'hash_sample': q_hash_sample,
-        'skew_report': q_skew_report,
-        'url_homograph': q_url_homograph,
-        'curation_report': q_curation_report,
-        'path_prefix_stats': q_path_prefix_stats,
-        'asof_next_join': q_asof_next_join,
-        'link_context': q_link_context,
-        'anchor_text_profile': q_anchor_text_profile,
-        'line_dedup': q_line_dedup,
-        'dedup_substr_strike': q_substr_strike,
-        'line_quality_filter': q_line_quality_filter,
-        'classifier_scores': q_classifier_scores,
-        'domain_cap': q_domain_cap,
-        'kmeans_assign': q_kmeans_assign,
-        'semdedup': q_semdedup,
-        'url_dust_rules': q_url_dust_rules,
-        'url_dust_strip': q_url_dust_strip,
-        'mirror_hosts': q_mirror_hosts,
-        'soft404_flags': q_soft404_flags,
-        'url_rel_canonical': q_url_rel_canonical,
-        'cdx_revisit_index': q_cdx_revisit_index,
-        'feed_discovery': q_feed_discovery,
-        'url_quality_filter': q_url_quality_filter,
-        'url_trap_scores': q_url_trap_scores,
-        'sitemap_delta': q_sitemap_delta,
-        'robots_directives': q_robots_directives,
-        'pipeline_decontaminate': q_decontaminate,
-        'source_reputation': q_source_reputation,
         'events_sessionize': q_events_sessionize,
-        'index_champion_postings': q_index_champion_postings,
-        'index_anchor_terms': q_index_anchor_terms,
-        'index_collocations': q_index_collocations,
-        'index_bm25_topk': q_index_bm25_topk,
-        'selection_dsir_weights': q_selection_dsir_weights,
-        'selection_dsir_select': q_selection_dsir_select,
-        'host_anti_trust_rank': q_host_anti_trust_rank,
-        'host_spam_mass': q_host_spam_mass,
-        'link_spam_features': q_link_spam_features,
-        'content_media_captions': q_content_media_captions,
-        'content_main_extract': q_content_main_extract,
-        'content_host_templates': q_content_host_templates,
-        'content_strip_templates': q_content_strip_templates,
-        'content_caption_pairs': q_content_caption_pairs,
-        'content_pack_interleaved': q_content_pack_interleaved,
-        'vocab_bpe_merges': q_vocab_bpe_merges,
-        'vocab_bpe_encode': q_vocab_bpe_encode,
-        # canaries displaced from the 50-slot window by the streaming
-        # pair (green r1+r2+r3 — the least marginal evidence to forgo)
         'tpch_pricing_summary': q_tpch_pricing_summary,
         'url_canonicalize_golden': q_url_canonicalize_golden,
-        'sketch_hll_sources': q_sketch_hll_sources,
-        'sketch_cms_heavy_hitters': q_sketch_cms_heavy_hitters,
-        'sketch_kmv_overlap': q_sketch_kmv_overlap,
-        'sketch_kmv_matrix': q_sketch_kmv_matrix,
-        'warc_ingest': q_warc_ingest,
-        'warc_to_documents': q_warc_to_documents,
-        'media_phash_dedup': q_media_phash_dedup,
-        # r3-driver-green set (CORRECTNESS_r03.json rows on record)
         'robots_broadcast_join': q_robots_broadcast_join,
         'fetch_sortmerge_join': q_fetch_sortmerge_join,
         'discovery_order_posexplode': q_discovery_order_posexplode,
@@ -7520,6 +7517,8 @@ def oracle_sql() -> dict[str, str]:
         'warc_to_documents': ORACLE_WARC_TO_DOCS,
         'media_phash_dedup': ORACLE_MEDIA_PHASH,
         'crawl_golden_http': ORACLE_CRAWL_GOLDEN,
+        'crawl_render_mode': ORACLE_CRAWL_RENDER_MODE,
+        'warc_gzip_roundtrip': ORACLE_WARC_GZIP_ROUNDTRIP,
         'crawl_green_file_bypass': ORACLE_GREEN_FILE_BYPASS,
         'crawl_canonicalized_seen': ORACLE_CANONICALIZED_SEEN,
         'crawl_dust_alias': ORACLE_CRAWL_DUST,

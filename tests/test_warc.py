@@ -218,3 +218,76 @@ def test_write_shards_with_warcinfo_header(spark, tmp_path):
     assert len(resps) == 6
     assert all(b'software: scalpel-spark' in bytes(r['payload'])
                for r in infos)
+
+
+def test_write_shards_gzip_records_roundtrip(spark, tmp_path):
+    """Per-record gzip members (CommonCrawl layout): round-trips through
+    the stdlib multi-member walk, stays deterministic, and the manifest's
+    member_offsets are real file offsets — each one starts a gzip member
+    that decompresses to exactly one WARC record (the seekability
+    contract a CDX consumer relies on)."""
+    import gzip as _gz
+
+    from scalpel_spark.sources.warc import warc_record_bytes, write_warc_shards
+
+    df = warc_record_bytes(spark.createDataFrame(_write_rows(12), WRITE_SCHEMA))
+    out1, out2 = str(tmp_path / 'g1'), str(tmp_path / 'g2')
+    m1 = {r['shard']: r
+          for r in write_warc_shards(df, out1, n_shards=3,
+                                     gzip_records=True).collect()}
+    m2 = {r['shard']: r
+          for r in write_warc_shards(df, out2, n_shards=3,
+                                     gzip_records=True).collect()}
+    assert sum(r['n_records'] for r in m1.values()) == 12
+    for s in m1:  # deterministic bytes (gzip mtime=0)
+        with open(m1[s]['path'], 'rb') as a, open(m2[s]['path'], 'rb') as b:
+            assert a.read() == b.read()
+    # full round-trip through the reader's multi-member gzip walk
+    back = read_warc(spark, out1).collect()
+    got = {(r['target_uri'], r['http_status'], bytes(r['payload'])) for r in back}
+    want = {(u, s, b) for u, s, _, b, _ in _write_rows(12)}
+    assert got == want
+    # member_offsets: seek to each offset, read ONE member, parse ONE record
+    for s, m in m1.items():
+        offs = m['member_offsets']
+        assert len(offs) == m['n_records']
+        with open(m['path'], 'rb') as f:
+            blob = f.read()
+        assert m['n_bytes'] == len(blob)
+        bounds = list(offs) + [len(blob)]
+        for i in range(len(offs)):
+            member = blob[bounds[i]:bounds[i + 1]]
+            assert member[:2] == b'\x1f\x8b'
+            recs = parse_warc_bytes(_gz.decompress(member), 'seek')
+            assert len(recs) == 1 and recs[0][2] == 'response'
+
+
+def test_uncompressed_manifest_offsets_are_record_starts(spark, tmp_path):
+    from scalpel_spark.sources.warc import warc_record_bytes, write_warc_shards
+
+    df = warc_record_bytes(spark.createDataFrame(_write_rows(6), WRITE_SCHEMA))
+    out = str(tmp_path / 'u')
+    (m,) = write_warc_shards(df, out, n_shards=1).collect()
+    with open(m['path'], 'rb') as f:
+        blob = f.read()
+    for off in m['member_offsets']:
+        assert blob[off:off + 5] == b'WARC/'
+
+
+def test_reason_phrases_rfc9110(spark):
+    """404 archives as 'HTTP/1.1 404 Not Found' (ADVICE r4: no more
+    '404 OK'); unmapped statuses keep the RFC 9112 empty reason phrase."""
+    from scalpel_spark.sources.warc import warc_record_bytes
+
+    rows = [('https://x.example.com/a', 404, 'text/html', b'x', '<urn:uuid:a>'),
+            ('https://x.example.com/b', 200, 'text/html', b'y', '<urn:uuid:b>'),
+            ('https://x.example.com/c', 599, 'text/html', b'z', '<urn:uuid:c>')]
+    got = {r['url']: bytes(r['record_bytes'])
+           for r in warc_record_bytes(
+               spark.createDataFrame(rows, WRITE_SCHEMA)).collect()}
+    assert b'HTTP/1.1 404 Not Found\r\n' in got['https://x.example.com/a']
+    assert b'HTTP/1.1 200 OK\r\n' in got['https://x.example.com/b']
+    assert b'HTTP/1.1 599 \r\n' in got['https://x.example.com/c']
+    # unmapped status still parses back with the right code
+    parsed = parse_warc_bytes(got['https://x.example.com/c'], 'mem')
+    assert parsed[0][8] == 599
