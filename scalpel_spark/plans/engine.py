@@ -259,8 +259,19 @@ class CrawlEngine:
         feed_pages: Optional[DataFrame] = None,
         dust_rules: Optional[DataFrame] = None,
         canonical_map: Optional[DataFrame] = None,
+        plan_capture: bool = False,
     ):
         self.spark = spark
+        # executed-plan capture for the wave-loop physical audit (VERDICT
+        # r4 Missing #3): when on, each wave records (wave, stage,
+        # executedPlan string) for its two load-bearing frames — the
+        # schedule+dedup probe and the fetch working set — right after
+        # the stage's action, so tests can pin the AQE-final physical
+        # shape (LeftAnti seen probe, broadcast host_state, no Python
+        # nodes outside the sanctioned stages). Opt-in debug facility:
+        # off (default) adds zero actions and zero state.
+        self.plan_capture = plan_capture
+        self.captured_plans: list[tuple[int, str, str]] = []
         self.config = config or CrawlConfig()
         self.corpus = corpus
         self.robots = robots
@@ -796,6 +807,17 @@ class CrawlEngine:
             wave += 1
         return CrawlResult(self.spark, self.store, total_time=time.time() - started)
 
+    def _capture_plan(self, wave: int, stage: str, df: DataFrame) -> None:
+        """Record the EXECUTED physical plan of a wave stage (AQE final
+        plan — call only after the stage's action ran). Under Spark 4.1
+        the static explain carries neither join-strategy finality nor
+        codegen markers, so the executed plan is the only truthful
+        physical evidence; see tools/plan_audit.py."""
+        if self.plan_capture:
+            self.captured_plans.append(
+                (wave, stage,
+                 df._jdf.queryExecution().executedPlan().toString()))
+
     def _run_wave(self, frontier: DataFrame, wave: int, next_priority: int, n_frontier: int,
                   seen_count: int):
         cfg = self.config
@@ -859,7 +881,9 @@ class CrawlEngine:
         # ONE action yields both the scheduled-set size and the
         # per-partition lineage rows (metrics the north rule requires) —
         # no separate count() round-trip
-        pid_counts = new.groupBy(F.spark_partition_id().alias('pid')).count().collect()
+        pid_frame = new.groupBy(F.spark_partition_id().alias('pid')).count()
+        pid_counts = pid_frame.collect()
+        self._capture_plan(wave, 'schedule_dedup', pid_frame)
         n_new = sum(int(r['count']) for r in pid_counts)
         metrics_rows.append((wave, 'schedule_dedup', -1, n_new, (time.time() - t0) * 1000))
         if n_new:
@@ -1343,6 +1367,12 @@ class CrawlEngine:
         # once so the fetch join is not recomputed per table write
         # (MEMORY_AND_DISK default: spills, never OOMs, at big waves)
         fetched = fetched.persist()
+        if self.plan_capture:
+            # audit-only extra action: materialize the (persisted) fetch
+            # working set now so its executed plan — robots broadcast,
+            # dispatch window, corpus join — is capturable
+            fetched.count()
+            self._capture_plan(wave, 'fetch', fetched)
 
         # 5b. fetch retries (opt-in, CrawlConfig.max_retries): an
         # unreachable fetch with attempts left re-enters the NEXT wave's
