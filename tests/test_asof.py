@@ -106,3 +106,26 @@ def test_asof_next_matches_bruteforce(spark):
             assert r['matched_ts'] is None and r['r_val'] is None
         else:
             assert (r['matched_ts'], r['r_val']) == (w[1], w[2])
+
+
+def test_asof_right_side_ties_dedupe_deterministically(spark):
+    """ADVICE r4 asof.py:29: duplicate (key, ts) right rows must not
+    make the match depend on implementation tie-breaking — the operator
+    dedupes to the struct-greatest payload internally, so the result is
+    a pure function of the input sets (matches the GROUP BY max() the
+    DuckDB ASOF oracle now applies)."""
+    from scalpel_spark.operators.asof import asof_join, asof_next_join
+
+    ldf = spark.createDataFrame([('k', 10)], 'host STRING, t LONG')
+    rdf = spark.createDataFrame(
+        [('k', 5, 'aaa'), ('k', 5, 'zzz'), ('k', 5, 'mmm')],
+        'host STRING, ts LONG, val STRING')
+    for _ in range(3):  # stable across repeated plans
+        (row,) = asof_join(ldf, rdf, on='host', left_ts='t', right_ts='ts',
+                           right_cols=['val']).collect()
+        assert (row['matched_ts'], row['r_val']) == (5, 'zzz')
+    (row,) = asof_next_join(
+        spark.createDataFrame([('k', 3)], 'host STRING, t LONG'),
+        rdf, on='host', left_ts='t', right_ts='ts',
+        right_cols=['val']).collect()
+    assert (row['matched_ts'], row['r_val']) == (5, 'zzz')

@@ -61,3 +61,22 @@ def test_point_matches_multiple_overlapping_intervals(spark):
                  interval_join(pdf, idf, 'p', 'lo', 'hi',
                                bucket_width=4).collect())
     assert got == ['a', 'b']
+
+
+def test_eager_probe_opt_out_same_result(spark):
+    """ADVICE r4 ranges.py:82: eager_probe=False must skip the call-time
+    wide probe (plan carries both branches) yet return identical rows —
+    including when wide intervals exist."""
+    from scalpel_spark.operators.ranges import interval_join
+
+    pdf = spark.createDataFrame([(i,) for i in range(0, 200, 7)], 'p LONG')
+    idf = spark.createDataFrame(
+        [(0, 500, 'wide'), (10, 14, 'a'), (100, 120, 'b')],
+        'lo LONG, hi LONG, tag STRING')
+    kw = dict(point_col='p', lo_col='lo', hi_col='hi', bucket_width=8,
+              wide_buckets=4)
+    eager = sorted((r['p'], r['tag']) for r in
+                   interval_join(pdf, idf, **kw).collect())
+    lazy = sorted((r['p'], r['tag']) for r in
+                  interval_join(pdf, idf, eager_probe=False, **kw).collect())
+    assert eager == lazy and len(eager) > 20
