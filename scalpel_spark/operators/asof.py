@@ -27,13 +27,17 @@ BUCKET (the same discipline as ``quantiles``/``pack_sequences``):
    lexicographic on (ts, tiebreak...), so the result is deterministic.
 
 Input contract: none on the right side — duplicate ``(key, ts)`` right
-rows are deduped INSIDE the operator (one cheap ``max``-struct aggregate
-on the already-key-shuffled side) to the struct-greatest payload, so the
-result is deterministic and independent of which row a native ASOF
-implementation happens to pick on ties. Oracle note: DuckDB's native
-``ASOF JOIN`` implements the identical semantics, giving the driver
-contract a fully independent reference implementation; the in-operator
-dedupe is what makes the comparison tie-proof.
+rows resolve DETERMINISTICALLY to the struct-greatest payload with no
+extra work: both the within-bucket running ``max`` and the per-(key,
+bucket) best aggregate range over every tied row, and struct comparison
+is total, so whichever row the window happens to order first, the max is
+the same. (An explicit pre-dedupe aggregate was measured at +45% on the
+sf0.1 bench and removed — the windows already guarantee the property.)
+Oracle note: DuckDB's native ``ASOF JOIN`` picks an ARBITRARY row on
+ties, so the oracle SQL — not the operator — carries a ``GROUP BY (key,
+ts) -> max(payload)`` pre-dedupe to pin the same tie-break; with that,
+DuckDB remains a fully independent reference implementation of the
+identical semantics.
 """
 
 from __future__ import annotations
@@ -67,17 +71,12 @@ def asof_join(
         F.col(right_ts).alias('_mts'),
         *[F.col(c).alias(c) for c in rcols],
     )
-    # Dedupe right per (key, ts) to the struct-greatest payload: ties in
-    # the source (two captures at the same instant) would otherwise make
-    # the match depend on the reference implementation's arbitrary pick.
-    # One aggregate on the side the join shuffles by key anyway.
-    r = (
-        right.select(
-            F.col(on).alias('_k'), F.col(right_ts).alias('_ts'),
-            payload.alias('_r'),
-        )
-        .groupBy('_k', '_ts').agg(F.max('_r').alias('_r'))
-        .withColumn('_side', F.lit(1))
+    # ties on (key, ts) need no pre-dedupe: every window/aggregate below
+    # takes max over ALL tied rows, so the struct-greatest payload wins
+    # deterministically either way (see module docstring)
+    r = right.select(
+        F.col(on).alias('_k'), F.col(right_ts).alias('_ts'),
+        payload.alias('_r'), F.lit(1).alias('_side'),
     )
     l = left.select(
         F.col(on).alias('_k'), F.col(left_ts).alias('_ts'),
