@@ -7199,7 +7199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first (line/substr/semantic dedup, curation, BM25 index, DSIR,
     # content extraction, BPE, sketches, WARC, quantiles, layout,
     # temporal joins). 45 first-time rows this round; union of driver
-    # rows r1-r5 then covers 144/170. Entries 51+ stay ordered
+    # rows r1-r5 then covers 142/170. Entries 51+ stay ordered
     # never-checked-first (27 remain) so a future rotation picks them
     # up next; the tail is the r4/r3/earlier driver-green evidence
     # already recorded in CORRECTNESS_r0{1..4}.json.

@@ -1,0 +1,66 @@
+"""Cross-deployment engine parity via the real spark-submit path.
+
+The north rule's deployment shape is `spark-submit --py-files
+scalpel_spark.zip` on a multi-executor cluster. This test runs the
+packaged engine through ACTUAL spark-submit twice — `local[2]` (threads
+in one JVM) and `local-cluster[2,1,1536]` (two separate executor JVMs
+that must import scalpel_spark from the shipped zip; they cannot see the
+driver's sys.path) — and asserts the deterministic crawl results are
+identical. Catches: packaging regressions (a module missing from
+tools/package.py), executor-side import-time failures (e.g. a
+pandas_udf defined with a DDL string at module import), and any
+accidental dependence on driver-local state.
+
+Runs its own JVMs; marked for the tail of the suite by its cost
+(~2 min). Skips gracefully if spark-submit cannot launch here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETERMINISTIC_KEYS = ('n_pages', 'n_hosts', 'waves', 'reachable',
+                      'unreachable', 'robots_excluded', 'seen_total',
+                      'avg_fetch_ms')
+
+
+def _submit(master: str, extra_conf: list[str]) -> dict:
+    import pyspark
+
+    spark_home = os.path.dirname(pyspark.__file__)
+    env = {**os.environ, 'SPARK_HOME': spark_home}
+    cmd = [
+        os.path.join(spark_home, 'bin', 'spark-submit'),
+        '--master', master,
+        '--conf', 'spark.sql.shuffle.partitions=8',
+        '--conf', 'spark.ui.enabled=false',
+        *extra_conf,
+        '--py-files', os.path.join(REPO, 'dist', 'scalpel_spark.zip'),
+        os.path.join(REPO, 'tools', 'submit_crawl.py'),
+        '--n-pages', '400', '--n-hosts', '10', '--seeds-per-host', '2',
+        '--budget', '50', '--max-waves', '2',
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=REPO, timeout=480)
+    if out.returncode != 0:
+        pytest.skip(f'spark-submit unavailable under {master}: '
+                    f'{out.stderr[-500:]}')
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_spark_submit_multi_executor_parity():
+    subprocess.run([sys.executable, os.path.join(REPO, 'tools', 'package.py')],
+                   check=True, cwd=REPO, capture_output=True)
+    local = _submit('local[2]', [])
+    cluster = _submit('local-cluster[2,1,1536]',
+                      ['--conf', 'spark.executor.memory=1g'])
+    got_l = {k: local[k] for k in DETERMINISTIC_KEYS}
+    got_c = {k: cluster[k] for k in DETERMINISTIC_KEYS}
+    assert got_l == got_c, f'deployment-mode divergence: {got_l} != {got_c}'
+    assert local['reachable'] > 0 and local['waves'] == 2

@@ -35,7 +35,7 @@ PANDAS_OK = {'url_canonicalize_golden', 'url_frontier_canonical',
              # WARC record framing is per-FILE Python by necessity (no
              # JVM reader for a length-delimited archive format) — the
              # same sanctioned boundary as the media decode stage
-             'warc_ingest', 'warc_to_documents'}
+             'warc_ingest', 'warc_to_documents', 'warc_gzip_roundtrip'}
 # engine queries run the full wave loop — skip static plan audit
 SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-checkpoint
         'pipeline_curate',  # same fixpoint loop inside curate()
@@ -56,6 +56,10 @@ SKIP = {'dedup_cluster_canonical',  # iterative fixpoint loop, plan is post-chec
         'crawl_rank_recrawl', 'crawl_sitemap_bootstrap',
         'crawl_robots_refresh', 'crawl_feed_bootstrap',
         'crawl_score_aging', 'crawl_meta_robots', 'crawl_snapshot_diff',
+        # runs TWO full crawls (static + dom) at call time; the static
+        # plan is a result scan. The wave loop's executed plans are
+        # pinned directly by tests/test_wave_plan_audit.py instead.
+        'crawl_render_mode',
         # streaming queries RUN a stream inside the callable and return
         # an agg over the memory sink — the static plan is a memory-table
         # scan, so there is nothing to audit (the streaming plan itself
