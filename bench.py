@@ -268,7 +268,7 @@ def run_frontier_bench_subprocess(n_candidates: int, n_seen: int,
          '--master', f'local[{CPUS}]', '--shuffle-partitions', str(CPUS),
          '--n-candidates', str(n_candidates), '--n-seen', str(n_seen),
          '--json-out', out],
-        check=True,
+        check=True, timeout=1800,
     )
     with open(out) as f:
         r = json.load(f)
@@ -290,12 +290,11 @@ def run_frontier_bench_multi_jvm(n_candidates: int = 16_000_000,
     (local-cluster[8,4,4096], spark.submit.pyFiles shipping the
     package) — the multi-executor deployment shape the north rule
     prescribes, measured with the standard hermetic protocol (fresh
-    driver JVM, 2 warmups, min of 4 timed passes)."""
+    driver JVM; per-round: 1 warmup + min of 2 timed passes — the
+    full 2+4 protocol lives in --scaling-cluster)."""
     import tempfile
 
-    import tempfile as _tf
-
-    out = _tf.mktemp(suffix='.json')
+    out = tempfile.mktemp(suffix='.json')
     try:
         # 1 warmup + 2 timed passes (not the full 2+4): the per-round
         # headline number; the full protocol lives in --scaling-cluster.
@@ -369,6 +368,7 @@ def main_default() -> None:
     child times only its query actions."""
     all_names = BENCH_QUERIES + list(_bench_only_queries())
     timings: dict[str, float] = {}
+    missing: list[str] = []
     for i in range(0, len(all_names), SUITE_GROUP_SIZE):
         group = all_names[i:i + SUITE_GROUP_SIZE]
         out = f'/tmp/bench_suite_group_{i}.json'
@@ -381,8 +381,11 @@ def main_default() -> None:
             with open(out) as f:
                 timings.update(json.load(f))
         except Exception as e:  # noqa: BLE001 — one dead group JVM must
-            # not sink the whole bench; its queries are simply absent
+            # not sink the whole bench, but the omission must be VISIBLE
+            # in the JSON: a 'value' summed over fewer queries is not
+            # comparable round-over-round, so 'missing_queries' flags it
             print(f'suite group {group} failed: {e}', file=sys.stderr)
+            missing.extend(group)
 
     scale = max(_sf_of(SF_DIR), 0.001)
     # the frontier pipeline keeps its own fresh subprocess JVM (round-4
@@ -420,6 +423,7 @@ def main_default() -> None:
         'frontier': frontier,
         'frontier_multi_jvm': frontier_mj,
         'fresh_jvm_per_group': SUITE_GROUP_SIZE,
+        **({'missing_queries': missing} if missing else {}),
     }))
 
 
@@ -530,7 +534,7 @@ def _measure_config(label: str, cores: int, shuffle: int, n_candidates: int,
             [sys.executable, __file__, '--frontier-only', '--master', f'local[{cores}]',
              '--shuffle-partitions', str(shuffle), '--n-candidates', str(n_candidates),
              '--n-seen', str(n_seen), '--json-out', out],
-            check=True,
+            check=True, timeout=1800,
         )
         with open(out) as f:
             t = json.load(f)['sec']
@@ -703,7 +707,7 @@ def _measure_master(label: str, master: str, shuffle: int, n_candidates: int,
         [sys.executable, __file__, '--frontier-only', '--master', master,
          '--shuffle-partitions', str(shuffle), '--n-candidates',
          str(n_candidates), '--n-seen', str(n_seen), '--json-out', out],
-        check=True,
+        check=True, timeout=1800,
     )
     with open(out) as f:
         t = json.load(f)['sec']

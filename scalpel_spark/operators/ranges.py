@@ -57,19 +57,22 @@ def interval_join(
     union/broadcast branch. Pass an explicit ``bucket_width`` to skip
     (a); pass ``eager_probe=False`` to skip (b) (the plan then always
     carries both branches — correct either way, just a wider plan).
-    When any eager job runs, the filtered interval frame is
-    local-checkpointed first so its lineage is computed ONCE — the
-    returned plan and the probe read the materialized intervals rather
-    than re-running the upstream lineage (ADVICE r4, ranges.py:82).
-    Intervals are the dimension side (ASN tables, latency bands) —
-    materializing them is metadata-scale next to the point side.
+    When any eager job runs, the filtered interval frame is persisted
+    FOR THE DURATION OF THE CALL so the width aggregate and the wide
+    probe share one materialization instead of re-running the interval
+    lineage per job (ADVICE r4, ranges.py:82); it is unpersisted before
+    returning, so the returned plan is pure recomputable lineage — no
+    storage stays pinned across calls, and executor loss after the call
+    cannot strand it (persist-not-localCheckpoint is deliberate: a
+    localCheckpointed plan is non-recomputable and its blocks outlive
+    the call). Intervals are the dimension side (ASN tables, latency
+    bands) — materializing them briefly is metadata-scale next to the
+    point side.
     """
     iv = intervals.filter(F.col(lo_col) <= F.col(hi_col))
-    if bucket_width is None or eager_probe:
-        # lazy localCheckpoint: materializes at the first eager job below,
-        # after which neither the probe nor the returned plan recompute
-        # the interval lineage
-        iv = iv.localCheckpoint(eager=False)
+    eager = bucket_width is None or eager_probe
+    if eager:
+        iv = iv.persist()
     if bucket_width is None:
         mm = iv.agg(
             F.greatest(
@@ -98,8 +101,12 @@ def interval_join(
                 (F.col(point_col) <= F.col(hi_col))
     narrow_hits = p.join(narrow, '_bucket').filter(contained).drop('_bucket')
     # the wide branch is a broadcast theta join; probe first (one tiny
-    # job against the small checkpointed wide set) so the common no-wide
+    # job against the persisted interval side) so the common no-wide
     # case plans a pure equi-join
-    if eager_probe and wide.limit(1).isEmpty():
+    no_wide = eager_probe and wide.limit(1).isEmpty()
+    if eager:
+        # call-scoped cache only: the returned plan recomputes lineage
+        iv.unpersist(blocking=False)
+    if no_wide:
         return narrow_hits
     return narrow_hits.unionByName(points.join(F.broadcast(wide), contained))
